@@ -1,0 +1,12 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding paths can be exercised without TPU hardware. Must run
+before jax is imported anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "true")

@@ -1,0 +1,262 @@
+"""VCF -> .twk importer.
+
+Mirrors the reference import pipeline (reference: lib/importer.cpp:25-337,
+lib/genotype_encoder.h): per-site filters (duplicate position, diploid,
+biallelic, canonical-SNP, missingness, sample count, invariance, HWE),
+RLE genotype encoding with minimal word width, per-site allele statistics
+and exact HWE p-value, and zstd block flushing at block_size or contig
+change boundaries.
+"""
+
+import datetime
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .. import __version__
+from ..ops.hwe import hwe_exact
+from ..utils import log, pretty_int, Timer
+from .constants import BASE_MAP
+from .twk import Twk1Block, Twk1Record, TwkWriter
+from .vcf import VcfReader
+
+FILTER_NAMES = ["Invariant", "Missing threshold", "Insufficient samples",
+                "Mixed ploidy", "No genotypes", "No FORMAT",
+                "Not biallelic", "Not SNP", "Hardy-Weinberg threshold",
+                "Duplicate position"]
+
+
+@dataclass
+class ImportSettings:
+    input: str = "-"
+    output: str = "-"
+    block_size: int = 500
+    c_level: int = 1
+    threshold_miss: float = 0.9
+    hwe: float = 0.0
+    remove_univariate: bool = True
+    flip_major_minor: bool = False
+
+
+@dataclass
+class ImportStats:
+    n_total: int = 0
+    n_kept: int = 0
+    n_dropped: int = 0
+    filtered: List[int] = field(default_factory=lambda: [0] * 10)
+
+
+def _choose_rle_width(run_lengths: np.ndarray, miss: bool) -> int:
+    """Pick the cheapest RLE word width in bytes (1, 2 or 4), accounting
+    for runs that must be split at each width's length limit
+    (reference: lib/genotype_encoder.h:138-195 AssessGenotypes)."""
+    best_w, best_cost = 1, None
+    for w in (1, 2, 4):
+        limit = (1 << (8 * w - 2 - 2 * int(miss))) - 1
+        n_words = int(np.sum((run_lengths + limit - 1) // limit))
+        cost = n_words * w
+        if best_cost is None or cost < best_cost:
+            best_w, best_cost = w, cost
+    return best_w
+
+
+def rle_encode(codes: np.ndarray, miss: bool):
+    """RLE-encode per-sample symbols. Returns (runs, width_bytes).
+
+    Symbols are 2-bit (a<<1|b) without missing, 4-bit (a<<2|b) with.
+    Word = length << (2+2*miss) | symbol.
+    """
+    if not miss:
+        # compress 4-bit codes to the 2-bit no-missing space
+        syms_all = ((codes >> 2) << 1 | (codes & 0b11)).astype(np.uint32)
+    else:
+        syms_all = codes.astype(np.uint32)
+    # run boundaries
+    change = np.flatnonzero(syms_all[1:] != syms_all[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(syms_all)]))
+    lens = (ends - starts).astype(np.int64)
+    syms = syms_all[starts]
+
+    width = _choose_rle_width(lens, miss)
+    shift = 2 + 2 * int(miss)
+    limit = (1 << (8 * width - shift)) - 1
+
+    # split runs longer than limit
+    n_words = (lens + limit - 1) // limit
+    if np.any(n_words > 1):
+        reps = n_words.astype(np.int64)
+        syms_r = np.repeat(syms, reps)
+        lens_r = np.repeat(lens, reps)
+        # position within each run's word group
+        cum = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        word_idx = np.arange(reps.sum(), dtype=np.int64) - np.repeat(cum, reps)
+        remaining = lens_r - word_idx * limit
+        lens_out = np.minimum(remaining, limit)
+        runs = (lens_out.astype(np.uint64) << shift) | syms_r.astype(np.uint64)
+    else:
+        runs = (lens.astype(np.uint64) << shift) | syms.astype(np.uint64)
+    dt = {1: np.uint8, 2: np.uint16, 4: np.uint32}[width]
+    return runs.astype(dt), width
+
+
+def import_vcf(settings: ImportSettings) -> ImportStats:
+    timer = Timer()
+    vcf = VcfReader(settings.input)
+    n_samples = vcf.header.n_samples
+    log("LOG", f"Samples: {pretty_int(n_samples)}...", sub="VCF")
+    if n_samples == 0:
+        raise ValueError("no samples in VCF")
+
+    import_literals = (
+        f"##tomahawk_tpu_importVersion={__version__}\n"
+        f"##tomahawk_tpu_importCommand=import {settings.input}; "
+        f"Date={datetime.datetime.now().isoformat()}\n")
+    vcf.header.literals += import_literals
+
+    out = settings.output
+    if not out.endswith(".twk"):
+        out = out + ".twk"
+
+    stats = ImportStats()
+    block = Twk1Block()
+    pending: List[Twk1Record] = []   # records awaiting batched HWE
+    pending_het: List[int] = []
+    pending_hom: List[List[int]] = []
+
+    writer = TwkWriter(out, vcf.header, settings.c_level)
+
+    prev = (-1, -1, False)  # rid, pos, dropped
+
+    def flush_pending(force_rid: Optional[int] = None):
+        """Compute HWE for queued records, apply the HWE filter, and emit
+        them into blocks."""
+        nonlocal block, pending, pending_het, pending_hom
+        if not pending:
+            return
+        het = np.array(pending_het, np.int64)
+        homs = np.array(pending_hom, np.int64)
+        pv = hwe_exact(het, homs[:, 0], homs[:, 1])
+        for rec, p in zip(pending, pv):
+            rec.hwe = float(p)
+            if p < settings.hwe:
+                stats.filtered[8] += 1
+                stats.n_dropped += 1
+                continue
+            if block.n and (block.rid != rec.rid
+                            or block.n == settings.block_size):
+                writer.write_block(block)
+                block = Twk1Block()
+            if block.n == 0:
+                block.rid = rec.rid
+            block.add(rec)
+            stats.n_kept += 1
+        pending, pending_het, pending_hom = [], [], []
+
+    for site in vcf.sites():
+        stats.n_total += 1
+        # duplicate consecutive site
+        if site.rid == prev[0] and site.pos == prev[1] and not prev[2]:
+            prev = (site.rid, site.pos, True)
+            stats.filtered[9] += 1
+            stats.n_dropped += 1
+            continue
+        dropped = True
+        if len(site.codes) == 0:
+            stats.filtered[4 if site.ploidy_ok else 3] += 1
+        elif not site.ploidy_ok:
+            stats.filtered[3] += 1
+        elif site.n_alleles != 2:
+            stats.filtered[6] += 1
+        elif not site.is_snp:
+            stats.filtered[7] += 1
+        else:
+            rec = _encode_site(site, n_samples, settings, stats)
+            if rec is not None:
+                dropped = False
+                pending.append(rec)
+                pending_het.append(rec.n_het)
+                pending_hom.append([rec.n_hom_ref, rec.n_hom])
+                if len(pending) >= 8192:
+                    flush_pending()
+        if dropped:
+            stats.n_dropped += 1
+        prev = (site.rid, site.pos, dropped)
+
+    flush_pending()
+    if block.n:
+        writer.write_block(block)
+    writer.close()
+    vcf.close()
+
+    log("LOG", f"Wrote: {pretty_int(stats.n_kept)} variants to "
+        f"{pretty_int(writer.index.n)} blocks...")
+    log("LOG", f"Finished: {timer.elapsed_string()}")
+    log("LOG", f"Filtered out {pretty_int(stats.n_dropped)} sites:")
+    for name, cnt in zip(FILTER_NAMES, stats.filtered):
+        if cnt:
+            log("LOG", f"   {name}: {pretty_int(cnt)}")
+    return stats
+
+
+def _encode_site(site, n_samples: int, settings: ImportSettings,
+                 stats: ImportStats) -> Optional[Twk1Record]:
+    codes = site.codes
+    ca, cb = codes >> 2, codes & 0b11
+    miss_mask = (ca == 2) | (cb == 2)
+    n_missing_alleles = int(np.sum(ca == 2) + np.sum(cb == 2))
+    full = ~miss_mask
+    n_full = int(full.sum())
+
+    # missingness / sample-count filters
+    if n_full < settings.threshold_miss * n_samples:
+        stats.filtered[1] += 1
+        return None
+    if n_full < 5:
+        stats.filtered[2] += 1
+        return None
+
+    fa, fb = ca[full], cb[full]
+    n_refref = int(np.sum((fa == 0) & (fb == 0)))
+    n_refalt = int(np.sum((fa == 0) & (fb == 1)))
+    n_altref = int(np.sum((fa == 1) & (fb == 0)))
+    n_altalt = int(np.sum((fa == 1) & (fb == 1)))
+
+    if settings.remove_univariate:
+        if n_refref == n_full or n_refalt == n_full or \
+           n_altref == n_full or n_altalt == n_full:
+            stats.filtered[0] += 1
+            return None
+
+    n_alt = int(np.sum(ca == 1) + np.sum(cb == 1))
+    n_ref = int(np.sum(ca == 0) + np.sum(cb == 0))
+
+    flip = settings.flip_major_minor and (n_alt > n_ref)
+    if flip:
+        # swap ref<->alt codes (missing unchanged)
+        ca = np.where(ca == 0, np.uint8(1), np.where(ca == 1, np.uint8(0), ca))
+        cb = np.where(cb == 0, np.uint8(1), np.where(cb == 1, np.uint8(0), cb))
+        codes = (ca << 2) | cb
+        n_alt = n_ref
+
+    miss = bool(miss_mask.any())
+    runs, width = rle_encode(codes, miss)
+
+    phase_known = cb != 2
+    if np.any(phase_known):
+        ph = site.phase[phase_known]
+        mixed = bool(np.any(ph != ph[0]))
+        gt_phase = False if mixed else bool(ph[0])
+    else:
+        gt_phase = False
+
+    rec = Twk1Record(
+        pos=site.pos, rid=site.rid, ac=n_alt, an=n_missing_alleles,
+        n_het=n_refalt + n_altref, n_hom=n_altalt,
+        alleles=(BASE_MAP.get(site.ref, 0) << 4) | BASE_MAP.get(site.alt, 0),
+        gt_ptype=width, gt_flipped=flip, gt_phase=gt_phase,
+        gt_missing=miss, gt_runs=runs)
+    # auxiliary count used only for the batched HWE computation
+    rec.n_hom_ref = n_refref
+    return rec

@@ -1,0 +1,227 @@
+""".two LD-record streams.
+
+Byte-compatible with the reference container (reference:
+lib/core.cpp:470-518 record serialization, :626-642 block serialization;
+include/writer.h:225-313 writer framing). Records are held as numpy
+structured arrays whose in-memory layout exactly matches the 106-byte
+packed wire format, so whole blocks (de)serialize with frombuffer/tobytes.
+
+Layout:
+  "TWO\\x01" | u64 b_unc | u64 b_cmp | zstd(VcfHeader)
+  { u8 marker=1 | u32 b_unc | u32 b_cmp | zstd(u32 n | u32 m | n records) }*
+  u8 marker=0 | u64 b_unc | u64 b_cmp | zstd(IndexOutput) | u64 index_offset
+  | 32-byte EOF sentinel
+"""
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import zstandard
+
+from .buffer import BufferReader
+from .constants import TWO_MAGIC, FILE_EOF, TWK_IDX_UNSORTED
+from .header import VcfHeader
+from .index import IndexOutput, IndexEntry
+
+# Packed wire layout of one record (106 bytes). posA/posB are stored packed:
+# pos << 2 | phased << 1 | miss.
+TWO_DTYPE = np.dtype([
+    ("controller", "<u2"),
+    ("ridA", "<u4"), ("ridB", "<u4"),
+    ("packA", "<u4"), ("packB", "<u4"),
+    ("cnt", "<f8", (4,)),           # REFREF, ALTREF, REFALT, ALTALT
+    ("D", "<f8"), ("Dprime", "<f8"), ("R", "<f8"), ("R2", "<f8"),
+    ("P", "<f8"), ("ChiSqFisher", "<f8"), ("ChiSqModel", "<f8"),
+])
+assert TWO_DTYPE.itemsize == 106
+
+LD_COLUMNS = ("FLAG", "CHROM_A", "POS_A", "CHROM_B", "POS_B",
+              "REF_REF", "REF_ALT", "ALT_REF", "ALT_ALT",
+              "D", "Dprime", "R", "R2", "P", "ChiSqFisher", "ChiSqModel")
+
+
+def pack_pos(pos, phased=0, miss=0):
+    return (np.asarray(pos, np.uint32) << 2) | \
+           (np.asarray(phased, np.uint32) << 1) | np.asarray(miss, np.uint32)
+
+
+def unpack_pos(packed):
+    packed = np.asarray(packed, np.uint32)
+    return packed >> 2, (packed >> 1) & 1, packed & 1
+
+
+def two_records_from_bytes(payload: bytes) -> np.ndarray:
+    """Decode one uncompressed block payload into a structured array."""
+    r = BufferReader(payload)
+    n = r.u32()
+    _m = r.u32()
+    recs = np.frombuffer(payload, dtype=TWO_DTYPE, count=n, offset=8)
+    return recs
+
+
+def two_records_to_bytes(recs: np.ndarray) -> bytes:
+    recs = np.ascontiguousarray(recs, dtype=TWO_DTYPE)
+    return struct.pack("<II", len(recs), max(len(recs), 1)) + recs.tobytes()
+
+
+class TwoWriter:
+    """Streaming block writer for .two files."""
+
+    def __init__(self, path: str, header: VcfHeader, c_level: int = 1,
+                 block_limit: int = 10000, state: int = TWK_IDX_UNSORTED):
+        self.path = path
+        self.header = header
+        self.c_level = c_level
+        self.block_limit = block_limit
+        self.index = IndexOutput(header.n_contigs)
+        self.index.state = state
+        self.n_records = 0
+        self._pending = []
+        self._pending_n = 0
+        self._cctx = zstandard.ZstdCompressor(level=c_level)
+        self._fh = open(path, "wb")
+        self._fh.write(TWO_MAGIC)
+        hdr_buf = header.serialize()
+        comp = self._cctx.compress(hdr_buf)
+        self._fh.write(struct.pack("<QQ", len(hdr_buf), len(comp)))
+        self._fh.write(comp)
+
+    def add(self, recs: np.ndarray):
+        """Queue records; flushes in block_limit-sized blocks."""
+        if len(recs) == 0:
+            return
+        self._pending.append(np.ascontiguousarray(recs, dtype=TWO_DTYPE))
+        self._pending_n += len(recs)
+        while self._pending_n >= self.block_limit:
+            self._flush_block(self.block_limit)
+
+    def _take(self, n: int) -> np.ndarray:
+        out, got = [], 0
+        while got < n and self._pending:
+            head = self._pending[0]
+            take = min(len(head), n - got)
+            out.append(head[:take])
+            if take == len(head):
+                self._pending.pop(0)
+            else:
+                self._pending[0] = head[take:]
+            got += take
+        self._pending_n -= got
+        return np.concatenate(out) if out else np.zeros(0, TWO_DTYPE)
+
+    def write_block(self, recs: np.ndarray,
+                    ent: Optional[IndexEntry] = None):
+        """Write one block immediately (bypasses pending buffering)."""
+        if len(recs) == 0:
+            return
+        payload = two_records_to_bytes(recs)
+        comp = self._cctx.compress(payload)
+        if ent is None:
+            ent = IndexEntry()
+            if self.index.state == 2:  # TWK_IDX_SORTED
+                rid_b = int(recs["ridB"][0])
+                if not np.all(recs["ridB"] == rid_b):
+                    rid_b = -1
+                ent.rid = int(recs["ridA"][0])
+                ent.ridB = rid_b
+                ent.minpos = int(recs["packA"][0]) >> 2
+                ent.maxpos = int(recs["packA"][-1]) >> 2
+            else:
+                ent.rid = -1
+                ent.ridB = -1
+        ent.n = len(recs)
+        ent.b_unc = len(payload)
+        ent.b_cmp = len(comp)
+        ent.foff = self._fh.tell()
+        self._fh.write(struct.pack("<BII", 1, len(payload), len(comp)))
+        self._fh.write(comp)
+        ent.fend = self._fh.tell()
+        self.index.add(ent)
+        if self.index.state == 2 and ent.rid >= 0:
+            self.index.add_meta(ent)
+        self.n_records += len(recs)
+
+    def _flush_block(self, n: int):
+        self.write_block(self._take(n))
+
+    def close(self):
+        while self._pending_n > 0:
+            self._flush_block(min(self._pending_n, self.block_limit))
+        idx_buf = self.index.serialize()
+        comp = self._cctx.compress(idx_buf)
+        index_offset = self._fh.tell()
+        self._fh.write(struct.pack("<B", 0))
+        self._fh.write(struct.pack("<QQ", len(idx_buf), len(comp)))
+        self._fh.write(comp)
+        self._fh.write(struct.pack("<Q", index_offset))
+        self._fh.write(FILE_EOF)
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TwoReader:
+    """Random-access + streaming reader for .two files."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "rb")
+        self._dctx = zstandard.ZstdDecompressor()
+        magic = self._fh.read(len(TWO_MAGIC))
+        if magic != TWO_MAGIC:
+            raise ValueError(f"{path}: not a .two file (bad magic)")
+        b_unc, b_cmp = struct.unpack("<QQ", self._fh.read(16))
+        self.header = VcfHeader.deserialize(
+            self._dctx.decompress(self._fh.read(b_cmp), max_output_size=b_unc))
+        self._data_start = self._fh.tell()
+
+        self._fh.seek(-(len(FILE_EOF) + 8), 2)
+        index_offset, = struct.unpack("<Q", self._fh.read(8))
+        eof = self._fh.read(len(FILE_EOF))
+        if eof != FILE_EOF:
+            raise ValueError(f"{path}: truncated file (bad EOF sentinel)")
+        self._fh.seek(index_offset)
+        marker, ib_unc, ib_cmp = struct.unpack("<BQQ", self._fh.read(17))
+        assert marker == 0, "corrupt footer marker"
+        self.index = IndexOutput.deserialize(
+            self._dctx.decompress(self._fh.read(ib_cmp),
+                                  max_output_size=ib_unc))
+        self._fh.seek(self._data_start)
+
+    def read_block(self, i: int) -> np.ndarray:
+        ent = self.index.ent[i]
+        self._fh.seek(ent.foff)
+        marker, b_unc, b_cmp = struct.unpack("<BII", self._fh.read(9))
+        assert marker == 1, "corrupt block marker"
+        payload = self._dctx.decompress(self._fh.read(b_cmp),
+                                        max_output_size=b_unc)
+        return two_records_from_bytes(payload)
+
+    def blocks(self) -> Iterator[np.ndarray]:
+        for i in range(self.index.n):
+            yield self.read_block(i)
+
+    def records(self) -> np.ndarray:
+        """All records concatenated (loads whole file)."""
+        parts = list(self.blocks())
+        if not parts:
+            return np.zeros(0, TWO_DTYPE)
+        return np.concatenate(parts)
+
+    @property
+    def n_records(self) -> int:
+        return sum(e.n for e in self.index.ent)
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
