@@ -1,0 +1,162 @@
+"""End-to-end: VCF -> import -> calc -> .two, validated pair-by-pair
+against the scalar oracle pipeline."""
+
+import numpy as np
+import pytest
+
+from tomahawk_tpu.compute.engine import CalcSettings, compute_ld
+from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+from tomahawk_tpu.io.twk import TwkReader
+from tomahawk_tpu.io.two import TwoReader
+
+from oracles import (counts_from_codes, phased_math_oracle,
+                     unphased_math_oracle)
+from test_importer import make_vcf
+
+
+def _expected_records(twk_path, mode, min_r2=0.1, window=None):
+    """Brute-force oracle: all upper-triangle pairs of kept variants."""
+    r = TwkReader(twk_path)
+    recs = list(r.records())
+    r.close()
+    out = {}
+    n_candidates = 0
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = recs[i], recs[j]
+            if a.ac + b.ac <= 2:
+                continue
+            if window is not None:
+                if a.rid != b.rid or abs(b.pos - a.pos) > window:
+                    continue
+            n_candidates += 1
+            ca, cb = a.decode_codes(), b.decode_codes()
+            hap, T = counts_from_codes(ca, cb)
+            if mode == "phased":
+                res = phased_math_oracle(hap, min_r2=min_r2)
+            elif mode == "unphased":
+                res = unphased_math_oracle(T, min_r2=min_r2)
+            else:  # mixed: per-pair dispatch on missingness
+                if a.an > 0 or b.an > 0:
+                    res = unphased_math_oracle(T, min_r2=min_r2)
+                else:
+                    res = phased_math_oracle(hap, min_r2=min_r2)
+            if res is not None:
+                out[(a.rid, a.pos, b.rid, b.pos)] = res
+    return out, n_candidates
+
+
+def _check_two(two_path, want):
+    r = TwoReader(two_path)
+    got = r.records()
+    r.close()
+    # forward + reverse per pair
+    assert len(got) == 2 * len(want), (len(got), len(want))
+    fwd = 0
+    for rec in got:
+        key = (int(rec["ridA"]), int(rec["packA"]) >> 2,
+               int(rec["ridB"]), int(rec["packB"]) >> 2)
+        rkey = (key[2], key[3], key[0], key[1])
+        if key in want:
+            o = want[key]
+            fwd += 1
+        else:
+            assert rkey in want, key
+            o = want[rkey]
+        for f, k in (("D", "D"), ("Dprime", "Dprime"), ("R2", "R2"),
+                     ("P", "P"), ("ChiSqFisher", "chisq_fisher")):
+            assert abs(rec[f] - o[k]) <= 1e-5 * max(1.0, abs(o[k])), \
+                (key, f, rec[f], o[k])
+        np.testing.assert_allclose(rec["cnt"], o["cnt"], atol=1e-5)
+    assert fwd == len(want)
+
+
+@pytest.mark.parametrize("miss_frac,mode", [
+    (0.0, "phased"),
+    (0.05, "phased"),
+    (0.0, "unphased"),
+    (0.05, "mixed"),
+])
+def test_calc_end_to_end(tmp_path, miss_frac, mode):
+    vcf_path = str(tmp_path / "t.vcf")
+    make_vcf(vcf_path, n_samples=40, n_sites=30, miss_frac=miss_frac,
+             seed=3)
+    twk = str(tmp_path / "t.twk")
+    import_vcf(ImportSettings(input=vcf_path, output=twk, block_size=8,
+                              threshold_miss=0.5))
+    two = str(tmp_path / "t.two")
+    s = CalcSettings(input=twk, output=two,
+                     force_phased=(mode == "phased"),
+                     forced_unphased=(mode == "unphased"),
+                     min_r2=0.05, batch_pairs=4)
+    res = compute_ld(s)
+    want, n_cand = _expected_records(twk, mode, min_r2=0.05)
+    assert res.n_pairs == n_cand
+    _check_two(two, want)
+
+
+def test_calc_window(tmp_path):
+    vcf_path = str(tmp_path / "w.vcf")
+    make_vcf(vcf_path, n_samples=40, n_sites=40, miss_frac=0.0, seed=5)
+    twk = str(tmp_path / "w.twk")
+    import_vcf(ImportSettings(input=vcf_path, output=twk, block_size=6))
+    two = str(tmp_path / "w.two")
+    s = CalcSettings(input=twk, output=two, force_phased=True,
+                     window=True, l_window=2000, min_r2=0.05,
+                     batch_pairs=4)
+    compute_ld(s)
+    want, _ = _expected_records(twk, "phased", min_r2=0.05, window=2000)
+    _check_two(two, want)
+
+
+def test_calc_chunking_covers_grid(tmp_path):
+    """3 chunks must jointly produce exactly the full run's records."""
+    vcf_path = str(tmp_path / "c.vcf")
+    make_vcf(vcf_path, n_samples=30, n_sites=36, miss_frac=0.0, seed=7)
+    twk = str(tmp_path / "c.twk")
+    import_vcf(ImportSettings(input=vcf_path, output=twk, block_size=4))
+    full = str(tmp_path / "full.two")
+    compute_ld(CalcSettings(input=twk, output=full, force_phased=True,
+                            min_r2=0.05, batch_pairs=4))
+    r = TwoReader(full)
+    full_recs = r.records()
+    r.close()
+
+    parts = []
+    for c in range(3):
+        out = str(tmp_path / f"part{c}.two")
+        compute_ld(CalcSettings(input=twk, output=out, force_phased=True,
+                                min_r2=0.05, n_chunks=3, c_chunk=c,
+                                batch_pairs=4))
+        r = TwoReader(out)
+        parts.append(r.records())
+        r.close()
+    merged = np.concatenate(parts)
+    assert len(merged) == len(full_recs)
+
+    def keyset(recs):
+        return sorted((int(r["ridA"]), int(r["packA"]) >> 2,
+                       int(r["ridB"]), int(r["packB"]) >> 2)
+                      for r in recs)
+    assert keyset(merged) == keyset(full_recs)
+
+
+def test_cli_import_calc_view(tmp_path, capsys):
+    from tomahawk_tpu.cli import main
+    vcf_path = str(tmp_path / "x.vcf")
+    make_vcf(vcf_path, n_samples=30, n_sites=20, miss_frac=0.0, seed=9)
+    twk = str(tmp_path / "x.twk")
+    two = str(tmp_path / "x.two")
+    assert main(["import", "-i", vcf_path, "-o", twk]) == 0
+    assert main(["calc", "-i", twk, "-o", two, "-p", "-r", "0.05"]) == 0
+    out_txt = str(tmp_path / "x.ld")
+    assert main(["view", "-i", two, "-o", out_txt]) == 0
+    lines = open(out_txt).read().splitlines()
+    data = [l for l in lines if l and not l.startswith("#")
+            and not l.startswith("FLAG")]
+    r = TwoReader(two)
+    assert len(data) == r.n_records
+    r.close()
+    cols = data[0].split("\t")
+    assert len(cols) == 16
+    assert cols[1] == "20"  # contig name resolved

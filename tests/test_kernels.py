@@ -1,0 +1,171 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from tomahawk_tpu.io.importer import rle_encode
+from tomahawk_tpu.io.twk import Twk1Block, Twk1Record
+from tomahawk_tpu.ops.bitpack import block_to_planes, words_for
+from tomahawk_tpu.ops.ld_kernels import (compact_tile, pair_mask_tile,
+                                         phased_counts_tile,
+                                         phased_prefilter_mask,
+                                         unphased_counts_tile, unpack_bits)
+
+from oracles import counts_from_codes
+
+
+def _block_from_codes(code_rows, pad_to=None):
+    blk = Twk1Block(rid=0)
+    for i, codes in enumerate(code_rows):
+        ca, cb = codes >> 2, codes & 3
+        miss = bool(np.any((ca == 2) | (cb == 2)))
+        runs, width = rle_encode(codes, miss)
+        full = (ca != 2) & (cb != 2)
+        rec = Twk1Record(
+            pos=100 + i * 50, rid=0,
+            ac=int((ca == 1).sum() + (cb == 1).sum()),
+            an=int((ca == 2).sum() + (cb == 2).sum()),
+            n_het=int((((ca == 0) & (cb == 1)) |
+                       ((ca == 1) & (cb == 0)))[full].sum()),
+            n_hom=int(((ca == 1) & (cb == 1))[full].sum()),
+            gt_ptype=width, gt_missing=miss, gt_runs=runs)
+        blk.add(rec)
+    return block_to_planes(blk, len(code_rows[0]), pad_to=pad_to)
+
+
+def _random_rows(rng, n_var, n_samples, miss_frac):
+    rows = []
+    for _ in range(n_var):
+        maf = rng.uniform(0.05, 0.5)
+        a = (rng.random(n_samples) < maf).astype(np.uint8)
+        b = (rng.random(n_samples) < maf).astype(np.uint8)
+        codes = (a << 2) | b
+        if miss_frac > 0:
+            m = rng.random(n_samples) < miss_frac
+            codes[m] = (2 << 2) | 2
+        rows.append(codes)
+    return rows
+
+
+def test_unpack_bits():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**32, size=(3, 4), dtype=np.uint32)
+    bits = np.array(unpack_bits(jnp.asarray(x)))
+    for r in range(3):
+        for w in range(4):
+            for k in range(32):
+                assert bits[r, w * 32 + k] == ((int(x[r, w]) >> k) & 1)
+
+
+@pytest.mark.parametrize("miss_frac", [0.0, 0.1])
+def test_phased_counts_vs_oracle(miss_frac):
+    rng = np.random.default_rng(1)
+    n_samples = 37
+    rows_a = _random_rows(rng, 6, n_samples, miss_frac)
+    rows_b = _random_rows(rng, 5, n_samples, miss_frac)
+    pa = _block_from_codes(rows_a)
+    pb = _block_from_codes(rows_b)
+    has_missing = miss_frac > 0
+    counts = np.array(phased_counts_tile(
+        jnp.asarray(pa.alt_bits), jnp.asarray(pa.miss_bits),
+        jnp.asarray(pb.alt_bits), jnp.asarray(pb.miss_bits),
+        jnp.asarray(pa.ac), jnp.asarray(pb.ac),
+        n_samples, has_missing))
+    for i, ca in enumerate(rows_a):
+        for j, cb in enumerate(rows_b):
+            hap, _ = counts_from_codes(ca, cb)
+            np.testing.assert_array_equal(counts[i, j], hap,
+                                          err_msg=f"pair {i},{j}")
+
+
+@pytest.mark.parametrize("miss_frac", [0.0, 0.1])
+def test_unphased_counts_vs_oracle(miss_frac):
+    rng = np.random.default_rng(2)
+    n_samples = 41
+    rows_a = _random_rows(rng, 5, n_samples, miss_frac)
+    rows_b = _random_rows(rng, 4, n_samples, miss_frac)
+    pa = _block_from_codes(rows_a)
+    pb = _block_from_codes(rows_b)
+    T = np.array(unphased_counts_tile(
+        jnp.asarray(pa.het_bits), jnp.asarray(pa.hom_bits),
+        jnp.asarray(pa.valid_bits),
+        jnp.asarray(pb.het_bits), jnp.asarray(pb.hom_bits),
+        jnp.asarray(pb.valid_bits),
+        jnp.asarray(pa.n_het), jnp.asarray(pa.n_hom),
+        jnp.asarray(pb.n_het), jnp.asarray(pb.n_hom),
+        n_samples, miss_frac > 0))
+    for i, ca in enumerate(rows_a):
+        for j, cb in enumerate(rows_b):
+            _, T_want = counts_from_codes(ca, cb)
+            np.testing.assert_array_equal(T[i, j], T_want,
+                                          err_msg=f"pair {i},{j}")
+
+
+def test_padding_rows_are_inert():
+    rng = np.random.default_rng(3)
+    n_samples = 20
+    rows = _random_rows(rng, 3, n_samples, 0.0)
+    p = _block_from_codes(rows, pad_to=8)
+    assert p.valid.sum() == 3
+    counts = np.array(phased_counts_tile(
+        jnp.asarray(p.alt_bits), jnp.asarray(p.miss_bits),
+        jnp.asarray(p.alt_bits), jnp.asarray(p.miss_bits),
+        jnp.asarray(p.ac), jnp.asarray(p.ac), n_samples, False))
+    mask = np.array(pair_mask_tile(
+        jnp.asarray(p.valid), jnp.asarray(p.valid),
+        jnp.asarray(p.ac), jnp.asarray(p.ac),
+        jnp.asarray(p.rid), jnp.asarray(p.rid),
+        jnp.asarray(p.pos), jnp.asarray(p.pos), diagonal=True))
+    # no pair involving a padding row survives the mask
+    assert not mask[3:, :].any()
+    assert not mask[:, 3:].any()
+    # upper triangle only
+    assert not np.tril(mask).any()
+
+
+def test_compaction_roundtrip():
+    rng = np.random.default_rng(4)
+    mask = jnp.asarray(rng.random((16, 16)) < 0.2)
+    payload = jnp.asarray(
+        rng.integers(0, 100, size=(256, 4)).astype(np.int32))
+    n_pass, idx, rows = compact_tile(mask, payload, cap=64)
+    n_pass = int(n_pass)
+    want_idx = np.flatnonzero(np.array(mask).ravel())
+    assert n_pass == len(want_idx)
+    np.testing.assert_array_equal(np.array(idx)[:n_pass], want_idx)
+    np.testing.assert_array_equal(np.array(rows)[:n_pass],
+                                  np.array(payload)[want_idx])
+    assert (np.array(idx)[n_pass:] == -1).all()
+
+
+def test_prefilter_never_drops_exact_survivors():
+    """The f32 device prefilter must be conservative wrt the f64 filter."""
+    from tomahawk_tpu.ops.ld_math import LdFilters, PairMeta, phased_math
+    rng = np.random.default_rng(5)
+    n_samples = 64
+    rows_a = _random_rows(rng, 12, n_samples, 0.0)
+    rows_b = _random_rows(rng, 12, n_samples, 0.0)
+    pa = _block_from_codes(rows_a)
+    pb = _block_from_codes(rows_b)
+    counts = phased_counts_tile(
+        jnp.asarray(pa.alt_bits), jnp.asarray(pa.miss_bits),
+        jnp.asarray(pb.alt_bits), jnp.asarray(pb.miss_bits),
+        jnp.asarray(pa.ac), jnp.asarray(pb.ac), n_samples, False)
+    pm = pair_mask_tile(jnp.asarray(pa.valid), jnp.asarray(pb.valid),
+                        jnp.asarray(pa.ac), jnp.asarray(pb.ac),
+                        jnp.asarray(pa.rid), jnp.asarray(pb.rid),
+                        jnp.asarray(pa.pos), jnp.asarray(pb.pos),
+                        diagonal=False)
+    dev_mask = np.array(phased_prefilter_mask(counts, pm, 0.1, 100.0))
+
+    cflat = np.array(counts).reshape(-1, 4).astype(np.int64)
+    k = len(cflat)
+    z = np.zeros(k, np.int64)
+    meta = PairMeta(pos_a=z, pos_b=z + 1, rid_a=z, rid_b=z,
+                    ac_a=np.repeat(pa.ac, 12), ac_b=np.tile(pb.ac, 12),
+                    an_a=z, an_b=z, hwe_a=np.ones(k), hwe_b=np.ones(k))
+    recs, kept = phased_math(cflat, meta, LdFilters(min_r2=0.1))
+    kept_set = set(kept.tolist())
+    dev_set = set(np.flatnonzero(dev_mask.ravel()).tolist())
+    assert kept_set <= dev_set, kept_set - dev_set

@@ -1,0 +1,290 @@
+"""`twk` command-line interface.
+
+One subcommand per capability, mirroring the reference CLI surface
+(reference: lib/main.cpp:36-77): import calc scalc view sort concat
+aggregate stats decay haplotype relationship.
+"""
+
+import argparse
+import sys
+
+
+def _add_import(sub):
+    p = sub.add_parser("import", help="import VCF into .twk")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-c", "--c-level", type=int, default=1)
+    p.add_argument("-b", "--block-size", type=int, default=500)
+    p.add_argument("-m", "--threshold-miss", type=float, default=0.9,
+                   help="minimum fraction of fully-called samples")
+    p.add_argument("-H", "--hwe", type=float, default=0.0,
+                   help="minimum HWE p-value")
+    p.add_argument("-n", "--keep-univariate", action="store_true",
+                   help="retain invariant sites")
+    p.add_argument("-f", "--flip-major-minor", action="store_true")
+
+
+def _cmd_import(args):
+    from .io.importer import ImportSettings, import_vcf
+    s = ImportSettings(input=args.input, output=args.output,
+                       c_level=args.c_level, block_size=args.block_size,
+                       threshold_miss=args.threshold_miss, hwe=args.hwe,
+                       remove_univariate=not args.keep_univariate,
+                       flip_major_minor=args.flip_major_minor)
+    import_vcf(s)
+    return 0
+
+
+def _add_calc(sub):
+    p = sub.add_parser("calc", help="compute pairwise LD -> .two")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("-p", "--phased", action="store_true",
+                   help="force phased math")
+    p.add_argument("-u", "--unphased", action="store_true",
+                   help="force unphased math")
+    p.add_argument("-w", "--window", type=float, default=None,
+                   help="window size in bp (enables window mode)")
+    p.add_argument("-P", "--min-p", type=float, default=1.0)
+    p.add_argument("-r", "--min-r2", type=float, default=0.1)
+    p.add_argument("-R", "--max-r2", type=float, default=100.0)
+    p.add_argument("-d", "--min-dprime", type=float, default=0.0)
+    p.add_argument("-D", "--max-dprime", type=float, default=100.0)
+    p.add_argument("-c", "--n-chunks", type=int, default=1)
+    p.add_argument("-C", "--c-chunk", type=int, default=0)
+    p.add_argument("-I", "--interval", action="append", default=[])
+    p.add_argument("-b", "--b-size", type=int, default=10000)
+    p.add_argument("-l", "--c-level", type=int, default=1)
+
+
+def _cmd_calc(args):
+    from .compute.engine import CalcSettings, compute_ld
+    s = CalcSettings(
+        input=args.input, output=args.output,
+        force_phased=args.phased, forced_unphased=args.unphased,
+        window=args.window is not None,
+        l_window=int(args.window) if args.window else 1_000_000,
+        min_p=args.min_p, min_r2=args.min_r2, max_r2=args.max_r2,
+        min_dprime=args.min_dprime, max_dprime=args.max_dprime,
+        n_chunks=args.n_chunks, c_chunk=args.c_chunk,
+        intervals=args.interval, b_size=args.b_size, c_level=args.c_level)
+    compute_ld(s)
+    return 0
+
+
+def _add_scalc(sub):
+    p = sub.add_parser("scalc", help="single-site LD against neighbours")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("-I", "--interval", required=True,
+                   help="target site, e.g. chr20:60000")
+    p.add_argument("-l", "--l-surrounding", type=float, default=500_000)
+    p.add_argument("-P", "--min-p", type=float, default=1.0)
+    p.add_argument("-r", "--min-r2", type=float, default=0.1)
+
+
+def _cmd_scalc(args):
+    from .compute.scalc import ScalcSettings, compute_single
+    s = ScalcSettings(input=args.input, output=args.output,
+                      interval=args.interval,
+                      l_surrounding=int(args.l_surrounding),
+                      min_p=args.min_p, min_r2=args.min_r2)
+    compute_single(s)
+    return 0
+
+
+def _add_view(sub):
+    p = sub.add_parser("view", help="convert/filter .two")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("-H", "--no-header", action="store_true")
+    p.add_argument("-b", "--binary", action="store_true",
+                   help="write filtered binary .two instead of text")
+    p.add_argument("-I", "--interval", action="append", default=[])
+    p.add_argument("-r", "--min-r2", type=float, default=None)
+    p.add_argument("-R", "--max-r2", type=float, default=None)
+    p.add_argument("-p", "--min-p", type=float, default=None)
+    p.add_argument("-P", "--max-p", type=float, default=None)
+    p.add_argument("-d", "--min-dprime", type=float, default=None)
+    p.add_argument("-D", "--max-dprime", type=float, default=None)
+    p.add_argument("-m", "--hap-min", type=float, default=0.0,
+                   help="minimum count in any haplotype cell")
+    p.add_argument("-f", "--flag-include", type=int, default=0)
+    p.add_argument("-F", "--flag-exclude", type=int, default=0)
+    p.add_argument("-U", "--upper-only", action="store_true")
+    p.add_argument("-L", "--lower-only", action="store_true")
+
+
+def _cmd_view(args):
+    from .post.filters import TwoFilter
+    from .post.view import view
+    filt = TwoFilter(
+        r2=(args.min_r2, args.max_r2)
+        if args.min_r2 is not None or args.max_r2 is not None else None,
+        p=(args.min_p, args.max_p)
+        if args.min_p is not None or args.max_p is not None else None,
+        dprime=(args.min_dprime, args.max_dprime)
+        if args.min_dprime is not None or args.max_dprime is not None
+        else None,
+        hap_min=args.hap_min,
+        flag_include=args.flag_include, flag_exclude=args.flag_exclude,
+        upper_only=args.upper_only, lower_only=args.lower_only)
+    out = None if args.output in ("-", "") else args.output
+    if args.binary:
+        view(args.input, output=out or "-", filt=filt,
+             intervals=args.interval, binary=True)
+    else:
+        stream = open(out, "w") if out else sys.stdout
+        view(args.input, filt=filt, intervals=args.interval,
+             show_header=not args.no_header, out_stream=stream)
+        if out:
+            stream.close()
+    return 0
+
+
+def _add_sort(sub):
+    p = sub.add_parser("sort", help="sort .two records")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-m", "--memory-limit", type=float, default=0.5,
+                   help="GB per in-memory run")
+    p.add_argument("-t", "--threads", type=int, default=0)
+
+
+def _cmd_sort(args):
+    from .post.sort import sort_two
+    sort_two(args.input, args.output, memory_limit_gb=args.memory_limit)
+    return 0
+
+
+def _add_concat(sub):
+    p = sub.add_parser("concat", help="concatenate .two files")
+    p.add_argument("-i", "--input", action="append", required=True)
+    p.add_argument("-o", "--output", required=True)
+
+
+def _cmd_concat(args):
+    from .post.concat import concat_two
+    concat_two(args.input, args.output)
+    return 0
+
+
+def _add_aggregate(sub):
+    p = sub.add_parser("aggregate", help="rasterize .two -> .twa matrix")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-f", "--aggregate-function", default="r2",
+                   choices=["r", "r2", "d", "dprime", "dp", "p",
+                            "hets", "alts", "het", "alt"])
+    p.add_argument("-r", "--reduce-function", default="mean",
+                   choices=["mean", "max", "min", "count", "n", "total",
+                            "sd"])
+    p.add_argument("-x", "--xbins", type=int, default=1000)
+    p.add_argument("-y", "--ybins", type=int, default=1000)
+    p.add_argument("-c", "--min-count", type=int, default=5)
+
+
+def _cmd_aggregate(args):
+    from .post.aggregate import aggregate_two
+    aggregate_two(args.input, args.output, agg=args.aggregate_function,
+                  reduce=args.reduce_function, xbins=args.xbins,
+                  ybins=args.ybins, min_count=args.min_count)
+    return 0
+
+
+def _add_stats(sub):
+    p = sub.add_parser("stats", help="summary statistics of a .two file")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-b", "--bins", type=int, default=10)
+
+
+def _cmd_stats(args):
+    from .post.stats import stats_two
+    stats_two(args.input, bins=args.bins)
+    return 0
+
+
+def _add_decay(sub):
+    p = sub.add_parser("decay", help="LD decay as a function of distance")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-r", "--range", type=float, default=10_000_000)
+    p.add_argument("-b", "--bins", type=int, default=1000)
+    p.add_argument("--positional", action="store_true",
+                   help="per-variant positional decay")
+
+
+def _cmd_decay(args):
+    from .post.decay import decay, positional_decay
+    if args.positional:
+        positional_decay(args.input)
+    else:
+        decay(args.input, max_range=int(args.range), n_bins=args.bins)
+    return 0
+
+
+def _add_haplotype(sub):
+    p = sub.add_parser("haplotype", help="extract haplotype strings")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("-I", "--interval", required=True)
+    p.add_argument("--format", default="fasta", choices=["fasta", "tsv"])
+
+
+def _cmd_haplotype(args):
+    from .post.haplotype import haplotype
+    haplotype(args.input, args.output, args.interval, fmt=args.format)
+    return 0
+
+
+def _add_relationship(sub):
+    p = sub.add_parser("relationship",
+                       help="pairwise sample kinship/IBS matrix")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="-")
+
+
+def _cmd_relationship(args):
+    from .post.relationship import relationship
+    relationship(args.input, args.output)
+    return 0
+
+
+COMMANDS = {
+    "import": _cmd_import,
+    "calc": _cmd_calc,
+    "scalc": _cmd_scalc,
+    "view": _cmd_view,
+    "sort": _cmd_sort,
+    "concat": _cmd_concat,
+    "aggregate": _cmd_aggregate,
+    "stats": _cmd_stats,
+    "decay": _cmd_decay,
+    "haplotype": _cmd_haplotype,
+    "relationship": _cmd_relationship,
+}
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="twk",
+        description="tomahawk_tpu: TPU-native linkage-disequilibrium "
+                    "engine")
+    sub = ap.add_subparsers(dest="command")
+    for adder in (_add_import, _add_calc, _add_scalc, _add_view, _add_sort,
+                  _add_concat, _add_aggregate, _add_stats, _add_decay,
+                  _add_haplotype, _add_relationship):
+        adder(sub)
+    return ap
+
+
+def main(argv=None):
+    ap = build_parser()
+    args = ap.parse_args(argv)
+    if not args.command:
+        ap.print_help()
+        return 1
+    return COMMANDS[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

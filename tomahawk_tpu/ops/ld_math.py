@@ -1,0 +1,367 @@
+"""Exact LD statistics from integer contingency counts (host, float64).
+
+Vectorized numpy reimplementation of the reference per-pair math:
+- phased 2x2 haplotype table -> D, D', r2, Fisher P, flags
+  (reference: lib/ld/ld_engine.cpp:1162-1259 PhasedMath)
+- unphased 3x3 genotype table -> cubic-EM f11 estimate -> same stats
+  (reference: lib/ld/ld_engine.cpp:1312-1740 UnphasedMath /
+   ChiSquaredUnphasedTable / ChooseF11Calculate)
+
+The device kernels produce exact integer counts; this module turns the
+(already compacted) survivors into TWO records, applying the reference's
+filters in the reference's order so outputs match within 1e-5.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .fisher import fisher_exact_two_sided
+from ..io.constants import (
+    ALLOWED_ROUNDING_ERROR, FLAG_COMPLETE_LD, FLAG_INVALID_HWE_A,
+    FLAG_INVALID_HWE_B, FLAG_LONG_RANGE, FLAG_LOW_AC_A, FLAG_LOW_AC_B,
+    FLAG_MISSING_A, FLAG_MISSING_B, FLAG_MULTIPLE_ROOTS, FLAG_PERFECT_LD,
+    FLAG_SAME_CONTIG, FLAG_USED_PHASED_MATH, INVALID_HWE_THRESHOLD,
+    LONG_RANGE_THRESHOLD, LOW_AC_THRESHOLD, MINIMUM_ALLOWED_ALLELES,
+)
+from ..io.two import TWO_DTYPE
+
+
+@dataclass
+class LdFilters:
+    min_p: float = 1.0
+    min_r2: float = 0.1
+    max_r2: float = 100.0
+    min_dprime: float = 0.0
+    max_dprime: float = 100.0
+
+
+@dataclass
+class PairMeta:
+    """Per-pair variant metadata (arrays of length K)."""
+    pos_a: np.ndarray
+    pos_b: np.ndarray
+    rid_a: np.ndarray
+    rid_b: np.ndarray
+    ac_a: np.ndarray
+    ac_b: np.ndarray
+    an_a: np.ndarray      # missing-allele counts
+    an_b: np.ndarray
+    hwe_a: np.ndarray
+    hwe_b: np.ndarray
+
+
+def _common_flags(meta: PairMeta, r2, cnt, used_phased) -> np.ndarray:
+    flags = np.zeros(len(r2), np.uint16)
+    flags |= np.where(used_phased, FLAG_USED_PHASED_MATH, 0).astype(np.uint16)
+    same = meta.rid_a == meta.rid_b
+    flags |= np.where(same, FLAG_SAME_CONTIG, 0).astype(np.uint16)
+    diff = np.abs(meta.pos_a.astype(np.int64) - meta.pos_b.astype(np.int64))
+    flags |= np.where(same & (diff > LONG_RANGE_THRESHOLD),
+                      FLAG_LONG_RANGE, 0).astype(np.uint16)
+    flags |= np.where((cnt < 1).any(axis=1),
+                      FLAG_COMPLETE_LD, 0).astype(np.uint16)
+    flags |= np.where(r2 > 0.99, FLAG_PERFECT_LD, 0).astype(np.uint16)
+    flags |= np.where(meta.an_a > 0, FLAG_MISSING_A, 0).astype(np.uint16)
+    flags |= np.where(meta.an_b > 0, FLAG_MISSING_B, 0).astype(np.uint16)
+    flags |= np.where(meta.ac_a < LOW_AC_THRESHOLD,
+                      FLAG_LOW_AC_A, 0).astype(np.uint16)
+    flags |= np.where(meta.ac_b < LOW_AC_THRESHOLD,
+                      FLAG_LOW_AC_B, 0).astype(np.uint16)
+    flags |= np.where(meta.hwe_a < INVALID_HWE_THRESHOLD,
+                      FLAG_INVALID_HWE_A, 0).astype(np.uint16)
+    flags |= np.where(meta.hwe_b < INVALID_HWE_THRESHOLD,
+                      FLAG_INVALID_HWE_B, 0).astype(np.uint16)
+    return flags
+
+
+def _assemble(keep, meta, flags, cnt, D, Dprime, R, R2, P, chisq_fisher):
+    idx = np.flatnonzero(keep)
+    recs = np.zeros(len(idx), TWO_DTYPE)
+    recs["controller"] = flags[idx]
+    recs["ridA"] = meta.rid_a[idx]
+    recs["ridB"] = meta.rid_b[idx]
+    recs["packA"] = meta.pos_a[idx].astype(np.uint32) << 2
+    recs["packB"] = meta.pos_b[idx].astype(np.uint32) << 2
+    recs["cnt"] = cnt[idx]
+    recs["D"] = D[idx]
+    recs["Dprime"] = Dprime[idx]
+    recs["R"] = R[idx]
+    recs["R2"] = R2[idx]
+    recs["P"] = P[idx]
+    recs["ChiSqFisher"] = chisq_fisher[idx]
+    recs["ChiSqModel"] = 0.0
+    return recs, idx
+
+
+def phased_math(counts: np.ndarray, meta: PairMeta, filt: LdFilters,
+                extra_flags: np.ndarray = None):
+    """Phased LD from 2x2 haplotype counts.
+
+    counts: [K, 4] int64 in order (REFREF, REFALT, ALTREF, ALTALT) --
+    the natural (hapA, hapB) table order. Returns (records, kept_idx).
+    """
+    c = counts.astype(np.float64)
+    refref, refalt, altref, altalt = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+    t = refref + refalt + altref + altalt
+    keep = t >= MINIMUM_ALLOWED_ALLELES
+
+    # rarer-corner guard (reference: ld_engine.cpp:1174-1186)
+    lo_rr = refref < altalt
+    guard = np.where(lo_rr, refalt + altref + refref, altalt + refalt + altref)
+    keep &= guard >= 5
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ts = np.where(t > 0, t, 1.0)
+        pA = refref / ts
+        qA = altref / ts
+        pB = refalt / ts
+        qB = altalt / ts
+        D = pA * qB - qA * pB
+        keep &= D != 0.0
+
+        g0 = (refref + refalt) / ts   # freq(ref) at A
+        g1 = (altref + altalt) / ts
+        h0 = (refref + altref) / ts   # freq(ref) at B
+        h1 = (refalt + altalt) / ts
+        denom = g0 * g1 * h0 * h1
+        R2 = np.where(denom > 0, D * D / np.where(denom > 0, denom, 1.0),
+                      np.inf)
+        keep &= (R2 >= filt.min_r2) & (R2 <= filt.max_r2)
+
+        dmax = np.where(D >= 0, np.minimum(g0 * h1, h0 * g1),
+                        -np.minimum(g0 * g1, h0 * h1))
+        Dprime = np.where(dmax != 0, D / np.where(dmax != 0, dmax, 1.0), 0.0)
+        keep &= (Dprime >= filt.min_dprime) & (Dprime <= filt.max_dprime)
+
+    # Fisher exact only for pairs still alive (it is the expensive part)
+    P = np.ones(len(t), np.float64)
+    alive = np.flatnonzero(keep)
+    if len(alive):
+        P[alive] = fisher_exact_two_sided(
+            counts[alive, 0], counts[alive, 1],
+            counts[alive, 2], counts[alive, 3])
+    keep &= P <= filt.min_p
+
+    R = np.sqrt(np.maximum(R2, 0.0))
+    chisq_fisher = t * R2
+    # output cnt order is (REFREF, ALTREF, REFALT, ALTALT)
+    # (reference: TWK_LD_SIMD_* accessor order, ld_engine.cpp:1239-1242)
+    cnt_out = np.stack([refref, altref, refalt, altalt], axis=1)
+
+    flags = _common_flags(meta, R2, cnt_out, used_phased=np.ones(len(t), bool))
+    if extra_flags is not None:
+        flags |= extra_flags
+    return _assemble(keep, meta, flags, cnt_out, D, Dprime, R, R2, P,
+                     chisq_fisher)
+
+
+def _chisq_unphased_table(T: np.ndarray, n: np.ndarray, f11, p, q):
+    """Goodness-of-fit chi-square of the 3x3 observed table against the
+    expected table implied by haplotype frequency f11
+    (reference: ld_engine.cpp:1562-1588)."""
+    f12 = p - f11
+    f21 = q - f11
+    f22 = 1.0 - (f11 + f12 + f21)
+    e = np.stack([
+        n * f11 ** 2,                       # 1111
+        2 * n * f11 * f12,                  # 1112
+        n * f12 ** 2,                       # 1122
+        2 * n * f11 * f21,                  # 1211
+        2 * n * f12 * f21 + 2 * n * f11 * f22,   # 1212
+        2 * n * f12 * f22,                  # 1222
+        n * f21 ** 2,                       # 2211
+        2 * n * f21 * f22,                  # 2212
+        n * f22 ** 2,                       # 2222
+    ], axis=-1)
+    obs = np.stack([T[:, 0, 0], T[:, 0, 1], T[:, 0, 2],
+                    T[:, 1, 0], T[:, 1, 1], T[:, 1, 2],
+                    T[:, 2, 0], T[:, 2, 1], T[:, 2, 2]], axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(e > 0, (obs - e) ** 2 / np.where(e > 0, e, 1.0), 0.0)
+    return terms.sum(axis=-1)
+
+
+def solve_unphased_f11(T: np.ndarray):
+    """Cubic-equation ML estimate of the (ref_A, ref_B) haplotype
+    frequency from a 3x3 genotype table (rows = A genotype 0/1/2 alt
+    alleles, cols = B genotype). Returns (f11, p, q, n, valid,
+    multiple_roots) with n = number of fully-called samples.
+
+    Mirrors the reference case analysis exactly, including its
+    C-operator-precedence quirk in the degenerate (yN2 == h2) case
+    (reference: ld_engine.cpp:1363-1558)."""
+    T = T.astype(np.float64)
+    n = T.sum(axis=(1, 2))
+    ns = np.where(n > 0, n, 1.0)
+    rowsum = T.sum(axis=2)   # [K,3] per A-genotype
+    colsum = T.sum(axis=1)
+    p = (2 * rowsum[:, 0] + rowsum[:, 1]) / (2 * ns)   # freq ref at A
+    q = (2 * colsum[:, 0] + colsum[:, 1]) / (2 * ns)
+    n11 = 2 * T[:, 0, 0] + T[:, 0, 1] + T[:, 1, 0]
+    ndh = T[:, 1, 1]                                   # double hets
+    minhap = n11 / (2 * ns)
+    maxhap = (n11 + ndh) / (2 * ns)
+
+    a = 4.0 * n
+    b = 2.0 * n * (1.0 - 2.0 * p - 2.0 * q) - 2.0 * n11 - ndh
+    c = -n11 * (1.0 - 2.0 * p - 2.0 * q) - ndh * (1.0 - p - q) \
+        + 2.0 * n * p * q
+    dee = -n11 * p * q
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a_s = np.where(a != 0, a, 1.0)
+        xN = -b / (3.0 * a_s)
+        d2 = (b ** 2 - 3.0 * a_s * c) / (9.0 * a_s ** 2)
+        yN = a * xN ** 3 + b * xN ** 2 + c * xN + dee
+        yN2 = yN ** 2
+        h2 = 4.0 * a ** 2 * d2 ** 3
+        diff = yN2 - h2
+
+        K = len(n)
+        roots = np.full((K, 3), np.nan)
+
+        # case 1: three real roots (diff < 0)
+        m1 = diff < 0
+        if m1.any():
+            h = np.sqrt(np.where(m1, h2, 1.0))
+            theta = np.arccos(np.clip(-yN / np.where(h != 0, h, 1.0),
+                                      -1.0, 1.0)) / 3.0
+            delta = np.sqrt(np.where(m1, np.maximum(d2, 0.0), 0.0))
+            roots[m1, 0] = (xN + 2.0 * delta * np.cos(theta))[m1]
+            roots[m1, 1] = (xN + 2.0 * delta *
+                            np.cos(2.0 * np.pi / 3.0 + theta))[m1]
+            roots[m1, 2] = (xN + 2.0 * delta *
+                            np.cos(4.0 * np.pi / 3.0 + theta))[m1]
+
+        # case 2: one real root (diff > 0)
+        m2 = diff > 0
+        if m2.any():
+            s = np.sqrt(np.where(m2, diff, 0.0))
+            u = (1.0 / (2.0 * a_s)) * (-yN + s)
+            v = (1.0 / (2.0 * a_s)) * (-yN - s)
+            number1 = np.sign(u) * np.abs(u) ** (1.0 / 3.0)
+            number2 = np.sign(v) * np.abs(v) ** (1.0 / 3.0)
+            roots[m2, 0] = (xN + number1 + number2)[m2]
+
+        # case 3: degenerate (diff == 0); reference computes
+        # pow(yN/2*a, 1/3) which is (yN*a/2)^(1/3) due to precedence and
+        # yields NaN for negative operands -> pair dropped, mirrored here.
+        m3 = diff == 0
+        if m3.any():
+            operand = yN / 2.0 * a
+            delta = np.where(operand >= 0, operand ** (1.0 / 3.0), np.nan)
+            roots[m3, 0] = (xN + delta)[m3]
+            roots[m3, 2] = (xN - 2.0 * delta)[m3]
+
+    lo = minhap - ALLOWED_ROUNDING_ERROR
+    hi = maxhap + ALLOWED_ROUNDING_ERROR
+    possible = (~np.isnan(roots)) & (roots >= lo[:, None]) & \
+        (roots <= hi[:, None])
+    n_possible = possible.sum(axis=1)
+
+    chis = np.full((K, 3), np.inf)
+    for r in range(3):
+        sel = possible[:, r]
+        if sel.any():
+            chis[sel, r] = _chisq_unphased_table(
+                T[sel], n[sel], roots[sel, r], p[sel], q[sel])
+    best = np.argmin(chis, axis=1)
+    f11 = roots[np.arange(K), best]
+    valid = n_possible > 0
+    multiple = n_possible > 1
+    return f11, p, q, n, valid, multiple
+
+
+def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
+    """Unphased LD from 3x3 genotype tables [K, 3, 3] (rows: A genotype
+    ref/het/alt; cols: B). Dispatches pairs without double-hets through
+    the phased fold (reference: ld_engine.cpp:1334-1348)."""
+    T = np.asarray(T, np.int64)
+    n = T.sum(axis=(1, 2))
+    ndh = T[:, 1, 1]
+
+    # minimum-sample gate applies before the fold
+    # (reference: ld_engine.cpp:1321-1324)
+    enough = n >= MINIMUM_ALLOWED_ALLELES
+    # fold: no phase uncertainty
+    fold = (ndh == 0) & enough
+    rec_parts = []
+    if fold.any():
+        Tf = T[fold].astype(np.int64)
+        refref = 2 * Tf[:, 0, 0] + Tf[:, 0, 1] + Tf[:, 1, 0]
+        refalt = 2 * Tf[:, 0, 2] + Tf[:, 0, 1] + Tf[:, 1, 2]
+        altref = 2 * Tf[:, 2, 0] + Tf[:, 1, 0] + Tf[:, 2, 1]
+        altalt = 2 * Tf[:, 2, 2] + Tf[:, 2, 1] + Tf[:, 1, 2]
+        counts = np.stack([refref, refalt, altref, altalt], axis=1)
+        meta_f = _meta_subset(meta, fold)
+        recs, _ = phased_math(counts, meta_f, filt)
+        rec_parts.append(recs)
+
+    em = (ndh != 0) & enough
+    if em.any():
+        Te = T[em]
+        meta_e = _meta_subset(meta, em)
+        f11, p, q, ne, valid, multiple = solve_unphased_f11(Te)
+        recs = _choose_f11_records(Te, meta_e, filt, f11, p, q, ne, valid,
+                                   multiple)
+        rec_parts.append(recs)
+
+    if not rec_parts:
+        return np.zeros(0, TWO_DTYPE)
+    return np.concatenate(rec_parts)
+
+
+def _meta_subset(meta: PairMeta, mask) -> PairMeta:
+    return PairMeta(**{k: getattr(meta, k)[mask]
+                       for k in PairMeta.__dataclass_fields__})
+
+
+def _choose_f11_records(T, meta, filt, f11, p, q, n, valid, multiple):
+    """Statistics from the chosen root
+    (reference: ld_engine.cpp:1590-1740 ChooseF11Calculate)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f12 = p - f11
+        f21 = q - f11
+        f22 = 1.0 - (f11 + f12 + f21)
+        D = f11 * f22 - f12 * f21
+        denom = p * (1 - p) * q * (1 - q)
+        R2 = np.where(denom > 0, D * D / np.where(denom > 0, denom, 1.0),
+                      np.inf)
+        keep = valid & (R2 >= filt.min_r2) & (R2 <= filt.max_r2)
+
+        two_n = 2.0 * n
+        cnt = np.stack([f11 * two_n, f12 * two_n,
+                        f21 * two_n, f22 * two_n], axis=1)
+        # rarer-corner guard on estimated haplotype counts
+        lo_rr = cnt[:, 0] < cnt[:, 3]
+        guard = np.where(lo_rr, cnt[:, 1] + cnt[:, 2] + cnt[:, 0],
+                         cnt[:, 3] + cnt[:, 1] + cnt[:, 2])
+        keep &= guard >= 5
+
+        dmax = np.where(D >= 0, np.minimum(p * (1 - q), q * (1 - p)),
+                        -np.minimum(p * q, (1 - p) * (1 - q)))
+        Dprime = np.where(dmax != 0, D / np.where(dmax != 0, dmax, 1.0), 0.0)
+        keep &= (Dprime >= filt.min_dprime) & (Dprime <= filt.max_dprime)
+
+    P = np.ones(len(n), np.float64)
+    alive = np.flatnonzero(keep)
+    if len(alive):
+        # C round() semantics: half away from zero (counts are >= 0)
+        rc = np.floor(cnt[alive] + 0.5).astype(np.int64)
+        P[alive] = fisher_exact_two_sided(rc[:, 0], rc[:, 1],
+                                          rc[:, 2], rc[:, 3])
+    keep &= P <= filt.min_p
+
+    R = np.sqrt(np.maximum(R2, 0.0))
+    chisq_fisher = cnt.sum(axis=1) * R2
+    # cnt output order (REFREF, ALTREF, REFALT, ALTALT): SIMD accessor
+    # order maps f12 (REFALT) to slot 2 and f21 (ALTREF) to slot 1
+    cnt_out = np.stack([cnt[:, 0], cnt[:, 2], cnt[:, 1], cnt[:, 3]], axis=1)
+
+    flags = _common_flags(meta, R2, cnt_out,
+                          used_phased=np.zeros(len(n), bool))
+    flags |= np.where(multiple, FLAG_MULTIPLE_ROOTS, 0).astype(np.uint16)
+    recs, _ = _assemble(keep, meta, flags, cnt_out, D, Dprime, R, R2, P,
+                        chisq_fisher)
+    return recs
