@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark: all-vs-all phased LD pair rate, single chip.
+
+Mirrors the reference's headline benchmark configuration (1000 Genomes
+phase-3 scale: 2,504 samples, phased, minR2 = 0.1; reference baseline
+89,806,242 pairs/s on 8 CPU threads, docs/tutorial.md:185-191).
+
+Synthetic genotypes with a realistic MAF spectrum are packed into the
+engine's bit-plane block format; the timed region is the real compute
+path used by `twk calc -p`: scan-batched MXU contingency kernels,
+on-device prefilter + survivor compaction, exact host math on
+survivors, and .two record emission.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PAIRS_PER_SEC = 89_806_242.0
+
+
+def build_planes(n_blocks, B, n_samples, seed=0):
+    from tomahawk_tpu.ops.bitpack import (BlockPlanes, _pack_bits,
+                                          stack_planes, words_for)
+    rng = np.random.default_rng(seed)
+    Wh = words_for(2 * n_samples)
+    Ws = words_for(n_samples)
+    # beta-distributed MAF spectrum, folded to (0, 0.5]
+    planes = []
+    zero_s = np.zeros((B, Ws * 32), bool)
+    one_s = np.ones((B, n_samples), bool)
+    one_s = np.pad(one_s, ((0, 0), (0, Ws * 32 - n_samples)))
+    pos0 = 0
+    for b in range(n_blocks):
+        maf = np.minimum(rng.beta(0.5, 2.0, size=B) * 0.5 + 1e-3, 0.5)
+        alt = rng.random((B, 2 * n_samples)) < maf[:, None]
+        pos = pos0 + np.cumsum(rng.integers(50, 500, B)).astype(np.int32)
+        pos0 = int(pos[-1])
+        planes.append(BlockPlanes(
+            n_rec=B,
+            alt_bits=_pack_bits(alt, Wh),
+            miss_bits=_pack_bits(np.zeros_like(alt), Wh),
+            het_bits=_pack_bits(zero_s[:, :n_samples], Ws),
+            hom_bits=_pack_bits(zero_s[:, :n_samples], Ws),
+            valid_bits=_pack_bits(one_s[:, :n_samples], Ws),
+            pos=pos, rid=np.zeros(B, np.int32),
+            ac=alt.sum(axis=1).astype(np.int32),
+            an=np.zeros(B, np.int32),
+            n_het=np.zeros(B, np.int32),
+            n_hom=np.zeros(B, np.int32),
+            hwe=np.ones(B, np.float32),
+            has_missing=np.zeros(B, bool),
+            valid=np.ones(B, bool)))
+    return stack_planes(planes)
+
+
+def main():
+    n_samples = int(os.environ.get("BENCH_SAMPLES", 2504))
+    B = int(os.environ.get("BENCH_BLOCK", 512))
+    n_blocks = int(os.environ.get("BENCH_NBLOCKS", 32))
+
+    from tomahawk_tpu.compute.engine import CalcSettings, LdEngine
+    from tomahawk_tpu.io.header import VcfContig, VcfHeader
+    from tomahawk_tpu.io.two import TwoWriter
+    from tomahawk_tpu.ops.ld_math import LdFilters
+    from tomahawk_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+
+    t0 = time.perf_counter()
+    stacked = build_planes(n_blocks, B, n_samples)
+    print(f"# data built in {time.perf_counter() - t0:.1f}s "
+          f"({n_blocks}x{B} variants, {n_samples} samples, "
+          f"device={jax.devices()[0].platform})", file=sys.stderr)
+
+    settings = CalcSettings(min_r2=0.1, batch_pairs=44, cap_fraction=0.02)
+    engine = LdEngine(stacked, n_samples, settings)
+    filt = LdFilters(min_r2=0.1)
+
+    pairs = [(i, j, i == j) for i in range(n_blocks)
+             for j in range(i, n_blocks)]
+    V = n_blocks * B
+    n_pairs_total = V * (V - 1) // 2
+
+    hdr = VcfHeader(samples=[f"S{i}" for i in range(n_samples)],
+                    contigs=[VcfContig(idx=0, name="bench")])
+    tmpdir = tempfile.mkdtemp()
+
+    def run(tag):
+        out = os.path.join(tmpdir, f"bench_{tag}.two")
+        writer = TwoWriter(out, hdr)
+        n_rec = [0]
+
+        def emit(recs):
+            if len(recs):
+                writer.add(recs)
+                n_rec[0] += len(recs)
+
+        t = time.perf_counter()
+        engine.run_phased_pairs(pairs, False, filt, emit)
+        writer.close()
+        dt = time.perf_counter() - t
+        return dt, n_rec[0]
+
+    # warmup / compile
+    wdt, _ = run("warmup")
+    print(f"# warmup (incl. compile): {wdt:.1f}s", file=sys.stderr)
+    # timed
+    best = None
+    for rep in range(2):
+        dt, n_rec = run(f"rep{rep}")
+        rate = n_pairs_total / dt
+        print(f"# rep{rep}: {dt:.3f}s, {rate:,.0f} pairs/s, "
+              f"{n_rec} records", file=sys.stderr)
+        best = rate if best is None else max(best, rate)
+
+    print(json.dumps({
+        "metric": "ld_pairs_per_sec_all_vs_all_phased_2504_samples",
+        "value": round(best, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+import io
+
+import numpy as np
+import pytest
+
+from tomahawk_tpu.compute.engine import CalcSettings, compute_ld
+from tomahawk_tpu.compute.scalc import ScalcSettings, compute_single
+from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+from tomahawk_tpu.io.twk import TwkReader
+from tomahawk_tpu.io.two import TwoReader
+from tomahawk_tpu.post.aggregate import Twa, aggregate_two
+from tomahawk_tpu.post.concat import concat_two
+from tomahawk_tpu.post.decay import decay, positional_decay
+from tomahawk_tpu.post.haplotype import haplotype
+from tomahawk_tpu.post.relationship import relationship
+from tomahawk_tpu.post.sort import sort_two
+from tomahawk_tpu.post.stats import stats_two
+
+from test_importer import make_vcf
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    """Shared import+calc products for the post-processing tests."""
+    d = tmp_path_factory.mktemp("post")
+    vcf = str(d / "p.vcf")
+    make_vcf(vcf, n_samples=40, n_sites=40, miss_frac=0.0, seed=11)
+    twk = str(d / "p.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=8))
+    two = str(d / "p.two")
+    compute_ld(CalcSettings(input=twk, output=two, force_phased=True,
+                            min_r2=0.02, batch_pairs=4))
+    return d, twk, two
+
+
+def test_sort(pipeline):
+    d, twk, two = pipeline
+    out = str(d / "sorted.two")
+    n = sort_two(two, out, memory_limit_gb=0.0001)  # force multiple runs
+    with TwoReader(two) as r:
+        orig = r.records()
+    with TwoReader(out) as r:
+        got = r.records()
+        assert r.index.state == 2  # TWK_IDX_SORTED
+    assert n == len(orig) == len(got)
+    key = np.lexsort((orig["packB"] >> 2, orig["packA"] >> 2,
+                      orig["ridB"], orig["ridA"]))
+    np.testing.assert_array_equal(got, orig[key])
+    # sorted invariant on the full key (ridA, ridB, Apos)
+    pos = (got["packA"] >> 2).astype(np.int64)
+    same = (got["ridA"][:-1] == got["ridA"][1:]) & \
+           (got["ridB"][:-1] == got["ridB"][1:])
+    assert np.all(pos[:-1][same] <= pos[1:][same])
+
+
+def test_concat(pipeline, tmp_path):
+    d, twk, two = pipeline
+    out = str(tmp_path / "cat.two")
+    n = concat_two([two, two], out)
+    with TwoReader(two) as r:
+        orig = r.records()
+    with TwoReader(out) as r:
+        got = r.records()
+    assert n == 2 * len(orig)
+    np.testing.assert_array_equal(got[:len(orig)], orig)
+    np.testing.assert_array_equal(got[len(orig):], orig)
+
+
+def test_stats(pipeline):
+    d, twk, two = pipeline
+    buf = io.StringIO()
+    res = stats_two(two, out=buf)
+    with TwoReader(two) as r:
+        recs = r.records()
+    assert res["r2_cnt"].sum() == len(recs)
+    assert res["cmatrix"].sum() == len(recs)
+    # flag tally for SAME_CONTIG (bit 1)
+    assert res["flags"][1] == int(
+        ((recs["controller"] & 2) != 0).sum())
+
+
+def test_decay(pipeline):
+    d, twk, two = pipeline
+    buf = io.StringIO()
+    sums, cnts = decay(two, max_range=20000, n_bins=10, out=buf)
+    with TwoReader(two) as r:
+        recs = r.records()
+    pos_a = (recs["packA"] >> 2).astype(np.int64)
+    pos_b = (recs["packB"] >> 2).astype(np.int64)
+    m = (recs["ridA"] == recs["ridB"]) & (pos_a < pos_b)
+    assert cnts.sum() == int(m.sum())
+    assert abs(sums.sum() - recs["R2"][m].sum()) < 1e-9
+    lines = buf.getvalue().splitlines()
+    assert lines[0] == "From\tTo\tMean\tFrequency"
+    assert len(lines) == 11
+
+
+def test_positional_decay(pipeline):
+    d, twk, two = pipeline
+    buf = io.StringIO()
+    groups = positional_decay(two, out=buf)
+    assert len(groups) >= 1
+    assert len(buf.getvalue().splitlines()) == len(groups)
+
+
+def test_aggregate_roundtrip(pipeline, tmp_path):
+    d, twk, two = pipeline
+    out = str(tmp_path / "agg.twa")
+    twa = aggregate_two(two, out, agg="r2", reduce="count", xbins=32,
+                        ybins=32, min_count=1)
+    with TwoReader(two) as r:
+        recs = r.records()
+    assert twa.n_original == len(recs)
+    assert twa.data.sum() == len(recs)   # count reduction, min_count=1
+    # file round trip
+    back = Twa.open(out)
+    assert back.x == 32 and back.y == 32
+    np.testing.assert_allclose(back.data, twa.data)
+    assert back.n_original == len(recs)
+
+    # mean reduction sanity: weighted mean of r2 preserved
+    twa_mean = aggregate_two(two, "", agg="r2", reduce="mean", xbins=32,
+                             ybins=32, min_count=1)
+    tot = (twa_mean.data * twa.data).sum()
+    assert abs(tot - recs["R2"].sum()) < 1e-6
+
+
+def test_haplotype(pipeline, tmp_path):
+    d, twk, two = pipeline
+    with TwkReader(twk) as r:
+        recs = list(r.records())
+        n_samples = r.header.n_samples
+    lo, hi = recs[0].pos + 1, recs[10].pos + 1
+    buf = io.StringIO()
+    n_var = haplotype(twk, "-", f"20:{lo}-{hi}", fmt="fasta",
+                      out_stream=buf)
+    assert n_var == 11
+    lines = buf.getvalue().splitlines()
+    assert len(lines) == 2 * 2 * n_samples
+    assert lines[0].startswith(">S0_1")
+    assert len(lines[1]) == n_var
+    # verify first variant's alleles across haplotypes
+    codes = recs[0].decode_codes()
+    ca = codes >> 2
+    assert lines[1][0] == str(ca[0])
+
+
+def test_relationship(pipeline):
+    d, twk, two = pipeline
+    buf = io.StringIO()
+    kin = relationship(twk, out_stream=buf)
+    with TwkReader(twk) as r:
+        recs = list(r.records())
+        n_samples = r.header.n_samples
+    assert kin.shape == (n_samples, n_samples)
+    np.testing.assert_allclose(np.diag(kin), 1.0)
+    np.testing.assert_allclose(kin, kin.T)
+    # brute-force oracle for a few pairs
+    gmat = np.zeros((len(recs), n_samples), np.int8)
+    for v, rec in enumerate(recs):
+        codes = rec.decode_codes()
+        ca, cb = codes >> 2, codes & 3
+        full = (ca != 2) & (cb != 2)
+        gmat[v] = np.where(full & (ca == 0) & (cb == 0), 1,
+                           np.where(full & (ca == 1) & (cb == 1), -1, 0))
+    V = len(recs)
+    for i, j in [(0, 1), (3, 17), (5, 5)]:
+        score = V + int((gmat[:, i].astype(int) *
+                         gmat[:, j].astype(int)).sum())
+        want = 1.0 if i == j else score / (2 * V)
+        assert abs(kin[i, j] - want) < 1e-12
+
+
+def test_scalc(pipeline, tmp_path):
+    d, twk, two = pipeline
+    with TwkReader(twk) as r:
+        recs = list(r.records())
+    target = recs[12]
+    out = str(tmp_path / "s.two")
+    res = compute_single(ScalcSettings(
+        input=twk, output=out, interval=f"20:{target.pos + 1}",
+        l_surrounding=5000, min_r2=0.02))
+    with TwoReader(out) as r:
+        got = r.records()
+    assert len(got) == res.n_records
+    # all fwd records anchored at the target
+    fwd = got[(got["packA"] >> 2) == target.pos]
+    rev = got[(got["packB"] >> 2) == target.pos]
+    assert len(fwd) + len(rev) >= len(got)
+    # cross-check against full calc restricted to the target
+    with TwoReader(two) as r:
+        full = r.records()
+    fa = full[((full["packA"] >> 2) == target.pos) &
+              (full["ridA"] == target.rid) & (full["ridB"] == target.rid) &
+              (np.abs((full["packB"] >> 2).astype(int) - target.pos)
+               <= 5000)]
+    fa = fa[fa["R2"] >= 0.02]
+    keys_full = sorted(int(p) >> 2 for p in fa["packB"])
+    keys_scalc = sorted(int(p) >> 2 for p in fwd["packB"])
+    assert keys_full == keys_scalc

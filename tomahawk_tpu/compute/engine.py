@@ -267,6 +267,32 @@ class LdEngine:
         return n_pairs_total
 
 
+def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
+                   emit, stacked) -> int:
+    """Route block pairs to the phased fast path or the general path by
+    run mode and per-block missingness. 'mixed' follows the reference's
+    default per-pair dispatch (reference: ld_engine.cpp:2737-2880
+    Calculate(): pairs with missing alleles use unphased math)."""
+    blk_missing = stacked["has_missing"].any(axis=1)
+    nomiss = [p for p in pairs
+              if not (blk_missing[p[0]] or blk_missing[p[1]])]
+    withmiss = [p for p in pairs
+                if blk_missing[p[0]] or blk_missing[p[1]]]
+    n = 0
+    if mode == "phased":
+        n += engine.run_phased_pairs(nomiss, False, filt, emit)
+        n += engine.run_phased_pairs(withmiss, True, filt, emit)
+    elif mode == "unphased":
+        n += engine.run_general_pairs(nomiss, False, filt, emit, "unphased")
+        n += engine.run_general_pairs(withmiss, True, filt, emit,
+                                      "unphased")
+    else:
+        # blocks without any missing variant: pure phased fast path
+        n += engine.run_phased_pairs(nomiss, False, filt, emit)
+        n += engine.run_general_pairs(withmiss, True, filt, emit, "mixed")
+    return n
+
+
 def compute_ld(settings: CalcSettings) -> CalcResult:
     timer = Timer()
     log("LOG", f"Opening {settings.input}...", sub="READER")
@@ -341,35 +367,10 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         writer.add(_reverse_records(recs))
         result.n_records += 2 * len(recs)
 
-    blk_missing = stacked["has_missing"].any(axis=1)
-
-    if settings.force_phased:
-        nomiss = [p for p in pairs
-                  if not (blk_missing[p[0]] or blk_missing[p[1]])]
-        withmiss = [p for p in pairs
-                    if blk_missing[p[0]] or blk_missing[p[1]]]
-        result.n_pairs += engine.run_phased_pairs(nomiss, False, filt, emit)
-        result.n_pairs += engine.run_phased_pairs(withmiss, True, filt, emit)
-    elif settings.forced_unphased:
-        nomiss = [p for p in pairs
-                  if not (blk_missing[p[0]] or blk_missing[p[1]])]
-        withmiss = [p for p in pairs
-                    if blk_missing[p[0]] or blk_missing[p[1]]]
-        result.n_pairs += engine.run_general_pairs(nomiss, False, filt,
-                                                   emit, "unphased")
-        result.n_pairs += engine.run_general_pairs(withmiss, True, filt,
-                                                   emit, "unphased")
-    else:
-        # mixed default: per-pair dispatch on missingness
-        # (reference: ld_engine.cpp:2737-2880 Calculate())
-        nomiss = [p for p in pairs
-                  if not (blk_missing[p[0]] or blk_missing[p[1]])]
-        withmiss = [p for p in pairs
-                    if blk_missing[p[0]] or blk_missing[p[1]]]
-        # blocks without any missing variant: pure phased fast path
-        result.n_pairs += engine.run_phased_pairs(nomiss, False, filt, emit)
-        result.n_pairs += engine.run_general_pairs(withmiss, True, filt,
-                                                   emit, "mixed")
+    mode = ("phased" if settings.force_phased else
+            "unphased" if settings.forced_unphased else "mixed")
+    result.n_pairs += dispatch_pairs(engine, pairs, mode, filt, emit,
+                                     stacked)
 
     writer.close()
     result.elapsed = timer.elapsed()

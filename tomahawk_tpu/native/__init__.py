@@ -1,0 +1,147 @@
+"""ctypes loader for the native C++ runtime kernels.
+
+Builds libtwk_native.so on first use (g++ -O3) and caches it next to
+the source. Every consumer has a pure-numpy fallback, so a missing
+compiler only costs speed, never correctness.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "twk_native.cpp")
+_SO = os.path.join(_HERE, "libtwk_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.twk_parse_gt_line.restype = ctypes.c_int64
+        lib.twk_parse_gt_line.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+        lib.twk_rle_decode.restype = ctypes.c_int64
+        lib.twk_rle_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+        lib.twk_rle_encode.restype = ctypes.c_int64
+        lib.twk_rle_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+        lib.twk_codes_to_planes.restype = None
+        lib.twk_codes_to_planes.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_int64] + \
+            [ctypes.c_void_p] * 5
+        lib.twk_code_stats.restype = None
+        lib.twk_code_stats.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def parse_gt_line(line: bytes, n_samples: int, gt_col: int = 9):
+    """Returns (codes, phase) or None on parse failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.empty(n_samples, np.uint8)
+    phase = np.empty(n_samples, np.uint8)
+    r = lib.twk_parse_gt_line(
+        line, len(line), gt_col, n_samples,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        phase.ctypes.data_as(ctypes.c_void_p))
+    if r != n_samples:
+        return None
+    return codes, phase
+
+
+def rle_decode(words: np.ndarray, miss: bool, n_samples: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(n_samples, np.uint8)
+    w = np.ascontiguousarray(words)
+    n = lib.twk_rle_decode(
+        w.ctypes.data_as(ctypes.c_void_p), len(w), w.dtype.itemsize,
+        int(miss), out.ctypes.data_as(ctypes.c_void_p), n_samples)
+    if n != n_samples:
+        return None
+    return out
+
+
+def rle_encode(codes: np.ndarray, width: int, miss: bool):
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    cap = 2 * len(codes) + 16
+    dt = {1: np.uint8, 2: np.uint16, 4: np.uint32}[width]
+    out = np.empty(cap, dt)
+    n = lib.twk_rle_encode(
+        codes.ctypes.data_as(ctypes.c_void_p), len(codes), width,
+        int(miss), out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].copy()
+
+
+def codes_to_planes(codes: np.ndarray, alt, mis, het, hom, val):
+    """Pack codes into caller-provided zeroed uint32 plane rows."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lib.twk_codes_to_planes(
+        codes.ctypes.data_as(ctypes.c_void_p), len(codes),
+        alt.ctypes.data_as(ctypes.c_void_p),
+        mis.ctypes.data_as(ctypes.c_void_p),
+        het.ctypes.data_as(ctypes.c_void_p),
+        hom.ctypes.data_as(ctypes.c_void_p),
+        val.ctypes.data_as(ctypes.c_void_p))
+    return True
+
+
+def code_stats(codes: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    out = np.zeros(8, np.int64)
+    lib.twk_code_stats(codes.ctypes.data_as(ctypes.c_void_p),
+                       len(codes), out.ctypes.data_as(ctypes.c_void_p))
+    return out

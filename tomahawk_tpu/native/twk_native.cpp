@@ -1,0 +1,198 @@
+// Native host-side runtime kernels for tomahawk_tpu.
+//
+// The TPU does the O(V^2) pair math; these C++ kernels cover the O(V*N)
+// host paths that the reference implements natively (reference:
+// lib/vcf_reader.h htslib parsing, lib/genotype_encoder.h RLE codec,
+// lib/ld/ld_structs.cpp bit-plane inflation): VCF genotype-column
+// parsing, RLE encode/decode, and direct codes -> bit-plane packing.
+//
+// Exposed as a plain C ABI consumed through ctypes.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Parse the genotype columns of one VCF body line.
+//
+// `line`/`len`: the full tab-separated line (no trailing newline
+// required). `gt_col`: index of the first sample column (9 for
+// standard VCF). Writes one code byte per sample: (cA << 2) | cB with
+// 0 = ref, 1 = alt (any non-ref allele), 2 = missing; and one phase
+// byte (1 if '|'). Returns:
+//   >= 0 : number of samples parsed
+//   -1   : wrong sample count / truncated line
+//   -2   : non-diploid or unparsable GT encountered
+int64_t twk_parse_gt_line(const char* line, int64_t len, int32_t gt_col,
+                          int32_t n_samples, uint8_t* codes,
+                          uint8_t* phase) {
+    int64_t pos = 0;
+    int32_t col = 0;
+    // skip to the first sample column
+    while (col < gt_col && pos < len) {
+        if (line[pos] == '\t') ++col;
+        ++pos;
+    }
+    if (col != gt_col) return -1;
+
+    for (int32_t s = 0; s < n_samples; ++s) {
+        if (pos >= len) return -1;
+        // allele A
+        uint8_t ca;
+        char c = line[pos];
+        if (c == '.') { ca = 2; ++pos; }
+        else if (c >= '0' && c <= '9') {
+            int v = 0;
+            while (pos < len && line[pos] >= '0' && line[pos] <= '9') {
+                v = v * 10 + (line[pos] - '0');
+                ++pos;
+            }
+            ca = v >= 1 ? 1 : 0;
+        } else return -2;
+        if (pos >= len) return -2;   // haploid at end
+        char sep = line[pos];
+        if (sep != '|' && sep != '/') return -2;  // haploid or malformed
+        ++pos;
+        uint8_t cb;
+        c = pos < len ? line[pos] : '\0';
+        if (c == '.') { cb = 2; ++pos; }
+        else if (c >= '0' && c <= '9') {
+            int v = 0;
+            while (pos < len && line[pos] >= '0' && line[pos] <= '9') {
+                v = v * 10 + (line[pos] - '0');
+                ++pos;
+            }
+            cb = v >= 1 ? 1 : 0;
+        } else return -2;
+        // triploid+ check: another separator directly after allele B
+        if (pos < len && (line[pos] == '|' || line[pos] == '/')) return -2;
+        codes[s] = (uint8_t)((ca << 2) | cb);
+        phase[s] = (uint8_t)(sep == '|');
+        // skip any per-sample subfields up to next tab
+        while (pos < len && line[pos] != '\t') ++pos;
+        if (pos < len) ++pos;  // consume tab
+    }
+    return n_samples;
+}
+
+// RLE-decode genotype words into per-sample code bytes.
+// width: word size in bytes (1/2/4); miss: 1 if 4-bit symbol space.
+// Returns number of samples written, or -1 on overflow of out_cap.
+int64_t twk_rle_decode(const void* words, int64_t n_words, int32_t width,
+                       int32_t miss, uint8_t* out, int64_t out_cap) {
+    const int shift = 2 + 2 * miss;
+    const uint32_t sym_mask = (1u << shift) - 1u;
+    int64_t n = 0;
+    for (int64_t i = 0; i < n_words; ++i) {
+        uint32_t w;
+        switch (width) {
+            case 1: w = ((const uint8_t*)words)[i]; break;
+            case 2: w = ((const uint16_t*)words)[i]; break;
+            default: w = ((const uint32_t*)words)[i]; break;
+        }
+        uint32_t run = w >> shift;
+        uint8_t sym = (uint8_t)(w & sym_mask);
+        if (!miss) sym = (uint8_t)(((sym & 2u) << 1) | (sym & 1u));
+        if (n + (int64_t)run > out_cap) return -1;
+        memset(out + n, sym, run);
+        n += run;
+    }
+    return n;
+}
+
+// RLE-encode per-sample codes ((cA<<2)|cB). Chooses symbols in the
+// 2-bit space when miss == 0. Returns the number of words written,
+// or -1 on overflow. Words are written in the requested width.
+int64_t twk_rle_encode(const uint8_t* codes, int64_t n, int32_t width,
+                       int32_t miss, void* words_out, int64_t cap) {
+    const int shift = 2 + 2 * miss;
+    const uint64_t limit = (1ull << (8 * width - shift)) - 1ull;
+    int64_t n_words = 0;
+
+    auto emit = [&](uint32_t sym, uint64_t run) -> bool {
+        while (run > 0) {
+            uint64_t take = run > limit ? limit : run;
+            if (n_words >= cap) return false;
+            uint64_t w = (take << shift) | sym;
+            switch (width) {
+                case 1: ((uint8_t*)words_out)[n_words] = (uint8_t)w; break;
+                case 2: ((uint16_t*)words_out)[n_words] = (uint16_t)w;
+                        break;
+                default: ((uint32_t*)words_out)[n_words] = (uint32_t)w;
+                        break;
+            }
+            ++n_words;
+            run -= take;
+        }
+        return true;
+    };
+
+    if (n == 0) return 0;
+    auto sym_of = [&](uint8_t code) -> uint32_t {
+        if (miss) return code;
+        return ((code >> 2) << 1) | (code & 1u);
+    };
+    uint32_t cur = sym_of(codes[0]);
+    uint64_t run = 1;
+    for (int64_t i = 1; i < n; ++i) {
+        uint32_t s = sym_of(codes[i]);
+        if (s == cur) { ++run; continue; }
+        if (!emit(cur, run)) return -1;
+        cur = s;
+        run = 1;
+    }
+    if (!emit(cur, run)) return -1;
+    return n_words;
+}
+
+// Pack one variant's codes directly into the five bit planes used by
+// the TPU kernels. Planes are uint32 words, little-endian bit order.
+// alt/miss are haplotype-level (2N bits, interleaved A,B); het/hom/
+// valid are sample-level (N bits). Word buffers must be zeroed by the
+// caller (padding stays zero).
+void twk_codes_to_planes(const uint8_t* codes, int64_t n_samples,
+                         uint32_t* alt_bits, uint32_t* miss_bits,
+                         uint32_t* het_bits, uint32_t* hom_bits,
+                         uint32_t* valid_bits) {
+    for (int64_t s = 0; s < n_samples; ++s) {
+        const uint8_t code = codes[s];
+        const uint8_t ca = code >> 2, cb = code & 3u;
+        const int64_t ha = 2 * s, hb = 2 * s + 1;
+        if (ca == 1) alt_bits[ha >> 5] |= 1u << (ha & 31);
+        else if (ca == 2) miss_bits[ha >> 5] |= 1u << (ha & 31);
+        if (cb == 1) alt_bits[hb >> 5] |= 1u << (hb & 31);
+        else if (cb == 2) miss_bits[hb >> 5] |= 1u << (hb & 31);
+        if (ca != 2 && cb != 2) {
+            valid_bits[s >> 5] |= 1u << (s & 31);
+            const int sum = ca + cb;
+            if (sum == 1) het_bits[s >> 5] |= 1u << (s & 31);
+            else if (sum == 2) hom_bits[s >> 5] |= 1u << (s & 31);
+        }
+    }
+}
+
+// Summary statistics of one variant's codes in a single pass.
+// out layout: [n_refref, n_refalt, n_altref, n_altalt, n_missing_alleles,
+//              n_alt_alleles, n_ref_alleles, n_full]
+void twk_code_stats(const uint8_t* codes, int64_t n_samples,
+                    int64_t* out) {
+    int64_t rr = 0, ra = 0, ar = 0, aa = 0, miss = 0, alt = 0, ref = 0,
+            full = 0;
+    for (int64_t s = 0; s < n_samples; ++s) {
+        const uint8_t ca = codes[s] >> 2, cb = codes[s] & 3u;
+        miss += (ca == 2) + (cb == 2);
+        alt += (ca == 1) + (cb == 1);
+        ref += (ca == 0) + (cb == 0);
+        if (ca != 2 && cb != 2) {
+            ++full;
+            rr += (ca == 0) & (cb == 0);
+            ra += (ca == 0) & (cb == 1);
+            ar += (ca == 1) & (cb == 0);
+            aa += (ca == 1) & (cb == 1);
+        }
+    }
+    out[0] = rr; out[1] = ra; out[2] = ar; out[3] = aa;
+    out[4] = miss; out[5] = alt; out[6] = ref; out[7] = full;
+}
+
+}  // extern "C"

@@ -1,0 +1,209 @@
+"""Datashader-style rasterization of .two records into an x-by-y matrix
+of summary statistics, written as a .twa archive.
+
+Mirrors the reference two-pass design (reference: lib/aggregate.h,
+lib/aggregation.h, lib/two_reader.cpp:544-850): pass 1 finds the used
+coordinate ranges per contig; the genome is flattened with per-contig
+cumulative offsets (tight range for a single contig, whole contigs
+otherwise); pass 2 scatter-adds records into bins of running statistics
+(count, total, total^2, min, max) fully vectorized, after which the
+chosen reduction (mean/max/min/count/total/sd) with a minimum-count
+cutoff produces the output matrix. Output format is byte-compatible
+with the reference .twa (reference: lib/core.cpp:646-785).
+"""
+
+import struct
+import sys
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+import zstandard
+
+from ..io.buffer import BufferWriter, BufferReader
+from ..io.constants import TWOAGG_MAGIC, TWOAGG_EOF
+from ..io.two import TwoReader
+from ..utils import log, pretty_int
+
+AGG_FIELDS = {
+    "r": lambda recs: recs["R"],
+    "r2": lambda recs: recs["R2"],
+    "d": lambda recs: recs["D"],
+    "dprime": lambda recs: recs["Dprime"],
+    "dp": lambda recs: recs["Dprime"],
+    "p": lambda recs: recs["P"],
+    "hets": lambda recs: (recs["cnt"][:, 1] + recs["cnt"][:, 2])
+    / np.maximum(recs["cnt"].sum(axis=1), 1e-300),
+    "het": lambda recs: (recs["cnt"][:, 1] + recs["cnt"][:, 2])
+    / np.maximum(recs["cnt"].sum(axis=1), 1e-300),
+    "alts": lambda recs: recs["cnt"][:, 3]
+    / np.maximum(recs["cnt"].sum(axis=1), 1e-300),
+    "alt": lambda recs: recs["cnt"][:, 3]
+    / np.maximum(recs["cnt"].sum(axis=1), 1e-300),
+}
+
+REDUCERS = ("mean", "max", "min", "count", "n", "total", "sd")
+
+
+@dataclass
+class Twa:
+    """In-memory .twa aggregate matrix."""
+    x: int
+    y: int
+    bpx: int = 0
+    bpy: int = 0
+    n_original: int = 0
+    range: int = 0
+    filename: str = ""
+    rid_offsets: List[tuple] = field(default_factory=list)  # (min,max,range)
+    data: np.ndarray = None   # [x, y] float64
+
+    @property
+    def n(self) -> int:
+        return self.x * self.y
+
+    def write(self, path: str):
+        with open(path, "wb") as fh:
+            fh.write(TWOAGG_MAGIC)
+            w = BufferWriter()
+            w.u32(self.n).u32(self.x).u32(self.y)
+            w.u32(self.bpx).u32(self.bpy).u32(self.n_original)
+            w.u64(self.range)
+            w.string(self.filename)
+            w.u32(len(self.rid_offsets))
+            for mn, mx, rng in self.rid_offsets:
+                w.u32(mn).u32(mx).u64(rng)
+            fh.write(w.getvalue())
+            comp = zstandard.ZstdCompressor(level=6).compress(
+                np.ascontiguousarray(self.data, np.float64).tobytes())
+            fh.write(struct.pack("<I", len(comp)))
+            fh.write(comp)
+            fh.write(TWOAGG_EOF)
+
+    @classmethod
+    def open(cls, path: str) -> "Twa":
+        raw = open(path, "rb").read()
+        if not raw.startswith(TWOAGG_MAGIC):
+            raise ValueError(f"{path}: not a .twa file")
+        if not raw.endswith(TWOAGG_EOF):
+            raise ValueError(f"{path}: truncated .twa (bad EOF)")
+        r = BufferReader(raw, len(TWOAGG_MAGIC))
+        n = r.u32()
+        obj = cls(x=r.u32(), y=r.u32(), bpx=r.u32(), bpy=r.u32(),
+                  n_original=r.u32(), range=r.u64(), filename=r.string())
+        n_rid = r.u32()
+        obj.rid_offsets = [(r.u32(), r.u32(), r.u64())
+                           for _ in range(n_rid)]
+        nc = r.u32()
+        data = zstandard.ZstdDecompressor().decompress(
+            r.raw(nc), max_output_size=n * 8)
+        obj.data = np.frombuffer(data, np.float64).reshape(obj.x, obj.y)
+        assert obj.n == n
+        return obj
+
+
+def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
+                  reduce: str = "mean", xbins: int = 1000,
+                  ybins: int = 1000, min_count: int = 5) -> Twa:
+    if agg not in AGG_FIELDS:
+        raise ValueError(f"unknown aggregation function: {agg}")
+    if reduce not in REDUCERS:
+        raise ValueError(f"unknown reduction function: {reduce}")
+    value_of = AGG_FIELDS[agg]
+
+    reader = TwoReader(input_path)
+    n_contigs = max(reader.header.n_contigs, 1)
+
+    # ---- pass 1: used ranges per contig --------------------------------
+    mn = np.full(n_contigs, np.iinfo(np.uint32).max, np.int64)
+    mx = np.zeros(n_contigs, np.int64)
+    n_original = 0
+    for recs in reader.blocks():
+        n_original += len(recs)
+        for rid_f, pos_f in (("ridA", "packA"), ("ridB", "packB")):
+            rid = recs[rid_f].astype(np.int64)
+            pos = (recs[pos_f] >> 2).astype(np.int64)
+            np.minimum.at(mn, rid, pos)
+            np.maximum.at(mx, rid, pos)
+    used = mx > 0
+
+    # ---- flattened genome coordinates ---------------------------------
+    # single used contig: tight [min, max]; else whole contigs from 0
+    # (reference: two_reader.cpp:734-789)
+    offsets = np.zeros(n_contigs + 1, np.int64)
+    starts = np.zeros(n_contigs, np.int64)
+    if used.sum() == 1:
+        c = int(np.flatnonzero(used)[0])
+        starts[c] = mn[c]
+        offsets[c + 1:] = mx[c] - mn[c] + 1
+    else:
+        acc = 0
+        for c in range(n_contigs):
+            length = int(mx[c]) + 1 if used[c] else 0
+            offsets[c + 1] = acc + length
+            acc += length
+    total_range = int(offsets[-1])
+    if total_range == 0:
+        raise ValueError("no records to aggregate")
+
+    rid_offsets = []
+    for c in range(n_contigs):
+        rid_offsets.append((int(mn[c]) if used[c] else 0,
+                            int(mx[c]) if used[c] else 0,
+                            int(offsets[c + 1])))
+
+    # ---- pass 2: scatter-add into bins ---------------------------------
+    cnt = np.zeros((xbins, ybins))
+    tot = np.zeros((xbins, ybins))
+    tot2 = np.zeros((xbins, ybins))
+    vmin = np.full((xbins, ybins), np.inf)
+    vmax = np.full((xbins, ybins), -np.inf)
+
+    reader2 = TwoReader(input_path)
+    for recs in reader2.blocks():
+        rid_a = recs["ridA"].astype(np.int64)
+        rid_b = recs["ridB"].astype(np.int64)
+        pos_a = (recs["packA"] >> 2).astype(np.int64)
+        pos_b = (recs["packB"] >> 2).astype(np.int64)
+        fa = offsets[rid_a] + (pos_a - starts[rid_a])
+        fb = offsets[rid_b] + (pos_b - starts[rid_b])
+        xb = np.clip(fa * xbins // total_range, 0, xbins - 1)
+        yb = np.clip(fb * ybins // total_range, 0, ybins - 1)
+        v = value_of(recs).astype(np.float64)
+        np.add.at(cnt, (xb, yb), 1.0)
+        np.add.at(tot, (xb, yb), v)
+        np.add.at(tot2, (xb, yb), v * v)
+        np.minimum.at(vmin, (xb, yb), v)
+        np.maximum.at(vmax, (xb, yb), v)
+    reader2.close()
+
+    ok = cnt >= max(min_count, 1)
+    safe_cnt = np.where(cnt > 0, cnt, 1.0)
+    if reduce == "mean":
+        data = np.where(ok, tot / safe_cnt, 0.0)
+    elif reduce == "max":
+        data = np.where(ok, np.where(np.isfinite(vmax), vmax, 0.0), 0.0)
+    elif reduce == "min":
+        data = np.where(ok, np.where(np.isfinite(vmin), vmin, 0.0), 0.0)
+    elif reduce in ("count", "n"):
+        data = np.where(ok, cnt, 0.0)
+    elif reduce == "total":
+        data = np.where(ok, tot, 0.0)
+    else:  # sd
+        mean = tot / safe_cnt
+        var = np.maximum(tot2 / safe_cnt - mean * mean, 0.0)
+        data = np.where(ok & (cnt >= 2), np.sqrt(var), 0.0)
+
+    twa = Twa(x=xbins, y=ybins,
+              bpx=max(total_range // xbins, 1),
+              bpy=max(total_range // ybins, 1),
+              n_original=n_original, range=total_range,
+              filename=input_path, rid_offsets=rid_offsets, data=data)
+    if output_path:
+        if not output_path.endswith(".twa"):
+            output_path += ".twa"
+        twa.write(output_path)
+        log("LOG", f"Aggregated {pretty_int(n_original)} records into "
+            f"{xbins}x{ybins} bins -> {output_path}", sub="AGGREGATE")
+    reader.close()
+    return twa
