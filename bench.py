@@ -7,9 +7,9 @@ phase-3 scale: 2,504 samples, phased, minR2 = 0.1; reference baseline
 
 Synthetic genotypes with a realistic MAF spectrum are packed into the
 engine's bit-plane block format; the timed region is the real compute
-path used by `twk calc -p`: scan-batched MXU contingency kernels,
-on-device prefilter + survivor compaction, exact host math on
-survivors, and .two record emission.
+path used by `twk calc -p`: the fused two-pass device sweep (MXU
+contingency count sweep + exact-offset survivor extraction), exact host
+f64 math on survivors, and .two record emission.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -65,7 +65,7 @@ def build_planes(n_blocks, B, n_samples, seed=0):
 def main():
     n_samples = int(os.environ.get("BENCH_SAMPLES", 2504))
     B = int(os.environ.get("BENCH_BLOCK", 512))
-    n_blocks = int(os.environ.get("BENCH_NBLOCKS", 32))
+    n_blocks = int(os.environ.get("BENCH_NBLOCKS", 128))
 
     from tomahawk_tpu.compute.engine import CalcSettings, LdEngine
     from tomahawk_tpu.io.header import VcfContig, VcfHeader
@@ -81,7 +81,7 @@ def main():
           f"({n_blocks}x{B} variants, {n_samples} samples, "
           f"device={jax.devices()[0].platform})", file=sys.stderr)
 
-    settings = CalcSettings(min_r2=0.1, batch_pairs=44, cap_fraction=0.02)
+    settings = CalcSettings(min_r2=0.1)
     engine = LdEngine(stacked, n_samples, settings)
     filt = LdFilters(min_r2=0.1)
 

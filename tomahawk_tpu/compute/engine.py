@@ -3,21 +3,34 @@
 TPU-native replacement for the reference's slave/ticker engine
 (reference: lib/ld/ld.cpp:477-671, ld_engine.cpp:1815-2880): variant
 blocks become bitpacked device tensors resident in HBM; the block-pair
-tile grid is walked with jitted, scan-batched contingency kernels (MXU
-matmuls); an on-device f32 prefilter compacts surviving pairs; exact
-f64 statistics + Fisher tests are recomputed on the host for survivors
-only, and records stream to a .two writer.
+tile grid is swept in TWO fused device dispatches that amortize the
+host<->device round trip over the whole run:
+
+  pass 1 (count sweep)   one jitted lax.scan over every tile computes
+                         contingency counts on the MXU, applies the f32
+                         prefilter, and returns only per-tile survivor /
+                         candidate counts (8 bytes per tile).
+  pass 2 (extract sweep) only tiles with survivors are re-swept; each
+                         writes its compacted survivor rows at an exact
+                         host-computed offset into one output buffer
+                         (gather-only compaction: cumsum + searchsorted,
+                         no TPU scatter).
+
+Exact f64 statistics + Fisher tests are then recomputed on the host for
+survivors only, and records stream to a .two writer. This keeps total
+host<->device traffic proportional to the OUTPUT size, which matters
+both for tunneled devices and for multi-host runs.
 """
 
 import datetime
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from .. import __version__
 from ..io.twk import TwkReader
-from ..io.two import TWO_DTYPE, TwoWriter
+from ..io.two import TwoWriter
 from ..ops.bitpack import block_to_planes, stack_planes
 from ..ops.ld_math import LdFilters, PairMeta, phased_math, unphased_math
 from ..utils import Timer, log, pretty_int
@@ -44,8 +57,10 @@ class CalcSettings:
     c_level: int = 1
     b_size: int = 10_000          # output block record limit
     intervals: List[str] = field(default_factory=list)
-    batch_pairs: int = 16         # tile pairs per device dispatch
-    cap_fraction: float = 0.25    # survivor capacity per tile
+    # kept for backwards compatibility; the two-pass engine sizes its
+    # buffers from the exact pass-1 counts instead
+    batch_pairs: int = 16
+    cap_fraction: float = 0.25
     single: bool = False
 
 
@@ -62,16 +77,16 @@ class CalcResult:
 
 def _pair_meta_from(stacked, bi, bj, k, l) -> PairMeta:
     return PairMeta(
-        pos_a=stacked["pos"][bi][k].astype(np.int64),
-        pos_b=stacked["pos"][bj][l].astype(np.int64),
-        rid_a=stacked["rid"][bi][k].astype(np.int64),
-        rid_b=stacked["rid"][bj][l].astype(np.int64),
-        ac_a=stacked["ac"][bi][k].astype(np.int64),
-        ac_b=stacked["ac"][bj][l].astype(np.int64),
-        an_a=stacked["an"][bi][k].astype(np.int64),
-        an_b=stacked["an"][bj][l].astype(np.int64),
-        hwe_a=stacked["hwe"][bi][k].astype(np.float64),
-        hwe_b=stacked["hwe"][bj][l].astype(np.float64),
+        pos_a=stacked["pos"][bi, k].astype(np.int64),
+        pos_b=stacked["pos"][bj, l].astype(np.int64),
+        rid_a=stacked["rid"][bi, k].astype(np.int64),
+        rid_b=stacked["rid"][bj, l].astype(np.int64),
+        ac_a=stacked["ac"][bi, k].astype(np.int64),
+        ac_b=stacked["ac"][bj, l].astype(np.int64),
+        an_a=stacked["an"][bi, k].astype(np.int64),
+        an_b=stacked["an"][bj, l].astype(np.int64),
+        hwe_a=stacked["hwe"][bi, k].astype(np.float64),
+        hwe_b=stacked["hwe"][bj, l].astype(np.float64),
     )
 
 
@@ -85,9 +100,17 @@ def _reverse_records(recs: np.ndarray) -> np.ndarray:
     return rev
 
 
+def _bucket(n: int, lo: int) -> int:
+    """Round n up to a power of two (>= lo) to bound recompiles."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 class LdEngine:
-    """Holds device-resident block tensors and jitted kernels for one
-    run configuration."""
+    """Holds device-resident block tensors and the jitted two-pass
+    sweeps for one run configuration."""
 
     def __init__(self, stacked: dict, n_samples: int, settings: CalcSettings):
         from ..utils.jaxcache import enable_compilation_cache
@@ -96,175 +119,188 @@ class LdEngine:
         import jax.numpy as jnp
         from ..ops import ld_kernels as K
 
+        self.jax, self.jnp, self.K = jax, jnp, K
         self.settings = settings
         self.n_samples = n_samples
         self.stacked = stacked           # host copies for metadata
         self.B = stacked["alt_bits"].shape[1]
         self.NB = stacked["alt_bits"].shape[0]
-        cap = int(self.B * self.B * settings.cap_fraction)
-        self.cap = max(1024, min(self.B * self.B, cap))
         self.window = settings.l_window if settings.window else 0
 
-        dev = {k: jnp.asarray(v) for k, v in stacked.items()
-               if k in ("alt_bits", "miss_bits", "het_bits", "hom_bits",
-                        "valid_bits", "pos", "rid", "ac", "n_het", "n_hom",
-                        "valid")}
-        self._dev = dev
-        jnp_ = jnp
+        self._dev = {k: jnp.asarray(v) for k, v in stacked.items()
+                     if k in ("alt_bits", "miss_bits", "het_bits",
+                              "hom_bits", "valid_bits", "pos", "rid", "ac",
+                              "an", "n_het", "n_hom", "valid")}
+        self._count_fns = {}
+        self._extract_fns = {}
 
-        def gather(name, i):
-            return jnp_.take(dev[name], i, axis=0)
+    # -- kernel builders -------------------------------------------------
+    def _tile_mask(self, i, j, diag, cls):
+        """Candidate-pair mask for one tile: real rows, the reference's
+        ac skip rule (reference: ld_engine.cpp:1910-1912), the upper
+        triangle on diagonal tiles, the distance window, and the
+        phased/unphased pair class split of the reference's mixed-mode
+        Calculate() (reference: ld_engine.cpp:2737-2880)."""
+        jnp, dev, B = self.jnp, self._dev, self.B
+        ac_i, ac_j = dev["ac"][i], dev["ac"][j]
+        m = dev["valid"][i][:, None] & dev["valid"][j][None, :]
+        m &= (ac_i[:, None] + ac_j[None, :]) > 2
+        ii = jnp.arange(B)[:, None]
+        jj = jnp.arange(B)[None, :]
+        m &= jnp.where(diag, ii < jj, True)
+        if self.window > 0:
+            same = dev["rid"][i][:, None] == dev["rid"][j][None, :]
+            dist = jnp.abs(dev["pos"][i][:, None] - dev["pos"][j][None, :])
+            m &= same & (dist <= self.window)
+        if cls != "all":
+            clean = (dev["an"][i][:, None] == 0) & (dev["an"][j][None, :] == 0)
+            m &= clean if cls == "clean" else ~clean
+        return m
 
-        def tile_mask(i, j, diag):
-            m = gather("valid", i)[:, None] & gather("valid", j)[None, :]
-            m &= (gather("ac", i)[:, None] + gather("ac", j)[None, :]) > 2
-            ii = jnp_.arange(self.B)[:, None]
-            jj = jnp_.arange(self.B)[None, :]
-            m &= jnp_.where(diag, ii < jj, True)
-            if self.window > 0:
-                same = gather("rid", i)[:, None] == gather("rid", j)[None, :]
-                # positions are < 2^30 so int32 differences cannot overflow
-                dist = jnp_.abs(gather("pos", i)[:, None]
-                                - gather("pos", j)[None, :])
-                m &= same & (dist <= self.window)
-            return m
+    def _phased_counts(self, i, j, has_missing):
+        dev = self._dev
+        return self.K.phased_counts_tile(
+            dev["alt_bits"][i], dev["miss_bits"][i],
+            dev["alt_bits"][j], dev["miss_bits"][j],
+            dev["ac"][i], dev["ac"][j], self.n_samples, has_missing)
 
-        n_s = n_samples
-        min_r2, max_r2 = settings.min_r2, settings.max_r2
-        cap_ = self.cap
+    def _unphased_counts(self, i, j, has_missing):
+        dev = self._dev
+        return self.K.unphased_counts_tile(
+            dev["het_bits"][i], dev["hom_bits"][i], dev["valid_bits"][i],
+            dev["het_bits"][j], dev["hom_bits"][j], dev["valid_bits"][j],
+            dev["n_het"][i], dev["n_hom"][i],
+            dev["n_het"][j], dev["n_hom"][j], self.n_samples, has_missing)
 
-        def phased_counts(i, j, has_missing):
-            return K.phased_counts_tile(
-                gather("alt_bits", i), gather("miss_bits", i),
-                gather("alt_bits", j), gather("miss_bits", j),
-                gather("ac", i), gather("ac", j), n_s, has_missing)
+    def _tile_prefilter(self, i, j, diag, table, has_missing, cls):
+        """(prefilter_mask, candidate_mask, payload_flat) for one tile."""
+        K, s = self.K, self.settings
+        m = self._tile_mask(i, j, diag, cls)
+        if table == "phased":
+            counts = self._phased_counts(i, j, has_missing)
+            pf = K.phased_prefilter_mask(counts, m, s.min_r2, s.max_r2)
+            return pf, m, counts.reshape(-1, 4)
+        T = self._unphased_counts(i, j, has_missing)
+        pf = K.unphased_prefilter_mask(T, m, s.min_r2, s.max_r2)
+        return pf, m, T.reshape(-1, 9)
 
-        def unphased_counts(i, j, has_missing):
-            return K.unphased_counts_tile(
-                gather("het_bits", i), gather("hom_bits", i),
-                gather("valid_bits", i),
-                gather("het_bits", j), gather("hom_bits", j),
-                gather("valid_bits", j),
-                gather("n_het", i), gather("n_hom", i),
-                gather("n_het", j), gather("n_hom", j), n_s, has_missing)
+    def _count_fn(self, table, has_missing, cls):
+        key = (table, has_missing, cls)
+        if key not in self._count_fns:
+            jax, jnp = self.jax, self.jnp
 
-        def _phased_batch(pair_i, pair_j, diag, has_missing):
-            def body(_, inp):
-                i, j, dg = inp
-                counts = phased_counts(i, j, has_missing)
-                mask = tile_mask(i, j, dg)
-                pf = K.phased_prefilter_mask(counts, mask, min_r2, max_r2)
-                n, idx, rows = K.compact_tile(
-                    pf, counts.reshape(-1, 4), cap_)
-                n_candidates = mask.sum(dtype=jnp_.int32)
-                return None, (n, idx, rows, n_candidates)
-            _, out = jax.lax.scan(body, None, (pair_i, pair_j, diag))
-            return out
+            def sweep(pi, pj, dg, live):
+                def body(_, inp):
+                    i, j, diag, lv = inp
+                    pf, m, _ = self._tile_prefilter(i, j, diag, table,
+                                                    has_missing, cls)
+                    n = jnp.where(lv, pf.sum(dtype=jnp.int32), 0)
+                    nc = jnp.where(lv, m.sum(dtype=jnp.int32), 0)
+                    return None, (n, nc)
+                _, out = jax.lax.scan(body, None, (pi, pj, dg, live))
+                return out
 
-        self._phased_batch_nomiss = jax.jit(
-            lambda pi, pj, dg: _phased_batch(pi, pj, dg, False))
-        self._phased_batch_miss = jax.jit(
-            lambda pi, pj, dg: _phased_batch(pi, pj, dg, True))
+            self._count_fns[key] = jax.jit(sweep)
+        return self._count_fns[key]
 
-        def _phased_full(i, j, diag, has_missing):
-            counts = phased_counts(i, j, has_missing)
-            return counts, tile_mask(i, j, diag)
+    def _extract_fn(self, table, has_missing, cls, cap, outcap):
+        key = (table, has_missing, cls, cap, outcap)
+        if key not in self._extract_fns:
+            jax, jnp, K = self.jax, self.jnp, self.K
+            ncol = 5 if table == "phased" else 10
+            BB = self.B * self.B
 
-        self._phased_full_nomiss = jax.jit(
-            lambda i, j, dg: _phased_full(i, j, dg, False))
-        self._phased_full_miss = jax.jit(
-            lambda i, j, dg: _phased_full(i, j, dg, True))
+            def sweep(pi, pj, dg, off):
+                def body(buf, inp):
+                    i, j, diag, o = inp
+                    pf, _, payload = self._tile_prefilter(
+                        i, j, diag, table, has_missing, cls)
+                    _, idx = K.compact_indices(pf, cap)
+                    rows = payload[jnp.minimum(idx, BB - 1)]
+                    rec = jnp.concatenate([idx[:, None], rows], axis=1)
+                    buf = jax.lax.dynamic_update_slice(buf, rec, (o, 0))
+                    return buf, None
+                buf0 = jnp.zeros((outcap, ncol), jnp.int32)
+                buf, _ = jax.lax.scan(body, buf0, (pi, pj, dg, off))
+                return buf
 
-        def _unphased_full(i, j, diag, has_missing):
-            T = unphased_counts(i, j, has_missing)
-            return T, tile_mask(i, j, diag)
+            self._extract_fns[key] = jax.jit(sweep)
+        return self._extract_fns[key]
 
-        self._unphased_full_nomiss = jax.jit(
-            lambda i, j, dg: _unphased_full(i, j, dg, False))
-        self._unphased_full_miss = jax.jit(
-            lambda i, j, dg: _unphased_full(i, j, dg, True))
+    # -- orchestration ---------------------------------------------------
+    def run_group(self, tiles, table, has_missing, cls, filt, emit) -> int:
+        """Two-pass sweep of one (table, missing, class) tile group.
+        Returns the number of candidate pairs evaluated."""
+        if not tiles:
+            return 0
+        np_ = np
+        Tpad = _bucket(len(tiles), 16)
+        pad = Tpad - len(tiles)
+        pi = np_.array([t[0] for t in tiles] + [0] * pad, np_.int32)
+        pj = np_.array([t[1] for t in tiles] + [0] * pad, np_.int32)
+        dg = np_.array([t[2] for t in tiles] + [True] * pad, bool)
+        live = np_.array([True] * len(tiles) + [False] * pad, bool)
 
-    # ------------------------------------------------------------------
+        n_pass, n_cand = (np_.asarray(x) for x in self._count_fn(
+            table, has_missing, cls)(pi, pj, dg, live))
+        n_pass, n_cand = n_pass[:len(tiles)], n_cand[:len(tiles)]
+        total_cand = int(n_cand.sum())
+
+        hit = np_.flatnonzero(n_pass)
+        if len(hit) == 0:
+            return total_cand
+        ns = n_pass[hit]
+        cap = min(_bucket(int(ns.max()), 1024), self.B * self.B)
+        offs = np_.zeros(len(hit), np_.int32)
+        offs[1:] = np_.cumsum(ns)[:-1]
+        total = int(ns.sum())
+        outcap = _bucket(total + cap, 16384)
+
+        Hpad = _bucket(len(hit), 8)
+        hp = Hpad - len(hit)
+        hpi = np_.concatenate([pi[hit], np_.zeros(hp, np_.int32)])
+        hpj = np_.concatenate([pj[hit], np_.zeros(hp, np_.int32)])
+        hdg = np_.concatenate([dg[hit], np_.ones(hp, bool)])
+        # padding tiles park their writes in the junk tail of the buffer
+        hoff = np_.concatenate([offs, np_.full(hp, outcap - cap, np_.int32)])
+
+        buf = self._extract_fn(table, has_missing, cls, cap, outcap)(
+            hpi, hpj, hdg, hoff)
+        rows = np_.asarray(buf[:total])
+
+        # host math per hit tile, batched into one call per group
+        B = self.B
+        idx = rows[:, 0].astype(np_.int64)
+        k, l = idx // B, idx % B
+        tile_of = np_.repeat(np_.arange(len(hit)), ns)
+        bi = pi[hit][tile_of].astype(np_.int64)
+        bj = pj[hit][tile_of].astype(np_.int64)
+        meta = _pair_meta_from(self.stacked, bi, bj, k, l)
+        if table == "phased":
+            recs, _ = phased_math(rows[:, 1:].astype(np_.int64), meta, filt)
+        else:
+            recs = unphased_math(
+                rows[:, 1:].astype(np_.int64).reshape(-1, 3, 3), meta, filt)
+        emit(recs)
+        return total_cand
+
+    # -- public API ------------------------------------------------------
     def run_phased_pairs(self, pairs, has_missing, filt, emit):
-        """Batched phased path with device prefilter + compaction."""
-        import numpy as np
-        G = self.settings.batch_pairs
-        fn = (self._phased_batch_miss if has_missing
-              else self._phased_batch_nomiss)
-        full_fn = (self._phased_full_miss if has_missing
-                   else self._phased_full_nomiss)
-        n_pairs_total = 0
-        for s in range(0, len(pairs), G):
-            chunk = pairs[s:s + G]
-            pad = G - len(chunk)
-            pi = np.array([p[0] for p in chunk] + [0] * pad, np.int32)
-            pj = np.array([p[1] for p in chunk] + [0] * pad, np.int32)
-            dg = np.array([p[2] for p in chunk] + [True] * pad, bool)
-            # padding re-computes pair (0,0) diag; harmless but must be
-            # skipped when emitting
-            n, idx, rows, n_cand = (np.asarray(x) for x in fn(pi, pj, dg))
-            for g, (bi, bj, diag) in enumerate(chunk):
-                n_pairs_total += int(n_cand[g])
-                n_pass = int(n[g])
-                if n_pass == 0:
-                    continue
-                if n_pass > self.cap:
-                    counts_t, mask_t = (np.asarray(x)
-                                        for x in full_fn(bi, bj, diag))
-                    pf = np.flatnonzero(mask_t.ravel())
-                    counts_rows = counts_t.reshape(-1, 4)[pf]
-                    flat_idx = pf
-                else:
-                    flat_idx = idx[g][:n_pass].astype(np.int64)
-                    counts_rows = rows[g][:n_pass].astype(np.int64)
-                k, l = flat_idx // self.B, flat_idx % self.B
-                meta = _pair_meta_from(self.stacked, bi, bj, k, l)
-                recs, _ = phased_math(counts_rows.astype(np.int64), meta,
-                                      filt)
-                emit(recs)
-        return n_pairs_total
+        return self.run_group(pairs, "phased", has_missing, "all", filt,
+                              emit)
 
-    def run_general_pairs(self, pairs, has_missing, filt, emit,
-                          mode: str):
-        """Unbatched general path: full tiles to host. mode is
-        'unphased' (all pairs unphased) or 'mixed' (per-pair dispatch on
-        missingness, reference Calculate() semantics)."""
-        import numpy as np
-        n_pairs_total = 0
-        up_fn = (self._unphased_full_miss if has_missing
-                 else self._unphased_full_nomiss)
-        ph_fn = (self._phased_full_miss if has_missing
-                 else self._phased_full_nomiss)
-        for bi, bj, diag in pairs:
-            T, mask = (np.asarray(x) for x in up_fn(bi, bj, diag))
-            flat = np.flatnonzero(mask.ravel())
-            n_pairs_total += len(flat)
-            if len(flat) == 0:
-                continue
-            k, l = flat // self.B, flat % self.B
-            meta = _pair_meta_from(self.stacked, bi, bj, k, l)
-            tables = T.reshape(-1, 3, 3)[flat].astype(np.int64)
-            if mode == "unphased":
-                recs = unphased_math(tables, meta, filt)
-                emit(recs)
-            else:  # mixed: missing pairs -> unphased, clean -> phased
-                miss_pair = (meta.an_a > 0) | (meta.an_b > 0)
-                if miss_pair.any():
-                    sub = {kk: getattr(meta, kk)[miss_pair]
-                           for kk in PairMeta.__dataclass_fields__}
-                    recs = unphased_math(tables[miss_pair],
-                                         PairMeta(**sub), filt)
-                    emit(recs)
-                clean = ~miss_pair
-                if clean.any():
-                    counts_t, _ = (np.asarray(x) for x in ph_fn(bi, bj, diag))
-                    counts_rows = counts_t.reshape(-1, 4)[flat][clean]
-                    sub = {kk: getattr(meta, kk)[clean]
-                           for kk in PairMeta.__dataclass_fields__}
-                    recs, _ = phased_math(counts_rows.astype(np.int64),
-                                          PairMeta(**sub), filt)
-                    emit(recs)
-        return n_pairs_total
+    def run_unphased_pairs(self, pairs, has_missing, filt, emit):
+        return self.run_group(pairs, "unphased", has_missing, "all", filt,
+                              emit)
+
+    def run_mixed_pairs(self, pairs, filt, emit):
+        """Reference mixed-mode Calculate() semantics on tiles that
+        contain missing data: clean pairs take the phased math, pairs
+        with missing alleles take the unphased math
+        (reference: ld_engine.cpp:2737-2880)."""
+        n = self.run_group(pairs, "phased", False, "clean", filt, emit)
+        n += self.run_group(pairs, "unphased", True, "missing", filt, emit)
+        return n
 
 
 def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
@@ -283,13 +319,12 @@ def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
         n += engine.run_phased_pairs(nomiss, False, filt, emit)
         n += engine.run_phased_pairs(withmiss, True, filt, emit)
     elif mode == "unphased":
-        n += engine.run_general_pairs(nomiss, False, filt, emit, "unphased")
-        n += engine.run_general_pairs(withmiss, True, filt, emit,
-                                      "unphased")
+        n += engine.run_unphased_pairs(nomiss, False, filt, emit)
+        n += engine.run_unphased_pairs(withmiss, True, filt, emit)
     else:
         # blocks without any missing variant: pure phased fast path
         n += engine.run_phased_pairs(nomiss, False, filt, emit)
-        n += engine.run_general_pairs(withmiss, True, filt, emit, "mixed")
+        n += engine.run_mixed_pairs(withmiss, filt, emit)
     return n
 
 

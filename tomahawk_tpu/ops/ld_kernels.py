@@ -185,3 +185,96 @@ def compact_tile(mask, payload_flat, cap: int):
     rows = jnp.where(live, rows, 0)
     idx = jnp.where(live[:, 0], idx, -1)
     return n_pass, idx.astype(jnp.int32), rows
+
+
+def compact_indices(mask, cap: int):
+    """Flat indices of the first `cap` set bits of `mask`, gather-only
+    (cumsum + vectorized binary search -- scatter-free, so it is fast on
+    TPU where jnp.nonzero's scatter path is not). Slots k >= n_pass hold
+    out-of-range garbage; callers must treat only the first n_pass rows
+    as live."""
+    flat = mask.ravel()
+    c = jnp.cumsum(flat.astype(jnp.int32))
+    n_pass = c[-1]
+    ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(c, ks, side="left").astype(jnp.int32)
+    return n_pass, idx
+
+
+def unphased_prefilter_mask(T, pair_mask, min_r2: float, max_r2: float):
+    """Conservative device prefilter for the unphased path: an f32
+    re-derivation of the reference's cubic-EM estimator
+    (reference: ld_engine.cpp:1312-1740) that passes a pair when ANY
+    biologically-plausible root yields r2 inside the (widened) range.
+    The host recomputes the exact f64 root choice + all filters on
+    survivors, so this only needs to be a superset of the keep set.
+
+    T: [..., 3, 3] int32 genotype tables (rows: A genotype 0/1/2 alt).
+    """
+    Tf = T.astype(jnp.float32)
+    n = Tf.sum(axis=(-1, -2))
+    m = pair_mask & (n >= 5)          # MINIMUM_ALLOWED_ALLELES gate
+    ns = jnp.maximum(n, 1.0)
+    rowsum = Tf.sum(axis=-1)
+    colsum = Tf.sum(axis=-2)
+    p = (2 * rowsum[..., 0] + rowsum[..., 1]) / (2 * ns)
+    q = (2 * colsum[..., 0] + colsum[..., 1]) / (2 * ns)
+    n11 = 2 * Tf[..., 0, 0] + Tf[..., 0, 1] + Tf[..., 1, 0]
+    ndh = Tf[..., 1, 1]
+
+    lo = jnp.float32(min_r2) * 0.98 - 1e-4
+    hi = jnp.float32(max_r2) * 1.02 + 1e-4
+
+    def r2_of(f11):
+        D = f11 * (1.0 - (p + q) + f11) - (p - f11) * (q - f11)
+        denom = p * (1 - p) * q * (1 - q)
+        return jnp.where(denom > 0, D * D / jnp.where(denom > 0, denom, 1.0),
+                         jnp.float32(np.inf))
+
+    # ---- fold case (no double hets): exact phased table ----
+    refref = 2 * Tf[..., 0, 0] + Tf[..., 0, 1] + Tf[..., 1, 0]
+    refalt = 2 * Tf[..., 0, 2] + Tf[..., 0, 1] + Tf[..., 1, 2]
+    altref = 2 * Tf[..., 2, 0] + Tf[..., 1, 0] + Tf[..., 2, 1]
+    altalt = 2 * Tf[..., 2, 2] + Tf[..., 2, 1] + Tf[..., 1, 2]
+    fold_counts = jnp.stack([refref, refalt, altref, altalt], axis=-1)
+    r2_fold = phased_r2_f32(fold_counts)
+    t = fold_counts.sum(axis=-1)
+    fold_ok = (t >= 5) & (r2_fold >= lo) & (r2_fold <= hi)
+
+    # ---- EM case: all candidate cubic roots, branchless ----
+    a = 4.0 * n
+    b = 2.0 * n * (1.0 - 2.0 * p - 2.0 * q) - 2.0 * n11 - ndh
+    c = (-n11 * (1.0 - 2.0 * p - 2.0 * q) - ndh * (1.0 - p - q)
+         + 2.0 * n * p * q)
+    dee = -n11 * p * q
+    a_s = jnp.where(a != 0, a, 1.0)
+    xN = -b / (3.0 * a_s)
+    d2 = (b ** 2 - 3.0 * a_s * c) / (9.0 * a_s ** 2)
+    yN = a * xN ** 3 + b * xN ** 2 + c * xN + dee
+    diff = yN ** 2 - 4.0 * a ** 2 * d2 ** 3
+
+    # three-real-root branch (valid when diff < 0)
+    h = jnp.sqrt(jnp.maximum(4.0 * a ** 2 * d2 ** 3, 1e-30))
+    theta = jnp.arccos(jnp.clip(-yN / h, -1.0, 1.0)) / 3.0
+    delta = jnp.sqrt(jnp.maximum(d2, 0.0))
+    r0 = xN + 2.0 * delta * jnp.cos(theta)
+    r1 = xN + 2.0 * delta * jnp.cos(2.0 * np.pi / 3.0 + theta)
+    r2_ = xN + 2.0 * delta * jnp.cos(4.0 * np.pi / 3.0 + theta)
+    # single-real-root branch (valid when diff > 0)
+    s = jnp.sqrt(jnp.maximum(diff, 0.0))
+    u = (-yN + s) / (2.0 * a_s)
+    v = (-yN - s) / (2.0 * a_s)
+    r3 = xN + jnp.cbrt(u) + jnp.cbrt(v)
+
+    three = diff < 0
+    minhap = n11 / (2.0 * ns)
+    maxhap = (n11 + ndh) / (2.0 * ns)
+    tol = 1e-4                        # widened vs the host's 1e-5
+    em_ok = jnp.zeros_like(m)
+    for root, cond in ((r0, three), (r1, three), (r2_, three),
+                       (r3, ~three)):
+        plausible = cond & (root >= minhap - tol) & (root <= maxhap + tol)
+        rr = r2_of(root)
+        em_ok |= plausible & (rr >= lo) & (rr <= hi)
+
+    return m & jnp.where(ndh == 0, fold_ok, em_ok)
