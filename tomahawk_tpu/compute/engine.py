@@ -110,121 +110,71 @@ def _bucket(n: int, lo: int) -> int:
 
 class LdEngine:
     """Holds device-resident block tensors and the jitted two-pass
-    sweeps for one run configuration."""
+    sweeps for one run configuration. Pass a ('pairs'[, 'samples'])
+    jax.sharding.Mesh to shard the tile grid (and optionally the packed
+    word axis) across devices."""
 
-    def __init__(self, stacked: dict, n_samples: int, settings: CalcSettings):
+    def __init__(self, stacked: dict, n_samples: int,
+                 settings: CalcSettings, mesh=None):
         from ..utils.jaxcache import enable_compilation_cache
         enable_compilation_cache()
-        import jax
         import jax.numpy as jnp
-        from ..ops import ld_kernels as K
+        from . import sweeps
 
-        self.jax, self.jnp, self.K = jax, jnp, K
+        self.sweeps = sweeps
         self.settings = settings
         self.n_samples = n_samples
         self.stacked = stacked           # host copies for metadata
         self.B = stacked["alt_bits"].shape[1]
         self.NB = stacked["alt_bits"].shape[0]
         self.window = settings.l_window if settings.window else 0
+        self.mesh = mesh
+        self.n_pair_shards = 1 if mesh is None else mesh.shape["pairs"]
 
-        self._dev = {k: jnp.asarray(v) for k, v in stacked.items()
-                     if k in ("alt_bits", "miss_bits", "het_bits",
-                              "hom_bits", "valid_bits", "pos", "rid", "ac",
-                              "an", "n_het", "n_hom", "valid")}
+        host = {k: stacked[k] for k in sweeps.DEV_KEYS}
+        if mesh is not None and "samples" in mesh.shape \
+                and mesh.shape["samples"] > 1:
+            # pad the packed word axes so they split evenly
+            ns = mesh.shape["samples"]
+            for k in sweeps.WORD_KEYS:
+                v = host[k]
+                W = v.shape[-1]
+                Wp = ((W + ns - 1) // ns) * ns
+                if Wp != W:
+                    pad = np.zeros((*v.shape[:-1], Wp - W), v.dtype)
+                    if k == "miss_bits":   # padding is "missing"
+                        pad = ~pad
+                    host[k] = np.concatenate([v, pad], axis=-1)
+        self._dev = {k: jnp.asarray(v) for k, v in host.items()}
         self._count_fns = {}
         self._extract_fns = {}
 
-    # -- kernel builders -------------------------------------------------
-    def _tile_mask(self, i, j, diag, cls):
-        """Candidate-pair mask for one tile: real rows, the reference's
-        ac skip rule (reference: ld_engine.cpp:1910-1912), the upper
-        triangle on diagonal tiles, the distance window, and the
-        phased/unphased pair class split of the reference's mixed-mode
-        Calculate() (reference: ld_engine.cpp:2737-2880)."""
-        jnp, dev, B = self.jnp, self._dev, self.B
-        ac_i, ac_j = dev["ac"][i], dev["ac"][j]
-        m = dev["valid"][i][:, None] & dev["valid"][j][None, :]
-        m &= (ac_i[:, None] + ac_j[None, :]) > 2
-        ii = jnp.arange(B)[:, None]
-        jj = jnp.arange(B)[None, :]
-        m &= jnp.where(diag, ii < jj, True)
-        if self.window > 0:
-            same = dev["rid"][i][:, None] == dev["rid"][j][None, :]
-            dist = jnp.abs(dev["pos"][i][:, None] - dev["pos"][j][None, :])
-            m &= same & (dist <= self.window)
-        if cls != "all":
-            clean = (dev["an"][i][:, None] == 0) & (dev["an"][j][None, :] == 0)
-            m &= clean if cls == "clean" else ~clean
-        return m
-
-    def _phased_counts(self, i, j, has_missing):
-        dev = self._dev
-        return self.K.phased_counts_tile(
-            dev["alt_bits"][i], dev["miss_bits"][i],
-            dev["alt_bits"][j], dev["miss_bits"][j],
-            dev["ac"][i], dev["ac"][j], self.n_samples, has_missing)
-
-    def _unphased_counts(self, i, j, has_missing):
-        dev = self._dev
-        return self.K.unphased_counts_tile(
-            dev["het_bits"][i], dev["hom_bits"][i], dev["valid_bits"][i],
-            dev["het_bits"][j], dev["hom_bits"][j], dev["valid_bits"][j],
-            dev["n_het"][i], dev["n_hom"][i],
-            dev["n_het"][j], dev["n_hom"][j], self.n_samples, has_missing)
-
-    def _tile_prefilter(self, i, j, diag, table, has_missing, cls):
-        """(prefilter_mask, candidate_mask, payload_flat) for one tile."""
-        K, s = self.K, self.settings
-        m = self._tile_mask(i, j, diag, cls)
-        if table == "phased":
-            counts = self._phased_counts(i, j, has_missing)
-            pf = K.phased_prefilter_mask(counts, m, s.min_r2, s.max_r2)
-            return pf, m, counts.reshape(-1, 4)
-        T = self._unphased_counts(i, j, has_missing)
-        pf = K.unphased_prefilter_mask(T, m, s.min_r2, s.max_r2)
-        return pf, m, T.reshape(-1, 9)
+    def _cfg(self, table, has_missing, cls):
+        return self.sweeps.make_cfg(
+            table, has_missing, cls, self.B, self.n_samples, self.window,
+            self.settings.min_r2, self.settings.max_r2)
 
     def _count_fn(self, table, has_missing, cls):
         key = (table, has_missing, cls)
         if key not in self._count_fns:
-            jax, jnp = self.jax, self.jnp
-
-            def sweep(pi, pj, dg, live):
-                def body(_, inp):
-                    i, j, diag, lv = inp
-                    pf, m, _ = self._tile_prefilter(i, j, diag, table,
-                                                    has_missing, cls)
-                    n = jnp.where(lv, pf.sum(dtype=jnp.int32), 0)
-                    nc = jnp.where(lv, m.sum(dtype=jnp.int32), 0)
-                    return None, (n, nc)
-                _, out = jax.lax.scan(body, None, (pi, pj, dg, live))
-                return out
-
-            self._count_fns[key] = jax.jit(sweep)
+            cfg = self._cfg(table, has_missing, cls)
+            if self.mesh is None:
+                fn = self.sweeps.jit_count_sweep(cfg)
+            else:
+                fn = self.sweeps.shard_count_sweep(self.mesh, cfg)
+            self._count_fns[key] = fn
         return self._count_fns[key]
 
     def _extract_fn(self, table, has_missing, cls, cap, outcap):
         key = (table, has_missing, cls, cap, outcap)
         if key not in self._extract_fns:
-            jax, jnp, K = self.jax, self.jnp, self.K
-            ncol = 5 if table == "phased" else 10
-            BB = self.B * self.B
-
-            def sweep(pi, pj, dg, off):
-                def body(buf, inp):
-                    i, j, diag, o = inp
-                    pf, _, payload = self._tile_prefilter(
-                        i, j, diag, table, has_missing, cls)
-                    _, idx = K.compact_indices(pf, cap)
-                    rows = payload[jnp.minimum(idx, BB - 1)]
-                    rec = jnp.concatenate([idx[:, None], rows], axis=1)
-                    buf = jax.lax.dynamic_update_slice(buf, rec, (o, 0))
-                    return buf, None
-                buf0 = jnp.zeros((outcap, ncol), jnp.int32)
-                buf, _ = jax.lax.scan(body, buf0, (pi, pj, dg, off))
-                return buf
-
-            self._extract_fns[key] = jax.jit(sweep)
+            cfg = self._cfg(table, has_missing, cls)
+            if self.mesh is None:
+                fn = self.sweeps.jit_extract_sweep(cfg, cap, outcap)
+            else:
+                fn = self.sweeps.shard_extract_sweep(self.mesh, cfg, cap,
+                                                     outcap)
+            self._extract_fns[key] = fn
         return self._extract_fns[key]
 
     # -- orchestration ---------------------------------------------------
@@ -234,7 +184,8 @@ class LdEngine:
         if not tiles:
             return 0
         np_ = np
-        Tpad = _bucket(len(tiles), 16)
+        S = self.n_pair_shards
+        Tpad = _bucket(len(tiles), 16 * S)
         pad = Tpad - len(tiles)
         pi = np_.array([t[0] for t in tiles] + [0] * pad, np_.int32)
         pj = np_.array([t[1] for t in tiles] + [0] * pad, np_.int32)
@@ -242,7 +193,7 @@ class LdEngine:
         live = np_.array([True] * len(tiles) + [False] * pad, bool)
 
         n_pass, n_cand = (np_.asarray(x) for x in self._count_fn(
-            table, has_missing, cls)(pi, pj, dg, live))
+            table, has_missing, cls)(self._dev, pi, pj, dg, live))
         n_pass, n_cand = n_pass[:len(tiles)], n_cand[:len(tiles)]
         total_cand = int(n_cand.sum())
 
@@ -251,22 +202,35 @@ class LdEngine:
             return total_cand
         ns = n_pass[hit]
         cap = min(_bucket(int(ns.max()), 1024), self.B * self.B)
-        offs = np_.zeros(len(hit), np_.int32)
-        offs[1:] = np_.cumsum(ns)[:-1]
-        total = int(ns.sum())
-        outcap = _bucket(total + cap, 16384)
 
-        Hpad = _bucket(len(hit), 8)
-        hp = Hpad - len(hit)
-        hpi = np_.concatenate([pi[hit], np_.zeros(hp, np_.int32)])
-        hpj = np_.concatenate([pj[hit], np_.zeros(hp, np_.int32)])
-        hdg = np_.concatenate([dg[hit], np_.ones(hp, bool)])
+        # split hit tiles into S contiguous shard groups with per-shard
+        # offsets; every shard fills its own [outcap] buffer region
+        groups = np_.array_split(np_.arange(len(hit)), S)
+        totals = [int(ns[g].sum()) for g in groups]
+        outcap = _bucket(max(totals) + cap, 16384)
+        Hpad = _bucket(max(len(g) for g in groups), 8)
+
+        hpi = np_.zeros(Hpad * S, np_.int32)
+        hpj = np_.zeros(Hpad * S, np_.int32)
+        hdg = np_.ones(Hpad * S, bool)
         # padding tiles park their writes in the junk tail of the buffer
-        hoff = np_.concatenate([offs, np_.full(hp, outcap - cap, np_.int32)])
+        hoff = np_.full(Hpad * S, outcap - cap, np_.int32)
+        for s, g in enumerate(groups):
+            lo = s * Hpad
+            hpi[lo:lo + len(g)] = pi[hit[g]]
+            hpj[lo:lo + len(g)] = pj[hit[g]]
+            hdg[lo:lo + len(g)] = dg[hit[g]]
+            offs = np_.zeros(len(g), np_.int32)
+            if len(g):
+                offs[1:] = np_.cumsum(ns[g])[:-1]
+            hoff[lo:lo + len(g)] = offs
 
         buf = self._extract_fn(table, has_missing, cls, cap, outcap)(
-            hpi, hpj, hdg, hoff)
-        rows = np_.asarray(buf[:total])
+            self._dev, hpi, hpj, hdg, hoff)
+        shard_rows = [np_.asarray(buf[s * outcap:s * outcap + totals[s]])
+                      for s in range(S) if totals[s]]
+        rows = np_.concatenate(shard_rows) if shard_rows else \
+            np_.zeros((0, 5 if table == "phased" else 10), np_.int32)
 
         # host math per hit tile, batched into one call per group
         B = self.B

@@ -1,0 +1,172 @@
+"""Pure-function two-pass tile sweeps, single-chip or mesh-sharded.
+
+The same scan bodies serve both execution modes:
+
+- single chip: jax.jit over the full tile list.
+- device mesh ('pairs', 'samples'): shard_map splits the tile list
+  across the 'pairs' axis (the TPU-native form of the reference's
+  multi-machine chunking, reference: lib/ld/ld_balancing.h +
+  docs/job-balancing.md) and optionally shards the packed haplotype
+  word axis across 'samples'; partial MXU contractions are then
+  psum-reduced to exact counts over ICI.
+
+Pass 1 (count_sweep) returns 8 bytes per tile; pass 2 (extract_sweep)
+writes compacted survivor rows at exact caller-computed offsets so
+host<->device traffic is proportional to the output.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ld_kernels as K
+
+# device tensors consumed by the sweeps, in pytree order
+DEV_KEYS = ("alt_bits", "miss_bits", "het_bits", "hom_bits", "valid_bits",
+            "pos", "rid", "ac", "an", "n_het", "n_hom", "valid")
+
+# planes whose trailing axis is the packed word axis (shardable over
+# the 'samples' mesh axis); everything else is replicated metadata
+WORD_KEYS = ("alt_bits", "miss_bits", "het_bits", "hom_bits", "valid_bits")
+
+
+def tile_mask(dev, i, j, diag, B, window, cls):
+    """Candidate-pair mask for one tile: real rows, the reference's ac
+    skip rule (reference: ld_engine.cpp:1910-1912), the upper triangle
+    on diagonal tiles, the distance window, and the phased/unphased
+    pair-class split of mixed-mode Calculate()
+    (reference: ld_engine.cpp:2737-2880)."""
+    ac_i, ac_j = dev["ac"][i], dev["ac"][j]
+    m = dev["valid"][i][:, None] & dev["valid"][j][None, :]
+    m &= (ac_i[:, None] + ac_j[None, :]) > 2
+    ii = jnp.arange(B)[:, None]
+    jj = jnp.arange(B)[None, :]
+    m &= jnp.where(diag, ii < jj, True)
+    if window > 0:
+        same = dev["rid"][i][:, None] == dev["rid"][j][None, :]
+        dist = jnp.abs(dev["pos"][i][:, None] - dev["pos"][j][None, :])
+        m &= same & (dist <= window)
+    if cls != "all":
+        clean = (dev["an"][i][:, None] == 0) & (dev["an"][j][None, :] == 0)
+        m &= clean if cls == "clean" else ~clean
+    return m
+
+
+def tile_prefilter(dev, i, j, diag, cfg):
+    """(prefilter_mask, candidate_mask, payload_flat) for one tile."""
+    m = tile_mask(dev, i, j, diag, cfg["B"], cfg["window"], cfg["cls"])
+    if cfg["table"] == "phased":
+        counts = K.phased_counts_tile(
+            dev["alt_bits"][i], dev["miss_bits"][i],
+            dev["alt_bits"][j], dev["miss_bits"][j],
+            dev["ac"][i], dev["ac"][j], cfg["n_samples"],
+            cfg["has_missing"], psum_axis=cfg["psum_axis"])
+        pf = K.phased_prefilter_mask(counts, m, cfg["min_r2"],
+                                     cfg["max_r2"])
+        return pf, m, counts.reshape(-1, 4)
+    T = K.unphased_counts_tile(
+        dev["het_bits"][i], dev["hom_bits"][i], dev["valid_bits"][i],
+        dev["het_bits"][j], dev["hom_bits"][j], dev["valid_bits"][j],
+        dev["n_het"][i], dev["n_hom"][i],
+        dev["n_het"][j], dev["n_hom"][j], cfg["n_samples"],
+        cfg["has_missing"], psum_axis=cfg["psum_axis"])
+    pf = K.unphased_prefilter_mask(T, m, cfg["min_r2"], cfg["max_r2"])
+    return pf, m, T.reshape(-1, 9)
+
+
+def count_sweep(dev, pi, pj, dg, live, *, cfg):
+    """Per-tile (survivor count, candidate count) over a tile list."""
+    def body(_, inp):
+        i, j, diag, lv = inp
+        pf, m, _ = tile_prefilter(dev, i, j, diag, cfg)
+        n = jnp.where(lv, pf.sum(dtype=jnp.int32), 0)
+        nc = jnp.where(lv, m.sum(dtype=jnp.int32), 0)
+        return None, (n, nc)
+    _, out = jax.lax.scan(body, None, (pi, pj, dg, live))
+    return out
+
+
+def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
+    """Re-sweep hit tiles, writing [idx, payload...] survivor rows at
+    exact offsets into one [outcap, ncol] buffer. Rows past each tile's
+    survivor count are junk that later tiles overwrite; the caller
+    slices the buffer to the exact total."""
+    ncol = 5 if cfg["table"] == "phased" else 10
+    BB = cfg["B"] * cfg["B"]
+
+    def body(buf, inp):
+        i, j, diag, o = inp
+        pf, _, payload = tile_prefilter(dev, i, j, diag, cfg)
+        _, idx = K.compact_indices(pf, cap)
+        rows = payload[jnp.minimum(idx, BB - 1)]
+        rec = jnp.concatenate([idx[:, None], rows], axis=1)
+        buf = jax.lax.dynamic_update_slice(buf, rec, (o, 0))
+        return buf, None
+
+    buf0 = jnp.zeros((outcap, ncol), jnp.int32)
+    buf, _ = jax.lax.scan(body, buf0, (pi, pj, dg, off))
+    return buf
+
+
+def make_cfg(table: str, has_missing: bool, cls: str, B: int,
+             n_samples: int, window: int, min_r2: float, max_r2: float,
+             psum_axis: str = None) -> dict:
+    return dict(table=table, has_missing=has_missing, cls=cls, B=B,
+                n_samples=n_samples, window=window, min_r2=min_r2,
+                max_r2=max_r2, psum_axis=psum_axis)
+
+
+def jit_count_sweep(cfg):
+    return jax.jit(partial(count_sweep, cfg=cfg))
+
+
+def jit_extract_sweep(cfg, cap, outcap):
+    return jax.jit(partial(extract_sweep, cfg=cfg, cap=cap, outcap=outcap))
+
+
+def _dev_specs(P, samples_sharded: bool):
+    specs = {}
+    for k in DEV_KEYS:
+        if k in WORD_KEYS and samples_sharded:
+            specs[k] = P(None, None, "samples")
+        else:
+            specs[k] = P()
+    return specs
+
+
+def shard_count_sweep(mesh, cfg):
+    """count_sweep over a ('pairs'[, 'samples']) mesh. The tile list
+    length must be divisible by the 'pairs' axis size; outputs are the
+    same global [T] arrays as the single-chip version."""
+    from jax.sharding import PartitionSpec as P
+    samples = "samples" in mesh.axis_names and mesh.shape["samples"] > 1
+    cfg = dict(cfg, psum_axis="samples" if samples else None)
+    fn = jax.shard_map(
+        partial(count_sweep, cfg=cfg), mesh=mesh,
+        in_specs=(_dev_specs(P, samples),
+                  P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+        out_specs=(P("pairs"), P("pairs")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def shard_extract_sweep(mesh, cfg, cap, outcap):
+    """extract_sweep over a mesh: each 'pairs' shard fills its own
+    [outcap, ncol] buffer from its slice of hit tiles at caller-chosen
+    local offsets; the global result is the concatenation [n_shards *
+    outcap, ncol]."""
+    from jax.sharding import PartitionSpec as P
+    samples = "samples" in mesh.axis_names and mesh.shape["samples"] > 1
+    cfg = dict(cfg, psum_axis="samples" if samples else None)
+
+    # every samples-shard computes identical rows (counts are
+    # psum-reduced before any use), so the unsharded 'samples' axis of
+    # the output is replicated by construction
+    fn = jax.shard_map(
+        partial(extract_sweep, cfg=cfg, cap=cap, outcap=outcap), mesh=mesh,
+        in_specs=(_dev_specs(P, samples),
+                  P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+        out_specs=P("pairs"),
+        check_vma=False)
+    return jax.jit(fn)

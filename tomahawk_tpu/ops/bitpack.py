@@ -25,10 +25,16 @@ import numpy as np
 from ..io.twk import Twk1Block
 
 
-def _pack_bits(rows: np.ndarray, n_words: int) -> np.ndarray:
-    """[B, L] bool -> [B, n_words] uint32, little-endian bit order."""
+def _pack_bits(rows: np.ndarray, n_words: int, pad_value: int = 0
+               ) -> np.ndarray:
+    """[B, L] bool -> [B, n_words] uint32, little-endian bit order.
+
+    pad_value sets the bits beyond L: the missing-plane pads with 1 so
+    that derived valid planes (~miss) are zero on padding lanes without
+    any positional masking -- this keeps the count matmuls exact even
+    when the word axis is sharded across devices."""
     B, L = rows.shape
-    padded = np.zeros((B, n_words * 32), np.uint8)
+    padded = np.full((B, n_words * 32), pad_value, np.uint8)
     padded[:, :L] = rows
     return np.packbits(padded, axis=1, bitorder="little").view(np.uint32)
 
@@ -105,7 +111,7 @@ def block_to_planes(blk: Twk1Block, n_samples: int,
     return BlockPlanes(
         n_rec=blk.n,
         alt_bits=_pack_bits(alt, Wh),
-        miss_bits=_pack_bits(mis, Wh),
+        miss_bits=_pack_bits(mis, Wh, pad_value=1),
         het_bits=_pack_bits(het, Ws),
         hom_bits=_pack_bits(hom, Ws),
         valid_bits=_pack_bits(val, Ws),

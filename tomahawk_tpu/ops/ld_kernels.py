@@ -43,31 +43,36 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def phased_counts_tile(alt_a, miss_a, alt_b, miss_b, ac_a, ac_b,
-                       n_samples: int, has_missing: bool):
+                       n_samples: int, has_missing: bool,
+                       psum_axis: str = None):
     """2x2 haplotype tables for all pairs of two blocks.
 
     Returns [I, J, 4] int32 in order (REFREF, REFALT, ALTREF, ALTALT).
+
+    When the haplotype word axis is sharded across a mesh axis, pass
+    psum_axis: the partial MXU contractions over the local word slice
+    are psum-reduced to exact global counts (the per-variant scalars
+    ac / n_samples are replicated). Requires the miss plane to carry 1s
+    on padding bits (bitpack._pack_bits pad_value=1) so the derived
+    valid plane is zero there with no positional masking.
     """
     a = unpack_bits(alt_a)
     b = unpack_bits(alt_b)
-    altalt = _dot(a, b)
     if has_missing:
         va = (1 - unpack_bits(miss_a)).astype(jnp.int8)
         vb = (1 - unpack_bits(miss_b)).astype(jnp.int8)
-        # padding bits beyond 2N are zero in alt/miss planes; the valid
-        # plane must also be zero there so valid.valid counts only real
-        # haplotypes
-        n_pad = a.shape[-1]
-        lane = jnp.arange(n_pad) < (2 * n_samples)
-        va = va * lane.astype(jnp.int8)
-        vb = vb * lane.astype(jnp.int8)
-        alt_val = _dot(a, vb)
-        val_alt = _dot(va, b)
-        val_val = _dot(va, vb)
+        parts = jnp.stack([_dot(a, b), _dot(a, vb),
+                           _dot(va, b), _dot(va, vb)])
+        if psum_axis is not None:
+            parts = jax.lax.psum(parts, axis_name=psum_axis)
+        altalt, alt_val, val_alt, val_val = parts
         altref = alt_val - altalt
         refalt = val_alt - altalt
         refref = val_val - altalt - altref - refalt
     else:
+        altalt = _dot(a, b)
+        if psum_axis is not None:
+            altalt = jax.lax.psum(altalt, axis_name=psum_axis)
         altref = ac_a[:, None] - altalt
         refalt = ac_b[None, :] - altalt
         refref = 2 * n_samples - (ac_a[:, None] + ac_b[None, :]) + altalt
@@ -76,30 +81,34 @@ def phased_counts_tile(alt_a, miss_a, alt_b, miss_b, ac_a, ac_b,
 
 def unphased_counts_tile(het_a, hom_a, valid_a, het_b, hom_b, valid_b,
                          n_het_a, n_hom_a, n_het_b, n_hom_b,
-                         n_samples: int, has_missing: bool):
+                         n_samples: int, has_missing: bool,
+                         psum_axis: str = None):
     """3x3 genotype tables for all pairs of two blocks.
 
     Returns [I, J, 3, 3] int32; axis -2 is the A genotype (0/1/2 alt
     alleles), axis -1 the B genotype. Rows/cols count fully-called
-    sample pairs only.
+    sample pairs only. psum_axis: see phased_counts_tile.
     """
     ha = unpack_bits(het_a)
     oa = unpack_bits(hom_a)
     hb = unpack_bits(het_b)
     ob = unpack_bits(hom_b)
-    T11 = _dot(ha, hb)
-    T12 = _dot(ha, ob)
-    T21 = _dot(oa, hb)
-    T22 = _dot(oa, ob)
     if has_missing:
         va = unpack_bits(valid_a)
         vb = unpack_bits(valid_b)
-        hv = _dot(ha, vb)    # A het, B called
-        vh = _dot(va, hb)
-        ov = _dot(oa, vb)
-        vo = _dot(va, ob)
-        vv = _dot(va, vb)
+        parts = jnp.stack([
+            _dot(ha, hb), _dot(ha, ob), _dot(oa, hb), _dot(oa, ob),
+            _dot(ha, vb), _dot(va, hb), _dot(oa, vb), _dot(va, ob),
+            _dot(va, vb)])
+        if psum_axis is not None:
+            parts = jax.lax.psum(parts, axis_name=psum_axis)
+        T11, T12, T21, T22, hv, vh, ov, vo, vv = parts
     else:
+        parts = jnp.stack([_dot(ha, hb), _dot(ha, ob),
+                           _dot(oa, hb), _dot(oa, ob)])
+        if psum_axis is not None:
+            parts = jax.lax.psum(parts, axis_name=psum_axis)
+        T11, T12, T21, T22 = parts
         hv = jnp.broadcast_to(n_het_a[:, None], T11.shape)
         vh = jnp.broadcast_to(n_het_b[None, :], T11.shape)
         ov = jnp.broadcast_to(n_hom_a[:, None], T11.shape)

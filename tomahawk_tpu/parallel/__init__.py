@@ -1,1 +1,1 @@
-from .mesh import make_mesh, sharded_phased_ld
+from .mesh import make_mesh, shard_count_sweep, shard_extract_sweep

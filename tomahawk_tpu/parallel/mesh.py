@@ -15,12 +15,19 @@ shards two axes of the same computation over a device mesh:
   reconstitutes exact counts. This is how runs with very large N keep
   the planes within per-chip HBM.
 
-Both axes compose in one shard_map; collectives ride ICI.
+Both axes compose inside the production two-pass sweeps
+(tomahawk_tpu.compute.sweeps.shard_count_sweep / shard_extract_sweep);
+collectives ride ICI. The LdEngine takes a mesh directly:
+
+    mesh = make_mesh(n_pairs, n_sample_shards)
+    engine = LdEngine(stacked, n_samples, settings, mesh=mesh)
 """
 
-from functools import partial
-
 import numpy as np
+
+# re-exported so parallel consumers need only this module
+from ..compute.sweeps import (shard_count_sweep,          # noqa: F401
+                              shard_extract_sweep)        # noqa: F401
 
 
 def make_mesh(n_pairs: int = None, n_samples_shards: int = 1,
@@ -36,73 +43,3 @@ def make_mesh(n_pairs: int = None, n_samples_shards: int = 1,
         f"{n_pairs} x {n_samples_shards} != {n_dev} devices"
     dev_array = np.array(devices).reshape(n_pairs, n_samples_shards)
     return Mesh(dev_array, axis_names=("pairs", "samples"))
-
-
-def sharded_phased_ld(mesh, n_samples: int, B: int, cap: int,
-                      min_r2: float = 0.1, max_r2: float = 100.0,
-                      window: int = 0):
-    """Jitted sharded function computing phased LD survivor sets for a
-    batch of block pairs.
-
-    Input shapes (global):
-      alt_bits  [NB, B, W] uint32   sharded over W  (samples axis)
-      ac        [NB, B]    int32    replicated
-      valid     [NB, B]    bool     replicated
-      rid, pos  [NB, B]    int32    replicated
-      pair_i/j  [G]        int32    sharded over G  (pairs axis)
-      diag      [G]        bool     sharded over G
-
-    Returns (per global batch): n_pass [G], idx [G, cap], counts
-    [G, cap, 4], n_cand [G] — all sharded over the pairs axis.
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
-    from ..ops import ld_kernels as K
-
-    def local_fn(alt_bits, ac, valid, rid, pos, pair_i, pair_j, diag):
-        # alt_bits: [NB, B, W_local]; pair lists are the local slice
-        def body(_, inp):
-            i, j, dg = inp
-            a = K.unpack_bits(jnp.take(alt_bits, i, axis=0))
-            b = K.unpack_bits(jnp.take(alt_bits, j, axis=0))
-            partial_altalt = jax.lax.dot_general(
-                a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            # exact counts need the full sample axis: psum the partial
-            altalt = jax.lax.psum(partial_altalt, axis_name="samples")
-            ac_i = jnp.take(ac, i, axis=0)
-            ac_j = jnp.take(ac, j, axis=0)
-            altref = ac_i[:, None] - altalt
-            refalt = ac_j[None, :] - altalt
-            refref = 2 * n_samples - (ac_i[:, None] + ac_j[None, :]) \
-                + altalt
-            counts = jnp.stack([refref, refalt, altref, altalt], axis=-1)
-
-            m = jnp.take(valid, i, axis=0)[:, None] & \
-                jnp.take(valid, j, axis=0)[None, :]
-            m &= (ac_i[:, None] + ac_j[None, :]) > 2
-            ii = jnp.arange(B)[:, None]
-            jj = jnp.arange(B)[None, :]
-            m &= jnp.where(dg, ii < jj, True)
-            if window > 0:
-                same = jnp.take(rid, i, axis=0)[:, None] == \
-                    jnp.take(rid, j, axis=0)[None, :]
-                dist = jnp.abs(jnp.take(pos, i, axis=0)[:, None]
-                               - jnp.take(pos, j, axis=0)[None, :])
-                m &= same & (dist <= window)
-            pf = K.phased_prefilter_mask(counts, m, min_r2, max_r2)
-            n, idx, rows = K.compact_tile(pf, counts.reshape(-1, 4), cap)
-            return None, (n, idx, rows, m.sum(dtype=jnp.int32))
-
-        _, out = jax.lax.scan(body, None, (pair_i, pair_j, diag))
-        return out
-
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(None, None, "samples"), P(), P(), P(), P(),
-                  P("pairs"), P("pairs"), P("pairs")),
-        out_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs")),
-        check_rep=False)
-    return jax.jit(fn)
