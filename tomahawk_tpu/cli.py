@@ -55,6 +55,9 @@ def _add_calc(sub):
     p.add_argument("-I", "--interval", action="append", default=[])
     p.add_argument("-b", "--b-size", type=int, default=10000)
     p.add_argument("-l", "--c-level", type=int, default=1)
+    p.add_argument("--performance", action="store_true",
+                   help="print per-kernel dispatch/timing report "
+                   "(reference ComputePerformance analogue)")
 
 
 def _cmd_calc(args):
@@ -67,7 +70,8 @@ def _cmd_calc(args):
         min_p=args.min_p, min_r2=args.min_r2, max_r2=args.max_r2,
         min_dprime=args.min_dprime, max_dprime=args.max_dprime,
         n_chunks=args.n_chunks, c_chunk=args.c_chunk,
-        intervals=args.interval, b_size=args.b_size, c_level=args.c_level)
+        intervals=args.interval, b_size=args.b_size, c_level=args.c_level,
+        performance=args.performance)
     compute_ld(s)
     return 0
 

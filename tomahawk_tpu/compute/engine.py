@@ -62,6 +62,10 @@ class CalcSettings:
     batch_pairs: int = 16
     cap_fraction: float = 0.25
     single: bool = False
+    # tiles per device dispatch: one compiled shape serves runs of any
+    # size, and the progress ticker advances between segments
+    sweep_segment: int = 4096
+    performance: bool = False
 
 
 @dataclass
@@ -148,6 +152,16 @@ class LdEngine:
         self._dev = {k: jnp.asarray(v) for k, v in host.items()}
         self._count_fns = {}
         self._extract_fns = {}
+        self.ticker = None           # optional ProgressTicker
+        # per-config dispatch statistics, the analogue of the
+        # reference's n_method[] kernel counters (ld_engine.h:313)
+        self.stats = {}
+
+    def _stat(self, table, has_missing, cls):
+        key = f"{table}/{'miss' if has_missing else 'nomiss'}/{cls}"
+        return self.stats.setdefault(key, dict(
+            n_tiles=0, n_cand=0, n_pass=0, n_records=0,
+            count_s=0.0, extract_s=0.0, math_s=0.0))
 
     def _cfg(self, table, has_missing, cls):
         return self.sweeps.make_cfg(
@@ -179,10 +193,24 @@ class LdEngine:
 
     # -- orchestration ---------------------------------------------------
     def run_group(self, tiles, table, has_missing, cls, filt, emit) -> int:
-        """Two-pass sweep of one (table, missing, class) tile group.
-        Returns the number of candidate pairs evaluated."""
+        """Two-pass sweep of one (table, missing, class) tile group,
+        processed in fixed-size segments (one compiled shape for runs of
+        any size; progress advances between segments). Returns the
+        number of candidate pairs evaluated."""
+        seg = max(self.settings.sweep_segment, 16 * self.n_pair_shards)
+        n = 0
+        for s in range(0, len(tiles), seg):
+            n += self._run_segment(tiles[s:s + seg], table, has_missing,
+                                   cls, filt, emit)
+        return n
+
+    def _run_segment(self, tiles, table, has_missing, cls, filt,
+                     emit) -> int:
         if not tiles:
             return 0
+        import time as _time
+        stat = self._stat(table, has_missing, cls)
+        stat["n_tiles"] += len(tiles)
         np_ = np
         S = self.n_pair_shards
         Tpad = _bucket(len(tiles), 16 * S)
@@ -192,14 +220,20 @@ class LdEngine:
         dg = np_.array([t[2] for t in tiles] + [True] * pad, bool)
         live = np_.array([True] * len(tiles) + [False] * pad, bool)
 
+        t0 = _time.perf_counter()
         n_pass, n_cand = (np_.asarray(x) for x in self._count_fn(
             table, has_missing, cls)(self._dev, pi, pj, dg, live))
+        stat["count_s"] += _time.perf_counter() - t0
         n_pass, n_cand = n_pass[:len(tiles)], n_cand[:len(tiles)]
         total_cand = int(n_cand.sum())
+        stat["n_cand"] += total_cand
 
         hit = np_.flatnonzero(n_pass)
         if len(hit) == 0:
+            if self.ticker:
+                self.ticker.add(pairs=total_cand)
             return total_cand
+        stat["n_pass"] += int(n_pass.sum())
         ns = n_pass[hit]
         cap = min(_bucket(int(ns.max()), 1024), self.B * self.B)
 
@@ -225,10 +259,12 @@ class LdEngine:
                 offs[1:] = np_.cumsum(ns[g])[:-1]
             hoff[lo:lo + len(g)] = offs
 
+        t0 = _time.perf_counter()
         buf = self._extract_fn(table, has_missing, cls, cap, outcap)(
             self._dev, hpi, hpj, hdg, hoff)
         shard_rows = [np_.asarray(buf[s * outcap:s * outcap + totals[s]])
                       for s in range(S) if totals[s]]
+        stat["extract_s"] += _time.perf_counter() - t0
         rows = np_.concatenate(shard_rows) if shard_rows else \
             np_.zeros((0, 5 if table == "phased" else 10), np_.int32)
 
@@ -240,12 +276,17 @@ class LdEngine:
         bi = pi[hit][tile_of].astype(np_.int64)
         bj = pj[hit][tile_of].astype(np_.int64)
         meta = _pair_meta_from(self.stacked, bi, bj, k, l)
+        t0 = _time.perf_counter()
         if table == "phased":
             recs, _ = phased_math(rows[:, 1:].astype(np_.int64), meta, filt)
         else:
             recs = unphased_math(
                 rows[:, 1:].astype(np_.int64).reshape(-1, 3, 3), meta, filt)
+        stat["math_s"] += _time.perf_counter() - t0
+        stat["n_records"] += len(recs)
         emit(recs)
+        if self.ticker:
+            self.ticker.add(pairs=total_cand, records=len(recs))
         return total_cand
 
     # -- public API ------------------------------------------------------
@@ -346,6 +387,12 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                      max_r2=settings.max_r2, min_dprime=settings.min_dprime,
                      max_dprime=settings.max_dprime)
 
+    # upper-bound pair estimate for the ETA (diag tiles ~ half a tile)
+    est = sum(B * (B - 1) // 2 if d else B * B for _, _, d in pairs)
+    from ..utils.progress import ProgressTicker
+    engine.ticker = ProgressTicker(total_pairs=est,
+                                   n_samples=n_samples).start()
+
     # output
     out = settings.output
     if out not in ("-",) and not out.endswith(".two"):
@@ -372,11 +419,32 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                                      stacked)
 
     writer.close()
+    engine.ticker.finalize()
     result.elapsed = timer.elapsed()
     log("LOG", f"Computed {pretty_int(result.n_pairs)} pairs -> "
         f"{pretty_int(result.n_records)} records in "
         f"{timer.elapsed_string()} "
         f"({pretty_int(int(result.pairs_per_sec))} pairs/s)",
         sub="PROGRESS")
+    if settings.performance:
+        report_performance(engine)
     reader.close()
     return result
+
+
+def report_performance(engine: LdEngine):
+    """Per-kernel-config dispatch and timing report, the analogue of the
+    reference's ComputePerformance / n_method counters
+    (reference: lib/ld/ld.cpp:878-1057, ld_engine.h:171-174,313)."""
+    log("LOG", f"{'config':<24}{'tiles':>8}{'cand pairs':>14}"
+        f"{'prefilter pass':>15}{'count s':>9}{'extract s':>10}"
+        f"{'math s':>8}{'records':>9}", sub="PERF")
+    for key, s in sorted(engine.stats.items()):
+        log("LOG", f"{key:<24}{s['n_tiles']:>8}{s['n_cand']:>14,}"
+            f"{s['n_pass']:>15,}{s['count_s']:>9.3f}"
+            f"{s['extract_s']:>10.3f}{s['math_s']:>8.3f}"
+            f"{s['n_records']:>9,}", sub="PERF")
+        cs = s["count_s"]
+        if cs > 0 and s["n_cand"]:
+            log("LOG", f"{'':<24}count-sweep rate "
+                f"{pretty_int(int(s['n_cand'] / cs))} pairs/s", sub="PERF")
