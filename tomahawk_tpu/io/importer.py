@@ -67,6 +67,13 @@ def rle_encode(codes: np.ndarray, miss: bool):
     Symbols are 2-bit (a<<1|b) without missing, 4-bit (a<<2|b) with.
     Word = length << (2+2*miss) | symbol.
     """
+    from ..native import rle_assess, rle_encode as native_rle
+    width = rle_assess(codes, miss)
+    if width is not None:
+        words = native_rle(codes, width, miss)
+        if words is not None:
+            return words, width
+
     if not miss:
         # compress 4-bit codes to the 2-bit no-missing space
         syms_all = ((codes >> 2) << 1 | (codes & 0b11)).astype(np.uint32)
@@ -202,12 +209,25 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
 
 def _encode_site(site, n_samples: int, settings: ImportSettings,
                  stats: ImportStats) -> Optional[Twk1Record]:
+    from ..native import code_stats
     codes = site.codes
-    ca, cb = codes >> 2, codes & 0b11
-    miss_mask = (ca == 2) | (cb == 2)
-    n_missing_alleles = int(np.sum(ca == 2) + np.sum(cb == 2))
-    full = ~miss_mask
-    n_full = int(full.sum())
+    st = code_stats(codes)
+    if st is not None:
+        (n_refref, n_refalt, n_altref, n_altalt, n_missing_alleles,
+         n_alt, n_ref, n_full) = (int(x) for x in st)
+        ca = cb = None
+    else:
+        ca, cb = codes >> 2, codes & 0b11
+        n_missing_alleles = int(np.sum(ca == 2) + np.sum(cb == 2))
+        full = (ca != 2) & (cb != 2)
+        n_full = int(full.sum())
+        fa, fb = ca[full], cb[full]
+        n_refref = int(np.sum((fa == 0) & (fb == 0)))
+        n_refalt = int(np.sum((fa == 0) & (fb == 1)))
+        n_altref = int(np.sum((fa == 1) & (fb == 0)))
+        n_altalt = int(np.sum((fa == 1) & (fb == 1)))
+        n_alt = int(np.sum(ca == 1) + np.sum(cb == 1))
+        n_ref = int(np.sum(ca == 0) + np.sum(cb == 0))
 
     # missingness / sample-count filters
     if n_full < settings.threshold_miss * n_samples:
@@ -217,33 +237,26 @@ def _encode_site(site, n_samples: int, settings: ImportSettings,
         stats.filtered[2] += 1
         return None
 
-    fa, fb = ca[full], cb[full]
-    n_refref = int(np.sum((fa == 0) & (fb == 0)))
-    n_refalt = int(np.sum((fa == 0) & (fb == 1)))
-    n_altref = int(np.sum((fa == 1) & (fb == 0)))
-    n_altalt = int(np.sum((fa == 1) & (fb == 1)))
-
     if settings.remove_univariate:
         if n_refref == n_full or n_refalt == n_full or \
            n_altref == n_full or n_altalt == n_full:
             stats.filtered[0] += 1
             return None
 
-    n_alt = int(np.sum(ca == 1) + np.sum(cb == 1))
-    n_ref = int(np.sum(ca == 0) + np.sum(cb == 0))
-
     flip = settings.flip_major_minor and (n_alt > n_ref)
     if flip:
         # swap ref<->alt codes (missing unchanged)
+        if ca is None:
+            ca, cb = codes >> 2, codes & 0b11
         ca = np.where(ca == 0, np.uint8(1), np.where(ca == 1, np.uint8(0), ca))
         cb = np.where(cb == 0, np.uint8(1), np.where(cb == 1, np.uint8(0), cb))
         codes = (ca << 2) | cb
         n_alt = n_ref
 
-    miss = bool(miss_mask.any())
+    miss = n_missing_alleles > 0
     runs, width = rle_encode(codes, miss)
 
-    phase_known = cb != 2
+    phase_known = (codes & 0b11) != 2
     if np.any(phase_known):
         ph = site.phase[phase_known]
         mixed = bool(np.any(ph != ph[0]))

@@ -88,11 +88,16 @@ class VcfReader:
         return rid
 
     def sites(self) -> Iterator[VcfSite]:
+        from ..native import parse_gt_line as native_gt
+        from ..native import available as native_ok
+        use_native = native_ok()
         n_samples = self.header.n_samples
         for lineno, line in enumerate(self._fh, 1):
             if not line or line == "\n":
                 continue
-            fields = line.rstrip("\n").split("\t")
+            # limited split: the sample columns stay one blob for the
+            # native parser (twk_native.cpp twk_parse_gt_line)
+            fields = line.rstrip("\n").split("\t", 9)
             if len(fields) < 8:
                 raise ValueError(
                     f"{self.path}: malformed VCF body line {lineno}: "
@@ -107,7 +112,15 @@ class VcfReader:
                               alts[0], np.zeros(0, np.uint8),
                               np.zeros(0, np.uint8), n_alleles, False, False)
                 continue
-            codes, phase, ploidy_ok = _parse_gt_fields(fields[9:], n_samples)
+            parsed = None
+            if use_native and len(fields) > 9:
+                parsed = native_gt(fields[9].encode(), n_samples, gt_col=0)
+            if parsed is not None:
+                codes, phase, ploidy_ok = parsed[0], parsed[1], True
+            else:
+                codes, phase, ploidy_ok = _parse_gt_fields(
+                    fields[9].split("\t") if len(fields) > 9 else [],
+                    n_samples)
             is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
                 ref in "ACGT" and alts[0] in "ACGT"
             yield VcfSite(self._rid_for(chrom), int(pos) - 1, ref, alts[0],

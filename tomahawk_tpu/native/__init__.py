@@ -66,6 +66,13 @@ def get_lib():
         lib.twk_code_stats.restype = None
         lib.twk_code_stats.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_void_p]
+        lib.twk_hwe_exact.restype = None
+        lib.twk_hwe_exact.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p]
+        lib.twk_rle_assess.restype = ctypes.c_int32
+        lib.twk_rle_assess.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -134,6 +141,32 @@ def codes_to_planes(codes: np.ndarray, alt, mis, het, hom, val):
         hom.ctypes.data_as(ctypes.c_void_p),
         val.ctypes.data_as(ctypes.c_void_p))
     return True
+
+
+def hwe_exact(n_het: np.ndarray, n_hom1: np.ndarray, n_hom2: np.ndarray):
+    """Exact HWE p-values, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_het = np.ascontiguousarray(n_het, np.int64)
+    n_hom1 = np.ascontiguousarray(n_hom1, np.int64)
+    n_hom2 = np.ascontiguousarray(n_hom2, np.int64)
+    out = np.empty(len(n_het), np.float64)
+    lib.twk_hwe_exact(n_het.ctypes.data_as(ctypes.c_void_p),
+                      n_hom1.ctypes.data_as(ctypes.c_void_p),
+                      n_hom2.ctypes.data_as(ctypes.c_void_p),
+                      len(n_het), out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def rle_assess(codes: np.ndarray, miss: bool):
+    """Cheapest RLE word width (1/2/4), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    return int(lib.twk_rle_assess(
+        codes.ctypes.data_as(ctypes.c_void_p), len(codes), int(miss)))
 
 
 def code_stats(codes: np.ndarray):

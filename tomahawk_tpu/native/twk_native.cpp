@@ -171,6 +171,94 @@ void twk_codes_to_planes(const uint8_t* codes, int64_t n_samples,
     }
 }
 
+// Exact two-sided Hardy-Weinberg p-value per site (Wigginton et al.
+// 2005 recurrence; same algorithm as the reference's per-site version,
+// reference: lib/core.cpp:103-201 twk1_t::calculateHardyWeinberg).
+// O(rare) per site with no transcendentals.
+void twk_hwe_exact(const int64_t* n_het, const int64_t* n_hom1,
+                   const int64_t* n_hom2, int64_t n_sites, double* out) {
+    int64_t cap = 0;
+    double* probs = nullptr;
+    for (int64_t i = 0; i < n_sites; ++i) {
+        const int64_t hets = n_het[i];
+        const int64_t homc = n_hom1[i] > n_hom2[i] ? n_hom1[i] : n_hom2[i];
+        const int64_t homr = n_hom1[i] > n_hom2[i] ? n_hom2[i] : n_hom1[i];
+        const int64_t genot = hets + homc + homr;
+        if (genot <= 0) { out[i] = 1.0; continue; }
+        const int64_t rare = 2 * homr + hets;
+        if (rare + 1 > cap) {
+            delete[] probs;
+            cap = rare + 1 < 1024 ? 1024 : rare + 1;
+            probs = new double[cap];
+        }
+        for (int64_t h = 0; h <= rare; ++h) probs[h] = 0.0;
+        // start at the distribution mode (parity-matched)
+        int64_t mid = rare * (2 * genot - rare) / (2 * genot);
+        if (((mid ^ rare) & 1) != 0) ++mid;
+        if (mid > rare) mid -= 2;
+        if (mid < 0) mid = (rare & 1);
+        probs[mid] = 1.0;
+        double sum = 1.0;
+        int64_t ch = mid, chomr = (rare - mid) / 2,
+                chomc = genot - mid - chomr;
+        // downward recurrence: h -> h - 2
+        while (ch > 1) {
+            probs[ch - 2] = probs[ch] * (double)ch * (double)(ch - 1)
+                / (4.0 * (double)(chomr + 1) * (double)(chomc + 1));
+            sum += probs[ch - 2];
+            ch -= 2; ++chomr; ++chomc;
+        }
+        // upward recurrence: h -> h + 2
+        ch = mid; chomr = (rare - mid) / 2; chomc = genot - mid - chomr;
+        while (ch <= rare - 2) {
+            probs[ch + 2] = probs[ch] * 4.0 * (double)chomr * (double)chomc
+                / ((double)(ch + 2) * (double)(ch + 1));
+            sum += probs[ch + 2];
+            ch += 2; --chomr; --chomc;
+        }
+        const double p_obs = probs[hets];
+        double tail = 0.0;
+        for (int64_t h = rare & 1; h <= rare; h += 2)
+            if (probs[h] <= p_obs) tail += probs[h];
+        tail /= sum;
+        out[i] = tail > 1.0 ? 1.0 : tail;
+    }
+    delete[] probs;
+}
+
+// Choose the cheapest RLE word width (1/2/4 bytes) for one variant's
+// codes (reference: lib/genotype_encoder.h:138-195 AssessGenotypes).
+int32_t twk_rle_assess(const uint8_t* codes, int64_t n, int32_t miss) {
+    const int shift = 2 + 2 * miss;
+    const uint64_t lim1 = (1ull << (8 - shift)) - 1ull;
+    const uint64_t lim2 = (1ull << (16 - shift)) - 1ull;
+    const uint64_t lim4 = (1ull << (32 - shift)) - 1ull;
+    auto sym_of = [&](uint8_t code) -> uint32_t {
+        if (miss) return code;
+        return ((code >> 2) << 1) | (code & 1u);
+    };
+    uint64_t c1 = 0, c2 = 0, c4 = 0;
+    if (n == 0) return 1;
+    uint32_t cur = sym_of(codes[0]);
+    uint64_t run = 1;
+    auto account = [&](uint64_t r) {
+        c1 += (r + lim1 - 1) / lim1;
+        c2 += (r + lim2 - 1) / lim2;
+        c4 += (r + lim4 - 1) / lim4;
+    };
+    for (int64_t i = 1; i < n; ++i) {
+        const uint32_t s = sym_of(codes[i]);
+        if (s == cur) { ++run; continue; }
+        account(run);
+        cur = s; run = 1;
+    }
+    account(run);
+    const uint64_t b1 = c1 * 1, b2 = c2 * 2, b4 = c4 * 4;
+    if (b1 <= b2 && b1 <= b4) return 1;
+    if (b2 <= b4) return 2;
+    return 4;
+}
+
 // Summary statistics of one variant's codes in a single pass.
 // out layout: [n_refref, n_refalt, n_altref, n_altalt, n_missing_alleles,
 //              n_alt_alleles, n_ref_alleles, n_full]

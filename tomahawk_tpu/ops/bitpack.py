@@ -69,22 +69,55 @@ class BlockPlanes:
 
 def block_to_planes(blk: Twk1Block, n_samples: int,
                     pad_to: int = None) -> BlockPlanes:
+    from ..native import available as native_ok
+    from ..native import codes_to_planes as native_planes
+
     B = blk.n if pad_to is None else pad_to
     assert blk.n <= B
     Wh = words_for(2 * n_samples)
     Ws = words_for(n_samples)
-
-    alt = np.zeros((B, 2 * n_samples), bool)
-    mis = np.zeros((B, 2 * n_samples), bool)
-    het = np.zeros((B, n_samples), bool)
-    hom = np.zeros((B, n_samples), bool)
-    val = np.zeros((B, n_samples), bool)
 
     meta = {k: np.zeros(B, np.int32)
             for k in ("pos", "rid", "ac", "an", "n_het", "n_hom")}
     hwe = np.zeros(B, np.float32)
     has_missing = np.zeros(B, bool)
     valid = np.zeros(B, bool)
+
+    def fill_meta(i, rec):
+        meta["pos"][i] = rec.pos
+        meta["rid"][i] = rec.rid
+        meta["ac"][i] = rec.ac
+        meta["an"][i] = rec.an
+        meta["n_het"][i] = rec.n_het
+        meta["n_hom"][i] = rec.n_hom
+        hwe[i] = rec.hwe
+        has_missing[i] = rec.gt_missing
+        valid[i] = True
+
+    if native_ok():
+        # native path packs straight into uint32 words
+        alt_w = np.zeros((B, Wh), np.uint32)
+        mis_w = np.zeros((B, Wh), np.uint32)
+        het_w = np.zeros((B, Ws), np.uint32)
+        hom_w = np.zeros((B, Ws), np.uint32)
+        val_w = np.zeros((B, Ws), np.uint32)
+        # haplotype padding bits beyond 2N are "missing" (see _pack_bits)
+        mis_w[:] = _pack_bits(np.zeros((1, 2 * n_samples), np.uint8),
+                              Wh, pad_value=1)[0]
+        for i, rec in enumerate(blk.rcds):
+            native_planes(rec.decode_codes(), alt_w[i], mis_w[i],
+                          het_w[i], hom_w[i], val_w[i])
+            fill_meta(i, rec)
+        return BlockPlanes(
+            n_rec=blk.n, alt_bits=alt_w, miss_bits=mis_w, het_bits=het_w,
+            hom_bits=hom_w, valid_bits=val_w,
+            hwe=hwe, has_missing=has_missing, valid=valid, **meta)
+
+    alt = np.zeros((B, 2 * n_samples), bool)
+    mis = np.zeros((B, 2 * n_samples), bool)
+    het = np.zeros((B, n_samples), bool)
+    hom = np.zeros((B, n_samples), bool)
+    val = np.zeros((B, n_samples), bool)
 
     for i, rec in enumerate(blk.rcds):
         codes = rec.decode_codes()
@@ -98,15 +131,7 @@ def block_to_planes(blk: Twk1Block, n_samples: int,
         val[i] = full
         het[i] = full & ((ca + cb) == 1)
         hom[i] = full & (ca == 1) & (cb == 1)
-        meta["pos"][i] = rec.pos
-        meta["rid"][i] = rec.rid
-        meta["ac"][i] = rec.ac
-        meta["an"][i] = rec.an
-        meta["n_het"][i] = rec.n_het
-        meta["n_hom"][i] = rec.n_hom
-        hwe[i] = rec.hwe
-        has_missing[i] = rec.gt_missing
-        valid[i] = True
+        fill_meta(i, rec)
 
     return BlockPlanes(
         n_rec=blk.n,
