@@ -1,0 +1,153 @@
+"""BCF2 reader: byte-level decode checks plus VCF-vs-BCF import parity."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from tomahawk_tpu.io.bcf import BcfReader, is_bcf, write_bcf
+from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+from tomahawk_tpu.io.twk import TwkReader
+from tomahawk_tpu.io.vcf import VcfReader
+
+from test_importer import make_vcf
+
+
+def _vcf_to_bcf(vcf_path, bcf_path):
+    """Re-encode a text VCF as BCF using the site stream itself."""
+    vr = VcfReader(vcf_path)
+    header_text = vr.header.literals + "#CHROM\tPOS\tID\tREF\tALT\tQUAL" \
+        "\tFILTER\tINFO\tFORMAT\t" + "\t".join(vr.header.samples) + "\n"
+    # GT dictionary index: FILTER/INFO/FORMAT ids in order, PASS first
+    ids = ["PASS"]
+    for line in vr.header.literals.splitlines():
+        for kind in ("##FILTER=<", "##INFO=<", "##FORMAT=<"):
+            if line.startswith(kind):
+                body = line[len(kind):].rstrip(">")
+                for kv in body.split(","):
+                    if kv.startswith("ID="):
+                        name = kv[3:].strip('"')
+                        if name not in ids:
+                            ids.append(name)
+    gt_key = ids.index("GT")
+
+    n = len(vr.header.samples)
+    sites = []
+    for site in vr.sites():
+        ca = (site.codes >> 2).astype(np.int32)
+        cb = (site.codes & 3).astype(np.int32)
+        # BCF value = (allele+1)<<1 | phase; missing allele -> 0
+        # missing allele keeps its phase bit (htslib convention)
+        va = np.where(ca == 2, 0, (ca + 1) << 1)
+        vb = np.where(cb == 2, site.phase,
+                      ((cb + 1) << 1) | site.phase)
+        sites.append((site.rid, site.pos, site.ref, site.alt,
+                      np.stack([va, vb], axis=1)))
+    vr.close()
+    write_bcf(bcf_path, header_text, sites, n, gt_key)
+
+
+def test_is_bcf(tmp_path):
+    vcf = str(tmp_path / "a.vcf")
+    make_vcf(vcf, n_samples=6, n_sites=4, miss_frac=0.0, seed=1)
+    bcf = str(tmp_path / "a.bcf")
+    _vcf_to_bcf(vcf, bcf)
+    assert is_bcf(bcf)
+    assert not is_bcf(vcf)
+
+
+def test_bcf_sites_match_vcf(tmp_path):
+    vcf = str(tmp_path / "b.vcf")
+    make_vcf(vcf, n_samples=12, n_sites=25, miss_frac=0.08, seed=2)
+    bcf = str(tmp_path / "b.bcf")
+    _vcf_to_bcf(vcf, bcf)
+
+    vs = list(VcfReader(vcf).sites())
+    bs = list(BcfReader(bcf).sites())
+    assert len(vs) == len(bs)
+    for v, b in zip(vs, bs):
+        assert (v.rid, v.pos, v.ref, v.alt) == (b.rid, b.pos, b.ref, b.alt)
+        assert v.is_snp == b.is_snp and v.ploidy_ok == b.ploidy_ok
+        np.testing.assert_array_equal(v.codes, b.codes)
+        np.testing.assert_array_equal(v.phase, b.phase)
+
+
+def test_bcf_import_parity(tmp_path):
+    """import(VCF) and import(BCF of same data) give identical .twk."""
+    vcf = str(tmp_path / "c.vcf")
+    make_vcf(vcf, n_samples=20, n_sites=30, miss_frac=0.05, seed=3)
+    bcf = str(tmp_path / "c.bcf")
+    _vcf_to_bcf(vcf, bcf)
+
+    twk_v = str(tmp_path / "v.twk")
+    twk_b = str(tmp_path / "b.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk_v, block_size=7,
+                              threshold_miss=0.5))
+    import_vcf(ImportSettings(input=bcf, output=twk_b, block_size=7,
+                              threshold_miss=0.5))
+
+    rv = TwkReader(twk_v)
+    rb = TwkReader(twk_b)
+    recs_v, recs_b = list(rv.records()), list(rb.records())
+    assert len(recs_v) == len(recs_b) > 0
+    for a, b in zip(recs_v, recs_b):
+        assert (a.rid, a.pos, a.ac, a.an, a.n_het, a.n_hom) == \
+            (b.rid, b.pos, b.ac, b.an, b.n_het, b.n_hom)
+        assert a.hwe == pytest.approx(b.hwe)
+        np.testing.assert_array_equal(a.decode_codes(), b.decode_codes())
+    rv.close()
+    rb.close()
+
+
+def test_bcf_int16_gt_width(tmp_path):
+    """GT vectors stored as int16 decode identically to int8."""
+    vcf = str(tmp_path / "d.vcf")
+    make_vcf(vcf, n_samples=8, n_sites=5, miss_frac=0.0, seed=4)
+    vr = VcfReader(vcf)
+    header_text = vr.header.literals + "#CHROM\tPOS\tID\tREF\tALT\tQUAL" \
+        "\tFILTER\tINFO\tFORMAT\t" + "\t".join(vr.header.samples) + "\n"
+    sites = []
+    want = []
+    for site in vr.sites():
+        ca = (site.codes >> 2).astype(np.int32)
+        cb = (site.codes & 3).astype(np.int32)
+        va = np.where(ca == 2, 0, (ca + 1) << 1)
+        vb = np.where(cb == 2, site.phase,
+                      ((cb + 1) << 1) | site.phase)
+        # force int16 storage
+        sites.append((site.rid, site.pos, site.ref, site.alt,
+                      np.stack([va, vb], axis=1) + 0))
+        want.append(site.codes)
+    vr.close()
+
+    bcf = str(tmp_path / "d.bcf")
+    # monkey-wrench: use width-2 encoding by patching write_bcf's choice
+    import tomahawk_tpu.io.bcf as B
+    raw = []
+    gt_key = 1
+    out = bytearray()
+    text = header_text.encode() + b"\x00"
+    out += b"BCF\x02\x02" + struct.pack("<I", len(text)) + text
+    for rid, pos, ref, alt, gt in sites:
+        shared = bytearray()
+        shared += struct.pack("<iii", rid, pos, 1)
+        shared += struct.pack("<f", 0.0)
+        shared += struct.pack("<HH", 0, 2)
+        shared += struct.pack("<I", 8)[:3] + bytes([1])
+        shared += B._typed_string(".") + B._typed_string(ref) + \
+            B._typed_string(alt)
+        shared += B._typed_ints([])
+        indiv = bytearray()
+        indiv += B._typed_ints([gt_key])
+        indiv += bytes([(2 << 4) | 2])               # 2 per sample, int16
+        indiv += np.asarray(gt, np.int16).tobytes()
+        out += struct.pack("<II", len(shared), len(indiv))
+        out += bytes(shared) + bytes(indiv)
+    with gzip.open(bcf, "wb") as fh:
+        fh.write(bytes(out))
+
+    got = list(BcfReader(bcf).sites())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.codes, w)

@@ -110,7 +110,9 @@ def rle_encode(codes: np.ndarray, miss: bool):
 
 def import_vcf(settings: ImportSettings) -> ImportStats:
     timer = Timer()
-    vcf = VcfReader(settings.input)
+    from .bcf import BcfReader, is_bcf
+    vcf = (BcfReader(settings.input) if settings.input != "-"
+           and is_bcf(settings.input) else VcfReader(settings.input))
     n_samples = vcf.header.n_samples
     log("LOG", f"Samples: {pretty_int(n_samples)}...", sub="VCF")
     if n_samples == 0:
