@@ -64,8 +64,8 @@ def build_planes(n_blocks, B, n_samples, seed=0):
 
 def main():
     n_samples = int(os.environ.get("BENCH_SAMPLES", 2504))
-    B = int(os.environ.get("BENCH_BLOCK", 512))
-    n_blocks = int(os.environ.get("BENCH_NBLOCKS", 128))
+    B = int(os.environ.get("BENCH_BLOCK", 4096))
+    n_blocks = int(os.environ.get("BENCH_NBLOCKS", 32))
 
     from tomahawk_tpu.compute.engine import CalcSettings, LdEngine
     from tomahawk_tpu.io.header import VcfContig, VcfHeader

@@ -95,7 +95,7 @@ def test_sharded_count_sweep_matches_jit(table):
     has_missing = table == "unphased"
     cfg = sweeps.make_cfg(table, has_missing, "all", B, n_samples,
                           0, 0.0, 100.0)
-    dev = {k: jnp.asarray(stacked[k]) for k in sweeps.DEV_KEYS}
+    dev = {k: jnp.asarray(stacked[k]) for k in sweeps.dev_keys_for(cfg)}
     n_ref, nc_ref = (np.asarray(x) for x in
                      sweeps.jit_count_sweep(cfg)(dev, pi, pj, dg, live))
     n_sh, nc_sh = (np.asarray(x) for x in

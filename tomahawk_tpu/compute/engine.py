@@ -66,6 +66,11 @@ class CalcSettings:
     # size, and the progress ticker advances between segments
     sweep_segment: int = 4096
     performance: bool = False
+    # consecutive .twk blocks are regrouped into super-blocks of up to
+    # this many variants (never spanning a contig change) so each tile
+    # is one large MXU matmul: [tile_rows x 2N] x [2N x tile_rows].
+    # Small tiles leave the MXU ~10x under-utilized.
+    tile_rows: int = 4096
 
 
 @dataclass
@@ -112,6 +117,40 @@ def _bucket(n: int, lo: int) -> int:
     return b
 
 
+def _round_up(n: int, q: int) -> int:
+    """Round n up to a multiple of q. Used for tile-list padding where
+    every padded entry costs a full tile of compute -- power-of-two
+    padding would waste up to 2x; distinct lengths only cost compiles,
+    which segmenting already bounds to one odd remainder per run."""
+    return ((n + q - 1) // q) * q
+
+
+def _super_ranges(entries, block_ids, tile_rows: int):
+    """Greedily pack consecutive block ids into super-blocks of up to
+    tile_rows records, never crossing a contig boundary or a gap in the
+    id list. Returns a list of dicts with keys ids/n/rid/minpos/maxpos."""
+    out = []
+    cur = None
+    for b in block_ids:
+        e = entries[b]
+        if cur is not None and (
+                cur["rid"] != e.rid or cur["n"] + e.n > tile_rows
+                or cur["ids"][-1] + 1 != b):
+            out.append(cur)
+            cur = None
+        if cur is None:
+            cur = dict(ids=[b], n=e.n, rid=e.rid, minpos=e.minpos,
+                       maxpos=e.maxpos)
+        else:
+            cur["ids"].append(b)
+            cur["n"] += e.n
+            cur["minpos"] = min(cur["minpos"], e.minpos)
+            cur["maxpos"] = max(cur["maxpos"], e.maxpos)
+    if cur is not None:
+        out.append(cur)
+    return out
+
+
 class LdEngine:
     """Holds device-resident block tensors and the jitted two-pass
     sweeps for one run configuration. Pass a ('pairs'[, 'samples'])
@@ -149,13 +188,27 @@ class LdEngine:
                     if k == "miss_bits":   # padding is "missing"
                         pad = ~pad
                     host[k] = np.concatenate([v, pad], axis=-1)
-        self._dev = {k: jnp.asarray(v) for k, v in host.items()}
+        self._host = host
+        self._jnp = jnp
+        self._dev_cache = {}           # lazy per-key uploads
         self._count_fns = {}
         self._extract_fns = {}
         self.ticker = None           # optional ProgressTicker
+        # fused-sweep survivor buffer, grown when a segment spills
+        self._outcap = 1 << 18
         # per-config dispatch statistics, the analogue of the
         # reference's n_method[] kernel counters (ld_engine.h:313)
         self.stats = {}
+
+    def _dev_for(self, cfg) -> dict:
+        """Device tensors for one sweep config, uploaded on first use
+        (a phased run never pays for the het/hom/valid sample planes)."""
+        out = {}
+        for k in self.sweeps.dev_keys_for(cfg):
+            if k not in self._dev_cache:
+                self._dev_cache[k] = self._jnp.asarray(self._host[k])
+            out[k] = self._dev_cache[k]
+        return out
 
     def _stat(self, table, has_missing, cls):
         key = f"{table}/{'miss' if has_missing else 'nomiss'}/{cls}"
@@ -191,6 +244,18 @@ class LdEngine:
             self._extract_fns[key] = fn
         return self._extract_fns[key]
 
+    def _fused_fn(self, table, has_missing, cls, cap, outcap):
+        key = ("fused", table, has_missing, cls, cap, outcap)
+        if key not in self._extract_fns:
+            cfg = self._cfg(table, has_missing, cls)
+            if self.mesh is None:
+                fn = self.sweeps.jit_fused_sweep(cfg, cap, outcap)
+            else:
+                fn = self.sweeps.shard_fused_sweep(self.mesh, cfg, cap,
+                                                   outcap)
+            self._extract_fns[key] = fn
+        return self._extract_fns[key]
+
     # -- orchestration ---------------------------------------------------
     def run_group(self, tiles, table, has_missing, cls, filt, emit) -> int:
         """Two-pass sweep of one (table, missing, class) tile group,
@@ -204,6 +269,10 @@ class LdEngine:
                                    cls, filt, emit)
         return n
 
+    # survivors extracted per tile inside the fused sweep; tiles with
+    # more go through the exact-offset repair pass
+    FUSED_CAP = 1024
+
     def _run_segment(self, tiles, table, has_missing, cls, filt,
                      emit) -> int:
         if not tiles:
@@ -213,62 +282,105 @@ class LdEngine:
         stat["n_tiles"] += len(tiles)
         np_ = np
         S = self.n_pair_shards
-        Tpad = _bucket(len(tiles), 16 * S)
+        Tpad = _round_up(len(tiles), 16 * S)
         pad = Tpad - len(tiles)
         pi = np_.array([t[0] for t in tiles] + [0] * pad, np_.int32)
         pj = np_.array([t[1] for t in tiles] + [0] * pad, np_.int32)
         dg = np_.array([t[2] for t in tiles] + [True] * pad, bool)
         live = np_.array([True] * len(tiles) + [False] * pad, bool)
 
+        dev = self._dev_for(self._cfg(table, has_missing, cls))
+        cap = min(self.FUSED_CAP, self.B * self.B)
+        outcap = max(self._outcap, cap * 2)
+        ncol = 1 + self.sweeps.payload_cols(table, has_missing)
+
         t0 = _time.perf_counter()
-        n_pass, n_cand = (np_.asarray(x) for x in self._count_fn(
-            table, has_missing, cls)(self._dev, pi, pj, dg, live))
+        n_pass, n_cand, buf = self._fused_fn(
+            table, has_missing, cls, cap, outcap)(dev, pi, pj, dg, live)
+        n_pass = np_.asarray(n_pass)
+        n_cand = np_.asarray(n_cand)
         stat["count_s"] += _time.perf_counter() - t0
-        n_pass, n_cand = n_pass[:len(tiles)], n_cand[:len(tiles)]
         total_cand = int(n_cand.sum())
         stat["n_cand"] += total_cand
-
-        hit = np_.flatnonzero(n_pass)
-        if len(hit) == 0:
+        if int(n_pass.sum()) == 0:
             if self.ticker:
                 self.ticker.add(pairs=total_cand)
             return total_cand
-        stat["n_pass"] += int(n_pass.sum())
-        ns = n_pass[hit]
-        cap = min(_bucket(int(ns.max()), 1024), self.B * self.B)
+        stat["n_pass"] += int(n_pass[:len(tiles)].sum())
 
-        # split hit tiles into S contiguous shard groups with per-shard
-        # offsets; every shard fills its own [outcap] buffer region
-        groups = np_.array_split(np_.arange(len(hit)), S)
-        totals = [int(ns[g].sum()) for g in groups]
-        outcap = _bucket(max(totals) + cap, 16384)
-        Hpad = _bucket(max(len(g) for g in groups), 8)
+        # per-shard offsets: each 'pairs' shard ran its own offset
+        # counter over its contiguous Tpad/S slice of the tile list
+        per_shard = Tpad // S
+        offs = np_.zeros(Tpad, np_.int64)
+        for s in range(S):
+            sl = slice(s * per_shard, (s + 1) * per_shard)
+            offs[sl] = np_.cumsum(n_pass[sl]) - n_pass[sl] \
+                + s * outcap
+        boundary = outcap - cap
+        shard_of = np_.arange(Tpad) // per_shard
+        ok = (n_pass <= cap) & \
+            (offs - shard_of * outcap + n_pass <= boundary)
+        ok &= live
 
-        hpi = np_.zeros(Hpad * S, np_.int32)
-        hpj = np_.zeros(Hpad * S, np_.int32)
-        hdg = np_.ones(Hpad * S, bool)
-        # padding tiles park their writes in the junk tail of the buffer
-        hoff = np_.full(Hpad * S, outcap - cap, np_.int32)
-        for s, g in enumerate(groups):
-            lo = s * Hpad
-            hpi[lo:lo + len(g)] = pi[hit[g]]
-            hpj[lo:lo + len(g)] = pj[hit[g]]
-            hdg[lo:lo + len(g)] = dg[hit[g]]
-            offs = np_.zeros(len(g), np_.int32)
-            if len(g):
-                offs[1:] = np_.cumsum(ns[g])[:-1]
-            hoff[lo:lo + len(g)] = offs
-
+        # fetch the intact prefix of every shard buffer in one slice
+        rows_by_tile = {}
         t0 = _time.perf_counter()
-        buf = self._extract_fn(table, has_missing, cls, cap, outcap)(
-            self._dev, hpi, hpj, hdg, hoff)
-        shard_rows = [np_.asarray(buf[s * outcap:s * outcap + totals[s]])
-                      for s in range(S) if totals[s]]
-        stat["extract_s"] += _time.perf_counter() - t0
-        rows = np_.concatenate(shard_rows) if shard_rows else \
-            np_.zeros((0, 5 if table == "phased" else 10), np_.int32)
+        for s in range(S):
+            sl = slice(s * per_shard, (s + 1) * per_shard)
+            sel = np_.flatnonzero(ok[sl] & (n_pass[sl] > 0)) + s * per_shard
+            if len(sel) == 0:
+                continue
+            end = int(offs[sel[-1]] + n_pass[sel[-1]]) - s * outcap
+            shard_buf = np_.asarray(buf[s * outcap:s * outcap + end])
+            for t in sel:
+                lo = int(offs[t]) - s * outcap
+                rows_by_tile[int(t)] = shard_buf[lo:lo + int(n_pass[t])]
 
-        # host math per hit tile, batched into one call per group
+        # repair pass: tiles that overflowed cap or spilled the buffer
+        bad = np_.flatnonzero(live & (n_pass > 0) & ~ok)
+        if len(bad) and int(n_pass[bad].max()) <= cap:
+            # spill (not cap overflow): grow the buffer for later segments
+            self._outcap = min(self._outcap * 4, 1 << 23)
+        if len(bad):
+            ns_bad = n_pass[bad]
+            rcap = min(_bucket(int(ns_bad.max()), 1024), self.B * self.B)
+            groups = np_.array_split(np_.arange(len(bad)), S)
+            totals = [int(ns_bad[g].sum()) for g in groups]
+            routcap = _bucket(max(totals) + rcap, 16384)
+            Hpad = _round_up(max(len(g) for g in groups), 8)
+            hpi = np_.zeros(Hpad * S, np_.int32)
+            hpj = np_.zeros(Hpad * S, np_.int32)
+            hdg = np_.ones(Hpad * S, bool)
+            hoff = np_.full(Hpad * S, routcap - rcap, np_.int32)
+            for s, g in enumerate(groups):
+                lo = s * Hpad
+                hpi[lo:lo + len(g)] = pi[bad[g]]
+                hpj[lo:lo + len(g)] = pj[bad[g]]
+                hdg[lo:lo + len(g)] = dg[bad[g]]
+                o = np_.zeros(len(g), np_.int32)
+                if len(g):
+                    o[1:] = np_.cumsum(ns_bad[g])[:-1]
+                hoff[lo:lo + len(g)] = o
+            rbuf = self._extract_fn(table, has_missing, cls, rcap,
+                                    routcap)(dev, hpi, hpj, hdg, hoff)
+            for s, g in enumerate(groups):
+                if not len(g):
+                    continue
+                shard_buf = np_.asarray(
+                    rbuf[s * routcap:s * routcap + totals[s]])
+                o = 0
+                for gi in g:
+                    t = int(bad[gi])
+                    rows_by_tile[t] = shard_buf[o:o + int(ns_bad[gi])]
+                    o += int(ns_bad[gi])
+        stat["extract_s"] += _time.perf_counter() - t0
+
+        hit = np_.array(sorted(rows_by_tile), np_.int64)
+        ns = n_pass[hit]
+        rows = (np_.concatenate([rows_by_tile[int(t)] for t in hit])
+                if len(hit) else np_.zeros((0, ncol), np_.int32))
+
+        # host math, batched into one call per group
         B = self.B
         idx = rows[:, 0].astype(np_.int64)
         k, l = idx // B, idx % B
@@ -276,18 +388,57 @@ class LdEngine:
         bi = pi[hit][tile_of].astype(np_.int64)
         bj = pj[hit][tile_of].astype(np_.int64)
         meta = _pair_meta_from(self.stacked, bi, bj, k, l)
+        parts = rows[:, 1:].astype(np_.int64)
         t0 = _time.perf_counter()
         if table == "phased":
-            recs, _ = phased_math(rows[:, 1:].astype(np_.int64), meta, filt)
+            counts = self._phased_counts_from_parts(parts, meta)
+            recs, _ = phased_math(counts, meta, filt)
         else:
-            recs = unphased_math(
-                rows[:, 1:].astype(np_.int64).reshape(-1, 3, 3), meta, filt)
+            T = self._unphased_table_from_parts(parts, bi, bj, k, l)
+            recs = unphased_math(T, meta, filt)
         stat["math_s"] += _time.perf_counter() - t0
         stat["n_records"] += len(recs)
         emit(recs)
         if self.ticker:
             self.ticker.add(pairs=total_cand, records=len(recs))
         return total_cand
+
+    def _phased_counts_from_parts(self, parts, meta) -> np.ndarray:
+        """[K, 4] (REFREF, REFALT, ALTREF, ALTALT) int64 from the raw
+        device contractions (mirrors ops.ld_kernels.phased_cells)."""
+        if parts.shape[1] == 4:
+            altalt, alt_val, val_alt, val_val = parts.T
+            altref = alt_val - altalt
+            refalt = val_alt - altalt
+            refref = val_val - altalt - altref - refalt
+        else:
+            altalt = parts[:, 0]
+            altref = meta.ac_a - altalt
+            refalt = meta.ac_b - altalt
+            refref = 2 * self.n_samples - (meta.ac_a + meta.ac_b) + altalt
+        return np.stack([refref, refalt, altref, altalt], axis=1)
+
+    def _unphased_table_from_parts(self, parts, bi, bj, k, l) -> np.ndarray:
+        """[K, 3, 3] int64 genotype tables from the raw device
+        contractions (mirrors ops.ld_kernels.unphased_cells)."""
+        st = self.stacked
+        if parts.shape[1] == 9:
+            T11, T12, T21, T22, hv, vh, ov, vo, vv = parts.T
+        else:
+            T11, T12, T21, T22 = parts.T
+            hv = st["n_het"][bi, k].astype(np.int64)
+            vh = st["n_het"][bj, l].astype(np.int64)
+            ov = st["n_hom"][bi, k].astype(np.int64)
+            vo = st["n_hom"][bj, l].astype(np.int64)
+            vv = np.full(len(T11), self.n_samples, np.int64)
+        T10 = hv - T11 - T12
+        T20 = ov - T21 - T22
+        T01 = vh - T11 - T21
+        T02 = vo - T12 - T22
+        T00 = vv - (T01 + T02 + T10 + T11 + T12 + T20 + T21 + T22)
+        rows = np.stack([T00, T01, T02, T10, T11, T12, T20, T21, T22],
+                        axis=1)
+        return rows.reshape(-1, 3, 3)
 
     # -- public API ------------------------------------------------------
     def run_phased_pairs(self, pairs, has_missing, filt, emit):
@@ -349,38 +500,44 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         from ..post.intervals import blocks_for_intervals
         block_subset = blocks_for_intervals(reader, settings.intervals)
 
-    n_blks = reader.index.n if block_subset is None else len(block_subset)
+    all_ids = (list(range(reader.index.n)) if block_subset is None
+               else list(block_subset))
+    # regroup consecutive .twk blocks into MXU-sized super-blocks
+    supers = _super_ranges(reader.index.ent, all_ids, settings.tile_rows)
+    n_blks = len(supers)
     balancer = Balancer.build(n_blks, settings.n_chunks, settings.c_chunk)
     log("LOG", f"Using ranges [{balancer.fromL}-{balancer.toL},"
-        f"{balancer.fromR}-{balancer.toR}] in "
+        f"{balancer.fromR}-{balancer.toR}] of {n_blks} super-blocks "
+        f"(<= {settings.tile_rows} variants each) in "
         f"{'window' if settings.window else 'square'} mode...",
         sub="BALANCING")
 
-    def real_id(local: int) -> int:
-        return local if block_subset is None else block_subset[local]
-
-    block_ids = [real_id(b) for b in balancer.block_ids()]
-    blocks = [reader.read_block(b) for b in block_ids]
+    super_ids = balancer.block_ids()
+    blocks = []
+    for s in super_ids:
+        sup = supers[s]
+        blk = reader.read_block(sup["ids"][0])
+        for b in sup["ids"][1:]:
+            for rec in reader.read_block(b).rcds:
+                blk.add(rec)
+        blocks.append(blk)
     B = max((blk.n for blk in blocks), default=0)
     if B == 0:
         raise ValueError("no valid data available")
     planes = [block_to_planes(blk, n_samples, pad_to=B) for blk in blocks]
     stacked = stack_planes(planes)
 
-    # map global block index -> local tensor slot
-    slot = {g: s for s, g in enumerate(block_ids)}
+    # map global super index -> local tensor slot
+    slot = {g: s for s, g in enumerate(super_ids)}
 
     if settings.window:
-        ents = [reader.index.ent[real_id(b)] for b in balancer.block_ids()]
-        minpos = {balancer.block_ids()[i]: e.minpos
-                  for i, e in enumerate(ents)}
-        maxpos = {balancer.block_ids()[i]: e.maxpos
-                  for i, e in enumerate(ents)}
-        rid = {balancer.block_ids()[i]: e.rid for i, e in enumerate(ents)}
+        minpos = {s: supers[s]["minpos"] for s in super_ids}
+        maxpos = {s: supers[s]["maxpos"] for s in super_ids}
+        rid = {s: supers[s]["rid"] for s in super_ids}
         pairs = balancer.window_pairs(minpos, maxpos, rid, settings.l_window)
     else:
         pairs = balancer.tile_pairs()
-    pairs = [(slot[real_id(i)], slot[real_id(j)], d) for i, j, d in pairs]
+    pairs = [(slot[i], slot[j], d) for i, j, d in pairs]
 
     engine = LdEngine(stacked, n_samples, settings)
     filt = LdFilters(min_p=settings.min_p, min_r2=settings.min_r2,

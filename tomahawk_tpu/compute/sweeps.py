@@ -31,6 +31,25 @@ DEV_KEYS = ("alt_bits", "miss_bits", "het_bits", "hom_bits", "valid_bits",
 WORD_KEYS = ("alt_bits", "miss_bits", "het_bits", "hom_bits", "valid_bits")
 
 
+def dev_keys_for(cfg) -> tuple:
+    """The subset of DEV_KEYS a sweep config actually reads -- uploads
+    (and shard_map specs) cover only these."""
+    keys = ["ac", "valid"]
+    if cfg["table"] == "phased":
+        keys.append("alt_bits")
+        if cfg["has_missing"]:
+            keys.append("miss_bits")
+    else:
+        keys += ["het_bits", "hom_bits", "n_het", "n_hom"]
+        if cfg["has_missing"]:
+            keys.append("valid_bits")
+    if cfg["window"] > 0:
+        keys += ["pos", "rid"]
+    if cfg["cls"] != "all":
+        keys.append("an")
+    return tuple(k for k in DEV_KEYS if k in keys)
+
+
 def tile_mask(dev, i, j, diag, B, window, cls):
     """Candidate-pair mask for one tile: real rows, the reference's ac
     skip rule (reference: ld_engine.cpp:1910-1912), the upper triangle
@@ -53,26 +72,44 @@ def tile_mask(dev, i, j, diag, B, window, cls):
     return m
 
 
+def payload_cols(table: str, has_missing: bool) -> int:
+    """Raw MXU parts carried per survivor (the host re-derives the full
+    table from these plus replicated per-variant metadata)."""
+    if table == "phased":
+        return 4 if has_missing else 1
+    return 9 if has_missing else 4
+
+
 def tile_prefilter(dev, i, j, diag, cfg):
-    """(prefilter_mask, candidate_mask, payload_flat) for one tile."""
+    """(prefilter_mask, candidate_mask, parts) for one tile. parts are
+    the raw [I, J] contractions; counts/tables are formed only as fused
+    elementwise expressions (a materialized [I, J, 4] tensor would be
+    268 MB of HBM churn per 4096-row tile)."""
     m = tile_mask(dev, i, j, diag, cfg["B"], cfg["window"], cfg["cls"])
+    miss = cfg["has_missing"]
     if cfg["table"] == "phased":
-        counts = K.phased_counts_tile(
-            dev["alt_bits"][i], dev["miss_bits"][i],
-            dev["alt_bits"][j], dev["miss_bits"][j],
-            dev["ac"][i], dev["ac"][j], cfg["n_samples"],
-            cfg["has_missing"], psum_axis=cfg["psum_axis"])
-        pf = K.phased_prefilter_mask(counts, m, cfg["min_r2"],
-                                     cfg["max_r2"])
-        return pf, m, counts.reshape(-1, 4)
-    T = K.unphased_counts_tile(
-        dev["het_bits"][i], dev["hom_bits"][i], dev["valid_bits"][i],
-        dev["het_bits"][j], dev["hom_bits"][j], dev["valid_bits"][j],
-        dev["n_het"][i], dev["n_hom"][i],
-        dev["n_het"][j], dev["n_hom"][j], cfg["n_samples"],
-        cfg["has_missing"], psum_axis=cfg["psum_axis"])
-    pf = K.unphased_prefilter_mask(T, m, cfg["min_r2"], cfg["max_r2"])
-    return pf, m, T.reshape(-1, 9)
+        miss_i = dev["miss_bits"][i] if miss else dev["alt_bits"][i]
+        miss_j = dev["miss_bits"][j] if miss else dev["alt_bits"][j]
+        parts = K.phased_parts_tile(
+            dev["alt_bits"][i], miss_i, dev["alt_bits"][j], miss_j,
+            miss, psum_axis=cfg["psum_axis"])
+        cells = K.phased_cells(parts, dev["ac"][i], dev["ac"][j],
+                               cfg["n_samples"])
+        pf = K.phased_prefilter_cells(cells, m, cfg["min_r2"],
+                                      cfg["max_r2"])
+        return pf, m, parts
+    val_i = dev["valid_bits"][i] if miss else dev["het_bits"][i]
+    val_j = dev["valid_bits"][j] if miss else dev["het_bits"][j]
+    parts = K.unphased_parts_tile(
+        dev["het_bits"][i], dev["hom_bits"][i], val_i,
+        dev["het_bits"][j], dev["hom_bits"][j], val_j,
+        miss, psum_axis=cfg["psum_axis"])
+    cells = K.unphased_cells(parts, dev["n_het"][i], dev["n_hom"][i],
+                             dev["n_het"][j], dev["n_hom"][j],
+                             cfg["n_samples"])
+    pf = K.unphased_prefilter_cells(cells, m, cfg["min_r2"],
+                                    cfg["max_r2"])
+    return pf, m, parts
 
 
 def count_sweep(dev, pi, pj, dg, live, *, cfg):
@@ -87,20 +124,65 @@ def count_sweep(dev, pi, pj, dg, live, *, cfg):
     return out
 
 
+def fused_sweep(dev, pi, pj, dg, live, *, cfg, cap, outcap):
+    """Single-pass sweep: per-tile counts AND capped survivor
+    extraction at a running offset, in one dispatch. When survivors are
+    thinly spread (the common case) this halves the work of the
+    count-then-extract pair; the caller repairs the rare tiles that
+    overflow `cap` or spill past the buffer via extract_sweep with
+    exact offsets.
+
+    Returns (n_pass [T], n_cand [T], buf [outcap, ncol]). The running
+    offsets equal the host-side prefix sums of n_pass, so the caller
+    can slice each tile's rows without any index column round trip.
+    Writes clamp at outcap - cap; rows at or beyond the clamp boundary
+    are garbage whenever the total spills (detectable from n_pass)."""
+    ncol = 1 + payload_cols(cfg["table"], cfg["has_missing"])
+    BB = cfg["B"] * cfg["B"]
+
+    def body(carry, inp):
+        buf, off = carry
+        i, j, diag, lv = inp
+        pf, m, parts = tile_prefilter(dev, i, j, diag, cfg)
+        pf &= lv
+        n = pf.sum(dtype=jnp.int32)
+        nc = jnp.where(lv, m.sum(dtype=jnp.int32), 0)
+
+        def hit(buf):
+            _, idx = K.compact_indices_small(pf, cap)
+            safe = jnp.minimum(idx, BB - 1)
+            cols = [idx[:, None]] + [p.reshape(-1)[safe][:, None]
+                                     for p in parts]
+            rec = jnp.concatenate(cols, axis=1)
+            return jax.lax.dynamic_update_slice(
+                buf, rec, (jnp.minimum(off, outcap - cap), 0))
+
+        # most tiles have no survivors: skip the whole compaction
+        buf = jax.lax.cond(n > 0, hit, lambda b: b, buf)
+        return (buf, off + n), (n, nc)
+
+    buf0 = jnp.zeros((outcap, ncol), jnp.int32)
+    (buf, _), (n, nc) = jax.lax.scan(body, (buf0, jnp.int32(0)),
+                                     (pi, pj, dg, live))
+    return n, nc, buf
+
+
 def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
-    """Re-sweep hit tiles, writing [idx, payload...] survivor rows at
+    """Re-sweep hit tiles, writing [idx, raw parts...] survivor rows at
     exact offsets into one [outcap, ncol] buffer. Rows past each tile's
     survivor count are junk that later tiles overwrite; the caller
     slices the buffer to the exact total."""
-    ncol = 5 if cfg["table"] == "phased" else 10
+    ncol = 1 + payload_cols(cfg["table"], cfg["has_missing"])
     BB = cfg["B"] * cfg["B"]
 
     def body(buf, inp):
         i, j, diag, o = inp
-        pf, _, payload = tile_prefilter(dev, i, j, diag, cfg)
+        pf, _, parts = tile_prefilter(dev, i, j, diag, cfg)
         _, idx = K.compact_indices(pf, cap)
-        rows = payload[jnp.minimum(idx, BB - 1)]
-        rec = jnp.concatenate([idx[:, None], rows], axis=1)
+        safe = jnp.minimum(idx, BB - 1)
+        cols = [idx[:, None]] + [p.reshape(-1)[safe][:, None]
+                                 for p in parts]
+        rec = jnp.concatenate(cols, axis=1)
         buf = jax.lax.dynamic_update_slice(buf, rec, (o, 0))
         return buf, None
 
@@ -125,9 +207,30 @@ def jit_extract_sweep(cfg, cap, outcap):
     return jax.jit(partial(extract_sweep, cfg=cfg, cap=cap, outcap=outcap))
 
 
-def _dev_specs(P, samples_sharded: bool):
+def jit_fused_sweep(cfg, cap, outcap):
+    return jax.jit(partial(fused_sweep, cfg=cfg, cap=cap, outcap=outcap))
+
+
+def shard_fused_sweep(mesh, cfg, cap, outcap):
+    """fused_sweep over a mesh: each 'pairs' shard keeps its own running
+    offset into its own [outcap, ncol] buffer region; the global result
+    concatenates shard buffers, and per-shard offsets are the prefix
+    sums of that shard's n_pass slice."""
+    from jax.sharding import PartitionSpec as P
+    samples = "samples" in mesh.axis_names and mesh.shape["samples"] > 1
+    cfg = dict(cfg, psum_axis="samples" if samples else None)
+    fn = jax.shard_map(
+        partial(fused_sweep, cfg=cfg, cap=cap, outcap=outcap), mesh=mesh,
+        in_specs=(_dev_specs(P, samples, dev_keys_for(cfg)),
+                  P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+        out_specs=(P("pairs"), P("pairs"), P("pairs")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def _dev_specs(P, samples_sharded: bool, keys):
     specs = {}
-    for k in DEV_KEYS:
+    for k in keys:
         if k in WORD_KEYS and samples_sharded:
             specs[k] = P(None, None, "samples")
         else:
@@ -144,7 +247,7 @@ def shard_count_sweep(mesh, cfg):
     cfg = dict(cfg, psum_axis="samples" if samples else None)
     fn = jax.shard_map(
         partial(count_sweep, cfg=cfg), mesh=mesh,
-        in_specs=(_dev_specs(P, samples),
+        in_specs=(_dev_specs(P, samples, dev_keys_for(cfg)),
                   P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         out_specs=(P("pairs"), P("pairs")),
         check_vma=False)
@@ -165,7 +268,7 @@ def shard_extract_sweep(mesh, cfg, cap, outcap):
     # the output is replicated by construction
     fn = jax.shard_map(
         partial(extract_sweep, cfg=cfg, cap=cap, outcap=outcap), mesh=mesh,
-        in_specs=(_dev_specs(P, samples),
+        in_specs=(_dev_specs(P, samples, dev_keys_for(cfg)),
                   P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         out_specs=P("pairs"),
         check_vma=False)

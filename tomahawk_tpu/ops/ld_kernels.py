@@ -29,9 +29,15 @@ import numpy as np
 
 
 def unpack_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """[..., W] uint32 -> [..., W*32] int8 of 0/1 (little-endian bits)."""
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (x[..., None] >> shifts) & jnp.uint32(1)
+    """[..., W] uint32 -> [..., W*32] int8 of 0/1 (little-endian bits).
+
+    Bitcast to uint8 first so the intermediate is [..., W, 4, 8] uint8
+    (same bytes as the output) rather than a 16x larger uint32 tensor --
+    the unpack runs per tile inside the sweep scan, so its HBM footprint
+    matters more than its op count."""
+    b8 = jax.lax.bitcast_convert_type(x, jnp.uint8)       # [..., W, 4]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (b8[..., None] >> shifts) & jnp.uint8(1)
     return bits.reshape(*x.shape[:-1], x.shape[-1] * 32).astype(jnp.int8)
 
 
@@ -42,19 +48,20 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.int32)
 
 
-def phased_counts_tile(alt_a, miss_a, alt_b, miss_b, ac_a, ac_b,
-                       n_samples: int, has_missing: bool,
-                       psum_axis: str = None):
-    """2x2 haplotype tables for all pairs of two blocks.
-
-    Returns [I, J, 4] int32 in order (REFREF, REFALT, ALTREF, ALTALT).
+def phased_parts_tile(alt_a, miss_a, alt_b, miss_b,
+                      has_missing: bool, psum_axis: str = None):
+    """Raw MXU contractions for a tile of pairs: (altalt,) without
+    missing data, (altalt, alt_val, val_alt, val_val) with. Everything
+    downstream is an elementwise expression of these [I, J] int32
+    arrays plus replicated per-variant scalars -- crucially the
+    [I, J, 4] count tensor is never materialized (at 4096-row tiles it
+    would be 268 MB of HBM churn per tile).
 
     When the haplotype word axis is sharded across a mesh axis, pass
-    psum_axis: the partial MXU contractions over the local word slice
-    are psum-reduced to exact global counts (the per-variant scalars
-    ac / n_samples are replicated). Requires the miss plane to carry 1s
-    on padding bits (bitpack._pack_bits pad_value=1) so the derived
-    valid plane is zero there with no positional masking.
+    psum_axis: the partial contractions over the local word slice are
+    psum-reduced to exact global counts. Requires the miss plane to
+    carry 1s on padding bits (bitpack._pack_bits pad_value=1) so the
+    derived valid plane is zero there with no positional masking.
     """
     a = unpack_bits(alt_a)
     b = unpack_bits(alt_b)
@@ -65,65 +72,98 @@ def phased_counts_tile(alt_a, miss_a, alt_b, miss_b, ac_a, ac_b,
                            _dot(va, b), _dot(va, vb)])
         if psum_axis is not None:
             parts = jax.lax.psum(parts, axis_name=psum_axis)
+        return tuple(parts)
+    altalt = _dot(a, b)
+    if psum_axis is not None:
+        altalt = jax.lax.psum(altalt, axis_name=psum_axis)
+    return (altalt,)
+
+
+def phased_cells(parts, ac_a, ac_b, n_samples: int):
+    """(REFREF, REFALT, ALTREF, ALTALT) [I, J] expressions from raw
+    parts. The no-missing derivation from allele counts is the
+    reference's trick for skipping 3 of 4 popcount passes
+    (reference: ld_engine.cpp:683-685)."""
+    if len(parts) == 4:
         altalt, alt_val, val_alt, val_val = parts
         altref = alt_val - altalt
         refalt = val_alt - altalt
         refref = val_val - altalt - altref - refalt
     else:
-        altalt = _dot(a, b)
-        if psum_axis is not None:
-            altalt = jax.lax.psum(altalt, axis_name=psum_axis)
+        (altalt,) = parts
         altref = ac_a[:, None] - altalt
         refalt = ac_b[None, :] - altalt
         refref = 2 * n_samples - (ac_a[:, None] + ac_b[None, :]) + altalt
-    return jnp.stack([refref, refalt, altref, altalt], axis=-1)
+    return refref, refalt, altref, altalt
+
+
+def phased_counts_tile(alt_a, miss_a, alt_b, miss_b, ac_a, ac_b,
+                       n_samples: int, has_missing: bool,
+                       psum_axis: str = None):
+    """Stacked [I, J, 4] int32 (REFREF, REFALT, ALTREF, ALTALT) -- the
+    materialized form, for small tiles and tests."""
+    parts = phased_parts_tile(alt_a, miss_a, alt_b, miss_b, has_missing,
+                              psum_axis)
+    return jnp.stack(phased_cells(parts, ac_a, ac_b, n_samples), axis=-1)
+
+
+def unphased_parts_tile(het_a, hom_a, valid_a, het_b, hom_b, valid_b,
+                        has_missing: bool, psum_axis: str = None):
+    """Raw MXU contractions for the unphased 3x3 table: 4 class-plane
+    dots without missing data, plus 5 marginal dots against the valid
+    plane with. psum_axis: see phased_parts_tile."""
+    ha = unpack_bits(het_a)
+    oa = unpack_bits(hom_a)
+    hb = unpack_bits(het_b)
+    ob = unpack_bits(hom_b)
+    dots = [_dot(ha, hb), _dot(ha, ob), _dot(oa, hb), _dot(oa, ob)]
+    if has_missing:
+        va = unpack_bits(valid_a)
+        vb = unpack_bits(valid_b)
+        dots += [_dot(ha, vb), _dot(va, hb), _dot(oa, vb), _dot(va, ob),
+                 _dot(va, vb)]
+    parts = jnp.stack(dots)
+    if psum_axis is not None:
+        parts = jax.lax.psum(parts, axis_name=psum_axis)
+    return tuple(parts)
+
+
+def unphased_cells(parts, n_het_a, n_hom_a, n_het_b, n_hom_b,
+                   n_samples: int):
+    """The 9 table cells T00..T22 as [I, J] expressions (row = A
+    genotype 0/1/2 alt alleles, col = B), counting fully-called sample
+    pairs only."""
+    if len(parts) == 9:
+        T11, T12, T21, T22, hv, vh, ov, vo, vv = parts
+    else:
+        T11, T12, T21, T22 = parts
+        hv = n_het_a[:, None]
+        vh = n_het_b[None, :]
+        ov = n_hom_a[:, None]
+        vo = n_hom_b[None, :]
+        vv = jnp.int32(n_samples)
+    T10 = hv - T11 - T12
+    T20 = ov - T21 - T22
+    T01 = vh - T11 - T21
+    T02 = vo - T12 - T22
+    T00 = vv - (T01 + T02 + T10 + T11 + T12 + T20 + T21 + T22)
+    return (T00, T01, T02, T10, T11, T12, T20, T21, T22)
 
 
 def unphased_counts_tile(het_a, hom_a, valid_a, het_b, hom_b, valid_b,
                          n_het_a, n_hom_a, n_het_b, n_hom_b,
                          n_samples: int, has_missing: bool,
                          psum_axis: str = None):
-    """3x3 genotype tables for all pairs of two blocks.
-
-    Returns [I, J, 3, 3] int32; axis -2 is the A genotype (0/1/2 alt
-    alleles), axis -1 the B genotype. Rows/cols count fully-called
-    sample pairs only. psum_axis: see phased_counts_tile.
-    """
-    ha = unpack_bits(het_a)
-    oa = unpack_bits(hom_a)
-    hb = unpack_bits(het_b)
-    ob = unpack_bits(hom_b)
-    if has_missing:
-        va = unpack_bits(valid_a)
-        vb = unpack_bits(valid_b)
-        parts = jnp.stack([
-            _dot(ha, hb), _dot(ha, ob), _dot(oa, hb), _dot(oa, ob),
-            _dot(ha, vb), _dot(va, hb), _dot(oa, vb), _dot(va, ob),
-            _dot(va, vb)])
-        if psum_axis is not None:
-            parts = jax.lax.psum(parts, axis_name=psum_axis)
-        T11, T12, T21, T22, hv, vh, ov, vo, vv = parts
-    else:
-        parts = jnp.stack([_dot(ha, hb), _dot(ha, ob),
-                           _dot(oa, hb), _dot(oa, ob)])
-        if psum_axis is not None:
-            parts = jax.lax.psum(parts, axis_name=psum_axis)
-        T11, T12, T21, T22 = parts
-        hv = jnp.broadcast_to(n_het_a[:, None], T11.shape)
-        vh = jnp.broadcast_to(n_het_b[None, :], T11.shape)
-        ov = jnp.broadcast_to(n_hom_a[:, None], T11.shape)
-        vo = jnp.broadcast_to(n_hom_b[None, :], T11.shape)
-        vv = jnp.full(T11.shape, n_samples, jnp.int32)
-    T10 = hv - T11 - T12
-    T20 = ov - T21 - T22
-    T01 = vh - T11 - T21
-    T02 = vo - T12 - T22
-    T00 = vv - (T01 + T02 + T10 + T11 + T12 + T20 + T21 + T22)
-    rows = [
-        jnp.stack([T00, T01, T02], axis=-1),
-        jnp.stack([T10, T11, T12], axis=-1),
-        jnp.stack([T20, T21, T22], axis=-1),
-    ]
+    """Stacked [I, J, 3, 3] int32 table -- the materialized form, for
+    small tiles and tests."""
+    parts = unphased_parts_tile(het_a, hom_a, valid_a, het_b, hom_b,
+                                valid_b, has_missing, psum_axis)
+    cells = unphased_cells(parts, n_het_a, n_hom_a, n_het_b, n_hom_b,
+                           n_samples)
+    cells = [jnp.broadcast_to(c, cells[4].shape) for c in cells]
+    rows = [jnp.stack(cells[0:3], axis=-1),
+            jnp.stack(cells[3:6], axis=-1),
+            jnp.stack(cells[6:9], axis=-1)]
     return jnp.stack(rows, axis=-2)
 
 
@@ -147,12 +187,14 @@ def pair_mask_tile(valid_a, valid_b, ac_a, ac_b, rid_a, rid_b, pos_a, pos_b,
     return m
 
 
-def phased_r2_f32(counts):
-    """Approximate r2 (f32) for on-device prefiltering; the host redoes
-    the math exactly in f64 on survivors."""
-    c = counts.astype(jnp.float32)
-    refref, refalt, altref, altalt = (c[..., 0], c[..., 1],
-                                      c[..., 2], c[..., 3])
+def phased_r2_cells(refref, refalt, altref, altalt):
+    """Approximate r2 (f32) from 2x2 cell expressions, for on-device
+    prefiltering; the host redoes the math exactly in f64 on
+    survivors."""
+    refref = refref.astype(jnp.float32)
+    refalt = refalt.astype(jnp.float32)
+    altref = altref.astype(jnp.float32)
+    altalt = altalt.astype(jnp.float32)
     t = refref + refalt + altref + altalt
     ts = jnp.where(t > 0, t, 1.0)
     D = (refref * altalt - altref * refalt) / (ts * ts)
@@ -165,20 +207,33 @@ def phased_r2_f32(counts):
                      jnp.float32(np.inf))
 
 
-def phased_prefilter_mask(counts, pair_mask, min_r2: float, max_r2: float):
+def phased_r2_f32(counts):
+    return phased_r2_cells(counts[..., 0], counts[..., 1],
+                           counts[..., 2], counts[..., 3])
+
+
+def phased_prefilter_cells(cells, pair_mask, min_r2: float,
+                           max_r2: float):
     """Conservative device filter mirroring PhasedMath's integer guards
-    and the r2 range with an f32 safety margin."""
-    c = counts
-    t = c.sum(axis=-1)
+    and the r2 range with an f32 safety margin. Takes the four cell
+    expressions so no [I, J, 4] tensor is ever materialized."""
+    refref, refalt, altref, altalt = cells
+    t = refref + refalt + altref + altalt
     m = pair_mask & (t >= 5)
-    guard = jnp.where(c[..., 0] < c[..., 3],
-                      c[..., 1] + c[..., 2] + c[..., 0],
-                      c[..., 3] + c[..., 1] + c[..., 2])
+    guard = jnp.where(refref < altalt,
+                      refalt + altref + refref,
+                      altalt + refalt + altref)
     m &= guard >= 5
-    r2 = phased_r2_f32(c)
+    r2 = phased_r2_cells(refref, refalt, altref, altalt)
     lo = jnp.float32(min_r2) * 0.999 - 1e-6
     hi = jnp.float32(max_r2) * 1.001 + 1e-6
     return m & (r2 >= lo) & (r2 <= hi)
+
+
+def phased_prefilter_mask(counts, pair_mask, min_r2: float, max_r2: float):
+    return phased_prefilter_cells(
+        (counts[..., 0], counts[..., 1], counts[..., 2], counts[..., 3]),
+        pair_mask, min_r2, max_r2)
 
 
 def compact_tile(mask, payload_flat, cap: int):
@@ -197,20 +252,80 @@ def compact_tile(mask, payload_flat, cap: int):
 
 
 def compact_indices(mask, cap: int):
-    """Flat indices of the first `cap` set bits of `mask`, gather-only
-    (cumsum + vectorized binary search -- scatter-free, so it is fast on
-    TPU where jnp.nonzero's scatter path is not). Slots k >= n_pass hold
-    out-of-range garbage; callers must treat only the first n_pass rows
-    as live."""
-    flat = mask.ravel()
-    c = jnp.cumsum(flat.astype(jnp.int32))
-    n_pass = c[-1]
+    """Flat indices of the first `cap` set bits of a 2D `mask`,
+    gather-only and two-level (scatter-free, so it is fast on TPU where
+    jnp.nonzero's scatter path is not): a row-wise cumsum + row-total
+    search locates each survivor's row, then a vectorized binary search
+    over that row's cumsum finds its column -- O(rows + cap log cols)
+    instead of a cumsum and search over the full rows*cols flat array.
+    Slots k >= n_pass hold out-of-range garbage; callers must treat only
+    the first n_pass rows as live."""
+    if mask.ndim == 1:
+        mask = mask[None, :]
+    I, J = mask.shape
+    rowc = jnp.cumsum(mask.astype(jnp.int32), axis=-1)     # [I, J]
+    roff = jnp.cumsum(rowc[:, -1])                          # [I] inclusive
+    n_pass = roff[-1]
     ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    idx = jnp.searchsorted(c, ks, side="left").astype(jnp.int32)
-    return n_pass, idx
+    ri = jnp.minimum(jnp.searchsorted(roff, ks, side="left"),
+                     I - 1).astype(jnp.int32)
+    base = jnp.where(ri > 0, roff[jnp.maximum(ri - 1, 0)], 0)
+    kk = ks - base                                          # rank in row
+    lo = jnp.zeros(cap, jnp.int32)
+    hi = jnp.full(cap, J, jnp.int32)
+
+    def step(c, _):
+        lo, hi = c
+        mid = (lo + hi) // 2
+        val = rowc[ri, jnp.minimum(mid, J - 1)]
+        right = val < kk
+        return (jnp.where(right, mid + 1, lo),
+                jnp.where(right, hi, mid)), None
+
+    n_steps = max(1, int(np.ceil(np.log2(J + 1))))
+    (lo, _), _ = jax.lax.scan(step, (lo, hi), None, length=n_steps)
+    idx = ri * J + lo
+    return n_pass, idx.astype(jnp.int32)
 
 
-def unphased_prefilter_mask(T, pair_mask, min_r2: float, max_r2: float):
+def compact_indices_small(mask, cap: int):
+    """compact_indices for small caps: instead of cumsumming the whole
+    [I, J] mask (a log2(J)-pass, ~1.6 GB-traffic operation at 4096^2),
+    compute row sums in one pass, locate each survivor's row, and
+    cumsum only the <= cap gathered rows. Same contract as
+    compact_indices."""
+    if mask.ndim == 1:
+        mask = mask[None, :]
+    I, J = mask.shape
+    rc = mask.sum(axis=-1, dtype=jnp.int32)                 # [I]
+    roff = jnp.cumsum(rc)                                   # inclusive
+    n_pass = roff[-1]
+    ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    ri = jnp.minimum(jnp.searchsorted(roff, ks, side="left"),
+                     I - 1).astype(jnp.int32)
+    base = jnp.where(ri > 0, roff[jnp.maximum(ri - 1, 0)], 0)
+    kk = ks - base                                          # rank in row
+    rowc = jnp.cumsum(mask[ri].astype(jnp.int32), axis=-1)  # [cap, J]
+    rng = jnp.arange(cap)
+    lo = jnp.zeros(cap, jnp.int32)
+    hi = jnp.full(cap, J, jnp.int32)
+
+    def step(c, _):
+        lo, hi = c
+        mid = (lo + hi) // 2
+        val = rowc[rng, jnp.minimum(mid, J - 1)]
+        right = val < kk
+        return (jnp.where(right, mid + 1, lo),
+                jnp.where(right, hi, mid)), None
+
+    n_steps = max(1, int(np.ceil(np.log2(J + 1))))
+    (lo, _), _ = jax.lax.scan(step, (lo, hi), None, length=n_steps)
+    idx = ri * J + lo
+    return n_pass, idx.astype(jnp.int32)
+
+
+def unphased_prefilter_cells(cells, pair_mask, min_r2: float,
+                             max_r2: float):
     """Conservative device prefilter for the unphased path: an f32
     re-derivation of the reference's cubic-EM estimator
     (reference: ld_engine.cpp:1312-1740) that passes a pair when ANY
@@ -218,18 +333,17 @@ def unphased_prefilter_mask(T, pair_mask, min_r2: float, max_r2: float):
     The host recomputes the exact f64 root choice + all filters on
     survivors, so this only needs to be a superset of the keep set.
 
-    T: [..., 3, 3] int32 genotype tables (rows: A genotype 0/1/2 alt).
+    cells: the 9 T00..T22 expressions from unphased_cells.
     """
-    Tf = T.astype(jnp.float32)
-    n = Tf.sum(axis=(-1, -2))
+    T00, T01, T02, T10, T11, T12, T20, T21, T22 = (
+        c.astype(jnp.float32) for c in cells)
+    n = T00 + T01 + T02 + T10 + T11 + T12 + T20 + T21 + T22
     m = pair_mask & (n >= 5)          # MINIMUM_ALLOWED_ALLELES gate
     ns = jnp.maximum(n, 1.0)
-    rowsum = Tf.sum(axis=-1)
-    colsum = Tf.sum(axis=-2)
-    p = (2 * rowsum[..., 0] + rowsum[..., 1]) / (2 * ns)
-    q = (2 * colsum[..., 0] + colsum[..., 1]) / (2 * ns)
-    n11 = 2 * Tf[..., 0, 0] + Tf[..., 0, 1] + Tf[..., 1, 0]
-    ndh = Tf[..., 1, 1]
+    p = (2 * (T00 + T01 + T02) + (T10 + T11 + T12)) / (2 * ns)
+    q = (2 * (T00 + T10 + T20) + (T01 + T11 + T21)) / (2 * ns)
+    n11 = 2 * T00 + T01 + T10
+    ndh = T11
 
     lo = jnp.float32(min_r2) * 0.98 - 1e-4
     hi = jnp.float32(max_r2) * 1.02 + 1e-4
@@ -241,13 +355,12 @@ def unphased_prefilter_mask(T, pair_mask, min_r2: float, max_r2: float):
                          jnp.float32(np.inf))
 
     # ---- fold case (no double hets): exact phased table ----
-    refref = 2 * Tf[..., 0, 0] + Tf[..., 0, 1] + Tf[..., 1, 0]
-    refalt = 2 * Tf[..., 0, 2] + Tf[..., 0, 1] + Tf[..., 1, 2]
-    altref = 2 * Tf[..., 2, 0] + Tf[..., 1, 0] + Tf[..., 2, 1]
-    altalt = 2 * Tf[..., 2, 2] + Tf[..., 2, 1] + Tf[..., 1, 2]
-    fold_counts = jnp.stack([refref, refalt, altref, altalt], axis=-1)
-    r2_fold = phased_r2_f32(fold_counts)
-    t = fold_counts.sum(axis=-1)
+    refref = 2 * T00 + T01 + T10
+    refalt = 2 * T02 + T01 + T12
+    altref = 2 * T20 + T10 + T21
+    altalt = 2 * T22 + T21 + T12
+    r2_fold = phased_r2_cells(refref, refalt, altref, altalt)
+    t = refref + refalt + altref + altalt
     fold_ok = (t >= 5) & (r2_fold >= lo) & (r2_fold <= hi)
 
     # ---- EM case: all candidate cubic roots, branchless ----
@@ -287,3 +400,11 @@ def unphased_prefilter_mask(T, pair_mask, min_r2: float, max_r2: float):
         em_ok |= plausible & (rr >= lo) & (rr <= hi)
 
     return m & jnp.where(ndh == 0, fold_ok, em_ok)
+
+
+def unphased_prefilter_mask(T, pair_mask, min_r2: float, max_r2: float):
+    """Stacked-table wrapper over unphased_prefilter_cells."""
+    cells = (T[..., 0, 0], T[..., 0, 1], T[..., 0, 2],
+             T[..., 1, 0], T[..., 1, 1], T[..., 1, 2],
+             T[..., 2, 0], T[..., 2, 1], T[..., 2, 2])
+    return unphased_prefilter_cells(cells, pair_mask, min_r2, max_r2)
