@@ -4,11 +4,16 @@ Mirrors the reference two-phase design (reference: lib/two_reader.cpp:
 162-422, lib/two_sorter_structs.h): phase 1 sorts memory-capped runs of
 records by (ridA, ridB, Apos, Bpos) and spills them as zstd-compressed
 temporary chunks; phase 2 k-way-merges the runs into a sorted .two file
-with a TWK_IDX_SORTED index and per-contig meta entries. Record-level
-sorting uses numpy lexsort; the merge is a heap over run cursors.
+with a TWK_IDX_SORTED index and per-contig meta entries.
+
+The merge is batched rather than per-record (the reference pops one
+record at a time through a priority queue, two_reader.cpp:290-398):
+every iteration takes the minimum of the loaded chunk tails as a safe
+boundary, slices each run up to it with a searchsorted on packed sort
+keys, and lexsorts the combined batch -- each record passes through one
+vectorized lexsort instead of a Python heap operation.
 """
 
-import heapq
 import os
 import struct
 import tempfile
@@ -26,6 +31,25 @@ def _sort_indices(recs: np.ndarray) -> np.ndarray:
     operator< (lib/core.cpp:458-468)."""
     return np.lexsort((recs["packB"] >> 2, recs["packA"] >> 2,
                        recs["ridB"], recs["ridA"]))
+
+
+def _pack_keys(recs: np.ndarray):
+    """(k1, k2) packed sort keys: k1 = ridA<<48 | ridB<<32 | posA (rids
+    < 2^16, positions < 2^32 after the 2-bit flag shift), k2 = posB.
+    (k1, k2) ordering equals the reference's 4-field ordering."""
+    k1 = (recs["ridA"].astype(np.uint64) << 48) \
+        | (recs["ridB"].astype(np.uint64) << 32) \
+        | (recs["packA"].astype(np.uint64) >> 2)
+    k2 = (recs["packB"] >> 2).astype(np.uint32)
+    return k1, k2
+
+
+def _cut_at(k1, k2, b1, b2) -> int:
+    """Index of the first record with key > boundary (b1, b2) in a
+    (k1, k2)-sorted run."""
+    lo = int(np.searchsorted(k1, b1, "left"))
+    hi = int(np.searchsorted(k1, b1, "right"))
+    return lo + int(np.searchsorted(k2[lo:hi], b2, "right"))
 
 
 def sort_two(input_path: str, output_path: str,
@@ -84,70 +108,71 @@ def sort_two(input_path: str, output_path: str,
         dctx = zstandard.ZstdDecompressor()
 
         class RunCursor:
-            __slots__ = ("fh", "pos", "end", "recs", "i", "dctx")
+            """Streams one sorted run chunk-by-chunk, keeping several
+            chunks buffered so boundary batches stay large."""
+            __slots__ = ("fh", "pos", "end", "recs", "k1", "k2")
+            BUFFER_CHUNKS = 8
 
             def __init__(self, path, foff, fend):
                 self.fh = open(path, "rb")
                 self.pos = foff
                 self.end = fend
-                self.recs = None
-                self.i = 0
-                self._advance_chunk()
+                self.recs = np.zeros(0, TWO_DTYPE)
+                self.k1 = np.zeros(0, np.uint64)
+                self.k2 = np.zeros(0, np.uint32)
+                self.refill()
 
-            def _advance_chunk(self):
-                if self.pos >= self.end:
-                    self.recs = None
-                    return
-                self.fh.seek(self.pos)
-                n, nc = struct.unpack("<II", self.fh.read(8))
-                data = dctx.decompress(self.fh.read(nc),
-                                       max_output_size=n *
-                                       TWO_DTYPE.itemsize)
-                self.pos = self.fh.tell()
-                self.recs = np.frombuffer(data, TWO_DTYPE)
-                self.i = 0
+            def refill(self):
+                parts = [self.recs]
+                for _ in range(self.BUFFER_CHUNKS):
+                    if self.pos >= self.end:
+                        break
+                    self.fh.seek(self.pos)
+                    n, nc = struct.unpack("<II", self.fh.read(8))
+                    data = dctx.decompress(
+                        self.fh.read(nc),
+                        max_output_size=n * TWO_DTYPE.itemsize)
+                    self.pos = self.fh.tell()
+                    parts.append(np.frombuffer(data, TWO_DTYPE))
+                if len(parts) > 1:
+                    self.recs = np.concatenate(parts)
+                    self.k1, self.k2 = _pack_keys(self.recs)
 
-            def head_key(self):
-                r = self.recs[self.i]
-                return (int(r["ridA"]), int(r["ridB"]),
-                        int(r["packA"]) >> 2, int(r["packB"]) >> 2)
-
-            def pop(self):
-                r = self.recs[self.i]
-                self.i += 1
-                if self.i >= len(self.recs):
-                    self._advance_chunk()
-                return r
+            def consume(self, cut: int):
+                self.recs = self.recs[cut:]
+                self.k1 = self.k1[cut:]
+                self.k2 = self.k2[cut:]
+                if len(self.recs) == 0 and self.pos < self.end:
+                    self.refill()
 
             def exhausted(self):
-                return self.recs is None
+                return len(self.recs) == 0 and self.pos >= self.end
 
         if len(runs) == 1:
-            # single run: stream chunks straight through
             cur = RunCursor(tmp_path, runs[0][0], runs[0][1])
             while not cur.exhausted():
-                recs = cur.recs[cur.i:]
-                writer.add(recs)
-                cur._advance_chunk()
+                writer.add(cur.recs)
+                cur.consume(len(cur.recs))
             cur.fh.close()
         else:
             cursors = [RunCursor(tmp_path, f, e) for f, e, _ in runs]
-            heap = [(c.head_key(), k) for k, c in enumerate(cursors)
-                    if not c.exhausted()]
-            heapq.heapify(heap)
-            out_buf = np.zeros(run_chunk, TWO_DTYPE)
-            out_n = 0
-            while heap:
-                _, k = heapq.heappop(heap)
-                out_buf[out_n] = cursors[k].pop()
-                out_n += 1
-                if out_n == run_chunk:
-                    writer.add(out_buf.copy())
-                    out_n = 0
-                if not cursors[k].exhausted():
-                    heapq.heappush(heap, (cursors[k].head_key(), k))
-            if out_n:
-                writer.add(out_buf[:out_n].copy())
+            while True:
+                live = [c for c in cursors if not c.exhausted()]
+                if not live:
+                    break
+                # safe boundary: the smallest loaded tail key -- every
+                # record <= it is already in memory across all runs
+                tails = [(c.k1[-1], c.k2[-1]) for c in live]
+                b1, b2 = min(tails)
+                batch = []
+                for c in live:
+                    cut = (len(c.recs) if (c.k1[-1], c.k2[-1]) == (b1, b2)
+                           else _cut_at(c.k1, c.k2, b1, b2))
+                    if cut:
+                        batch.append(c.recs[:cut])
+                        c.consume(cut)
+                merged = np.concatenate(batch)
+                writer.add(merged[_sort_indices(merged)])
             for c in cursors:
                 c.fh.close()
         writer.close()
