@@ -153,9 +153,13 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
                             int(offsets[c + 1])))
 
     # ---- pass 2: scatter-add into bins ---------------------------------
-    cnt = np.zeros((xbins, ybins))
-    tot = np.zeros((xbins, ybins))
-    tot2 = np.zeros((xbins, ybins))
+    # np.bincount on a flattened bin index is ~100x np.ufunc.at; min/max
+    # (which have no bincount form) are only tallied when requested
+    XY = xbins * ybins
+    need_minmax = reduce in ("min", "max")
+    cnt = np.zeros(XY)
+    tot = np.zeros(XY)
+    tot2 = np.zeros(XY)
     vmin = np.full((xbins, ybins), np.inf)
     vmax = np.full((xbins, ybins), -np.inf)
 
@@ -170,12 +174,17 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
         xb = np.clip(fa * xbins // total_range, 0, xbins - 1)
         yb = np.clip(fb * ybins // total_range, 0, ybins - 1)
         v = value_of(recs).astype(np.float64)
-        np.add.at(cnt, (xb, yb), 1.0)
-        np.add.at(tot, (xb, yb), v)
-        np.add.at(tot2, (xb, yb), v * v)
-        np.minimum.at(vmin, (xb, yb), v)
-        np.maximum.at(vmax, (xb, yb), v)
+        flat = xb * ybins + yb
+        cnt += np.bincount(flat, minlength=XY)
+        tot += np.bincount(flat, weights=v, minlength=XY)
+        tot2 += np.bincount(flat, weights=v * v, minlength=XY)
+        if need_minmax:
+            np.minimum.at(vmin, (xb, yb), v)
+            np.maximum.at(vmax, (xb, yb), v)
     reader2.close()
+    cnt = cnt.reshape(xbins, ybins)
+    tot = tot.reshape(xbins, ybins)
+    tot2 = tot2.reshape(xbins, ybins)
 
     ok = cnt >= max(min_count, 1)
     safe_cnt = np.where(cnt > 0, cnt, 1.0)
