@@ -58,6 +58,9 @@ def _add_calc(sub):
     p.add_argument("--performance", action="store_true",
                    help="print per-kernel dispatch/timing report "
                    "(reference ComputePerformance analogue)")
+    p.add_argument("--mesh", default="auto",
+                   help="device mesh: 'auto' (all local devices), "
+                   "'off', or 'PxS' pairs-by-samples shape")
 
 
 def _cmd_calc(args):
@@ -71,7 +74,7 @@ def _cmd_calc(args):
         min_dprime=args.min_dprime, max_dprime=args.max_dprime,
         n_chunks=args.n_chunks, c_chunk=args.c_chunk,
         intervals=args.interval, b_size=args.b_size, c_level=args.c_level,
-        performance=args.performance)
+        performance=args.performance, mesh=args.mesh)
     compute_ld(s)
     return 0
 

@@ -71,6 +71,10 @@ class CalcSettings:
     # is one large MXU matmul: [tile_rows x 2N] x [2N x tile_rows].
     # Small tiles leave the MXU ~10x under-utilized.
     tile_rows: int = 4096
+    # "auto": shard the tile grid over all local devices when more than
+    # one is visible; "off": single device; "PxS": explicit
+    # ('pairs', 'samples') mesh shape
+    mesh: str = "auto"
 
 
 @dataclass
@@ -484,6 +488,21 @@ def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
     return n
 
 
+def _resolve_mesh(spec: str):
+    """CalcSettings.mesh -> jax Mesh or None. 'auto' shards the tile
+    grid over all visible devices (pairs axis) when there is more than
+    one; 'PxS' builds an explicit ('pairs', 'samples') mesh."""
+    if spec in ("off", "", None):
+        return None
+    import jax
+    from ..parallel.mesh import make_mesh
+    n_dev = len(jax.devices())
+    if spec == "auto":
+        return make_mesh(n_dev, 1) if n_dev > 1 else None
+    p, _, s = spec.partition("x")
+    return make_mesh(int(p), int(s) if s else 1)
+
+
 def compute_ld(settings: CalcSettings) -> CalcResult:
     timer = Timer()
     log("LOG", f"Opening {settings.input}...", sub="READER")
@@ -539,7 +558,10 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         pairs = balancer.tile_pairs()
     pairs = [(slot[i], slot[j], d) for i, j, d in pairs]
 
-    engine = LdEngine(stacked, n_samples, settings)
+    mesh = _resolve_mesh(settings.mesh)
+    if mesh is not None:
+        log("LOG", f"Device mesh: {dict(mesh.shape)}", sub="MESH")
+    engine = LdEngine(stacked, n_samples, settings, mesh=mesh)
     filt = LdFilters(min_p=settings.min_p, min_r2=settings.min_r2,
                      max_r2=settings.max_r2, min_dprime=settings.min_dprime,
                      max_dprime=settings.max_dprime)
