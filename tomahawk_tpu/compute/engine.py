@@ -275,7 +275,7 @@ class LdEngine:
 
     # survivors extracted per tile inside the fused sweep; tiles with
     # more go through the exact-offset repair pass
-    FUSED_CAP = 1024
+    FUSED_CAP = 256
 
     def _run_segment(self, tiles, table, has_missing, cls, filt,
                      emit) -> int:
