@@ -2,24 +2,18 @@
 
 TPU-native replacement for the reference's slave/ticker engine
 (reference: lib/ld/ld.cpp:477-671, ld_engine.cpp:1815-2880): variant
-blocks become bitpacked device tensors resident in HBM; the block-pair
-tile grid is swept in TWO fused device dispatches that amortize the
-host<->device round trip over the whole run:
-
-  pass 1 (count sweep)   one jitted lax.scan over every tile computes
-                         contingency counts on the MXU, applies the f32
-                         prefilter, and returns only per-tile survivor /
-                         candidate counts (8 bytes per tile).
-  pass 2 (extract sweep) only tiles with survivors are re-swept; each
-                         writes its compacted survivor rows at an exact
-                         host-computed offset into one output buffer
-                         (gather-only compaction: cumsum + searchsorted,
-                         no TPU scatter).
+blocks regroup into MXU-sized super-blocks whose bitpacked planes live
+in HBM, and the block-pair tile grid is swept by ONE fused device
+dispatch per segment (compute/sweeps.py fused_sweep): per-tile MXU
+contingency contractions, the f32 prefilter, per-tile survivor counts,
+and capped gather-only compaction at a running offset, all inside one
+lax.scan. The rare tiles that overflow the cap or spill the buffer are
+repaired by a second exact-offset extract sweep.
 
 Exact f64 statistics + Fisher tests are then recomputed on the host for
-survivors only, and records stream to a .two writer. This keeps total
-host<->device traffic proportional to the OUTPUT size, which matters
-both for tunneled devices and for multi-host runs.
+survivors only, and records stream to a .two writer. Total host<->device
+traffic is proportional to the OUTPUT size, which matters both for
+tunneled devices and for multi-host runs.
 """
 
 import datetime
