@@ -114,25 +114,48 @@ def _add_view(sub):
     p.add_argument("-P", "--max-p", type=float, default=None)
     p.add_argument("-d", "--min-dprime", type=float, default=None)
     p.add_argument("-D", "--max-dprime", type=float, default=None)
+    p.add_argument("-z", "--min-r", type=float, default=None)
+    p.add_argument("-Z", "--max-r", type=float, default=None)
+    p.add_argument("--min-d", type=float, default=None)
+    p.add_argument("--max-d", type=float, default=None)
+    p.add_argument("--min-chi", type=float, default=None,
+                   help="min ChiSqFisher (contingency chi-squared)")
+    p.add_argument("--max-chi", type=float, default=None)
+    p.add_argument("--min-mcv", type=float, default=None,
+                   help="min ChiSqModel (unphased model chi-squared)")
+    p.add_argument("--max-mcv", type=float, default=None)
+    for cell, desc in (("p1", "REF_REF"), ("p2", "REF_ALT"),
+                       ("q1", "ALT_REF"), ("q2", "ALT_ALT")):
+        p.add_argument(f"--min-{cell}", type=float, default=None,
+                       help=f"min {desc} haplotype count")
+        p.add_argument(f"--max-{cell}", type=float, default=None)
     p.add_argument("-m", "--hap-min", type=float, default=0.0,
-                   help="minimum count in any haplotype cell")
+                   help="minimum count in any haplotype cell (minMHC)")
     p.add_argument("-f", "--flag-include", type=int, default=0)
     p.add_argument("-F", "--flag-exclude", type=int, default=0)
     p.add_argument("-U", "--upper-only", action="store_true")
     p.add_argument("-L", "--lower-only", action="store_true")
 
 
+def _rng(lo, hi):
+    return (lo, hi) if lo is not None or hi is not None else None
+
+
 def _cmd_view(args):
     from .post.filters import TwoFilter
     from .post.view import view
     filt = TwoFilter(
-        r2=(args.min_r2, args.max_r2)
-        if args.min_r2 is not None or args.max_r2 is not None else None,
-        p=(args.min_p, args.max_p)
-        if args.min_p is not None or args.max_p is not None else None,
-        dprime=(args.min_dprime, args.max_dprime)
-        if args.min_dprime is not None or args.max_dprime is not None
-        else None,
+        r2=_rng(args.min_r2, args.max_r2),
+        r=_rng(args.min_r, args.max_r),
+        p=_rng(args.min_p, args.max_p),
+        d=_rng(args.min_d, args.max_d),
+        dprime=_rng(args.min_dprime, args.max_dprime),
+        chisq_fisher=_rng(args.min_chi, args.max_chi),
+        chisq_model=_rng(args.min_mcv, args.max_mcv),
+        refref=_rng(args.min_p1, args.max_p1),
+        refalt=_rng(args.min_p2, args.max_p2),
+        altref=_rng(args.min_q1, args.max_q1),
+        altalt=_rng(args.min_q2, args.max_q2),
         hap_min=args.hap_min,
         flag_include=args.flag_include, flag_exclude=args.flag_exclude,
         upper_only=args.upper_only, lower_only=args.lower_only)
