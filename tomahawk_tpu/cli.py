@@ -178,24 +178,34 @@ def _add_sort(sub):
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-m", "--memory-limit", type=float, default=0.5,
                    help="GB per in-memory run")
+    p.add_argument("-c", "--c-level", type=int, default=1)
     p.add_argument("-t", "--threads", type=int, default=0)
 
 
 def _cmd_sort(args):
     from .post.sort import sort_two
-    sort_two(args.input, args.output, memory_limit_gb=args.memory_limit)
+    sort_two(args.input, args.output, memory_limit_gb=args.memory_limit,
+             c_level=args.c_level)
     return 0
 
 
 def _add_concat(sub):
     p = sub.add_parser("concat", help="concatenate .two files")
-    p.add_argument("-i", "--input", action="append", required=True)
+    p.add_argument("-i", "--input", action="append", default=[])
+    p.add_argument("-I", "--input-list", default=None,
+                   help="text file with one input path per line")
     p.add_argument("-o", "--output", required=True)
 
 
 def _cmd_concat(args):
     from .post.concat import concat_two
-    concat_two(args.input, args.output)
+    inputs = list(args.input)
+    if args.input_list:
+        with open(args.input_list) as fh:
+            inputs += [ln.strip() for ln in fh if ln.strip()]
+    if len(inputs) < 2:
+        raise SystemExit("concat needs at least two input files")
+    concat_two(inputs, args.output)
     return 0
 
 
@@ -212,13 +222,15 @@ def _add_aggregate(sub):
     p.add_argument("-x", "--xbins", type=int, default=1000)
     p.add_argument("-y", "--ybins", type=int, default=1000)
     p.add_argument("-c", "--min-count", type=int, default=5)
+    p.add_argument("-I", "--interval", action="append", default=[])
 
 
 def _cmd_aggregate(args):
     from .post.aggregate import aggregate_two
     aggregate_two(args.input, args.output, agg=args.aggregate_function,
                   reduce=args.reduce_function, xbins=args.xbins,
-                  ybins=args.ybins, min_count=args.min_count)
+                  ybins=args.ybins, min_count=args.min_count,
+                  intervals=args.interval)
     return 0
 
 
@@ -258,10 +270,14 @@ def _add_haplotype(sub):
     p.add_argument("-o", "--output", default="-")
     p.add_argument("-I", "--interval", required=True)
     p.add_argument("--format", default="fasta", choices=["fasta", "tsv"])
+    p.add_argument("-m", "--matrix", action="store_true",
+                   help="tab-separated matrix output (same as --format tsv)")
 
 
 def _cmd_haplotype(args):
     from .post.haplotype import haplotype
+    if args.matrix:
+        args.format = "tsv"
     haplotype(args.input, args.output, args.interval, fmt=args.format)
     return 0
 
@@ -271,11 +287,12 @@ def _add_relationship(sub):
                        help="pairwise sample kinship/IBS matrix")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="-")
+    p.add_argument("-I", "--interval", action="append", default=[])
 
 
 def _cmd_relationship(args):
     from .post.relationship import relationship
-    relationship(args.input, args.output)
+    relationship(args.input, args.output, intervals=args.interval)
     return 0
 
 

@@ -104,7 +104,8 @@ class Twa:
 
 def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
                   reduce: str = "mean", xbins: int = 1000,
-                  ybins: int = 1000, min_count: int = 5) -> Twa:
+                  ybins: int = 1000, min_count: int = 5,
+                  intervals=None) -> Twa:
     if agg not in AGG_FIELDS:
         raise ValueError(f"unknown aggregation function: {agg}")
     if reduce not in REDUCERS:
@@ -113,12 +114,25 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
 
     reader = TwoReader(input_path)
     n_contigs = max(reader.header.n_contigs, 1)
+    ivals = None
+    if intervals:
+        from .intervals import parse_intervals, interval_mask
+        ivals = parse_intervals(intervals, reader.header)
+
+    def _filtered(recs):
+        if ivals is None:
+            return recs
+        from .intervals import interval_mask
+        return recs[interval_mask(recs, ivals)]
 
     # ---- pass 1: used ranges per contig --------------------------------
     mn = np.full(n_contigs, np.iinfo(np.uint32).max, np.int64)
     mx = np.zeros(n_contigs, np.int64)
     n_original = 0
     for recs in reader.blocks():
+        recs = _filtered(recs)
+        if not len(recs):
+            continue
         n_original += len(recs)
         for rid_f, pos_f in (("ridA", "packA"), ("ridB", "packB")):
             rid = recs[rid_f].astype(np.int64)
@@ -165,6 +179,9 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
 
     reader2 = TwoReader(input_path)
     for recs in reader2.blocks():
+        recs = _filtered(recs)
+        if not len(recs):
+            continue
         rid_a = recs["ridA"].astype(np.int64)
         rid_b = recs["ridB"].astype(np.int64)
         pos_a = (recs["packA"] >> 2).astype(np.int64)

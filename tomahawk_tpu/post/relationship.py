@@ -31,7 +31,7 @@ from ..utils import Timer, log, pretty_int
 
 
 def relationship(input_path: str, output: str = "-", block_rows: int = 512,
-                 out_stream=None):
+                 out_stream=None, intervals=None):
     import jax
     import jax.numpy as jnp
     from ..utils.jaxcache import enable_compilation_cache
@@ -47,12 +47,25 @@ def relationship(input_path: str, output: str = "-", block_rows: int = 512,
             g, g, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
 
+    ivals = None
+    if intervals:
+        from .intervals import parse_intervals
+        ivals = parse_intervals(intervals, reader.header)
+
+    def _keep(rec):
+        if ivals is None:
+            return True
+        return any(iv.rid == rec.rid and iv.start <= rec.pos <= iv.end
+                   for iv in ivals)
+
     kin = jnp.zeros((n_samples, n_samples), jnp.int32)
     n_variants = 0
     buf = np.zeros((block_rows, n_samples), np.int8)
     fill = 0
     for blk in reader.blocks():
         for rec in blk.rcds:
+            if not _keep(rec):
+                continue
             codes = rec.decode_codes()
             ca, cb = codes >> 2, codes & 0b11
             full = (ca != 2) & (cb != 2)

@@ -53,7 +53,8 @@ def _cut_at(k1, k2, b1, b2) -> int:
 
 
 def sort_two(input_path: str, output_path: str,
-             memory_limit_gb: float = 0.5, run_chunk: int = 10000) -> int:
+             memory_limit_gb: float = 0.5, run_chunk: int = 10000,
+             c_level: int = 1) -> int:
     timer = Timer()
     reader = TwoReader(input_path)
     if not output_path.endswith(".two"):
@@ -67,7 +68,7 @@ def sort_two(input_path: str, output_path: str,
                                         dir=os.path.dirname(
                                             os.path.abspath(output_path)))
     runs = []  # list of (foff, fend, n)
-    cctx = zstandard.ZstdCompressor(level=1)
+    cctx = zstandard.ZstdCompressor(level=c_level)
     n_total = 0
     with os.fdopen(tmp_fd, "wb") as tmp:
         buf = []
@@ -104,7 +105,7 @@ def sort_two(input_path: str, output_path: str,
         log("LOG", f"Merging {len(runs)} run(s), "
             f"{pretty_int(n_total)} records...", sub="SORT")
         writer = TwoWriter(output_path, reader.header,
-                           state=TWK_IDX_SORTED)
+                           c_level=c_level, state=TWK_IDX_SORTED)
         dctx = zstandard.ZstdDecompressor()
 
         class RunCursor:
