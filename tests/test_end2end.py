@@ -160,3 +160,32 @@ def test_cli_import_calc_view(tmp_path, capsys):
     cols = data[0].split("\t")
     assert len(cols) == 16
     assert cols[1] == "20"  # contig name resolved
+
+
+def test_calc_banded_streaming_matches_full(tmp_path):
+    """Low-memory band-pair streaming must reproduce the in-memory run."""
+    vcf_path = str(tmp_path / "m.vcf")
+    make_vcf(vcf_path, n_samples=30, n_sites=40, miss_frac=0.05, seed=11)
+    twk = str(tmp_path / "m.twk")
+    import_vcf(ImportSettings(input=vcf_path, output=twk, block_size=5,
+                              threshold_miss=0.5))
+    full = str(tmp_path / "full.two")
+    compute_ld(CalcSettings(input=twk, output=full, min_r2=0.0,
+                            tile_rows=10, mesh="off"))
+    banded = str(tmp_path / "banded.two")
+    compute_ld(CalcSettings(input=twk, output=banded, min_r2=0.0,
+                            tile_rows=10, mesh="off", memory_gb=1e-6))
+
+    ra, rb = TwoReader(full), TwoReader(banded)
+    a, b = ra.records(), rb.records()
+    ra.close()
+    rb.close()
+    assert len(a) == len(b) > 0
+
+    def key(r):
+        return np.lexsort((r["packB"], r["packA"], r["ridB"], r["ridA"]))
+    a, b = a[key(a)], b[key(b)]
+    for f in ("ridA", "ridB", "packA", "packB", "controller"):
+        np.testing.assert_array_equal(a[f], b[f])
+    for f in ("D", "Dprime", "R2", "P"):
+        np.testing.assert_allclose(a[f], b[f], atol=1e-12)

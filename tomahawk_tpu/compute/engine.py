@@ -69,6 +69,10 @@ class CalcSettings:
     # one is visible; "off": single device; "PxS": explicit
     # ('pairs', 'samples') mesh shape
     mesh: str = "auto"
+    # device-memory budget for the bitpacked planes; inputs that exceed
+    # it stream in band pairs (the low-memory analogue of the
+    # reference's calc -M, reference: ld_engine.cpp:1871-1896)
+    memory_gb: float = 12.0
 
 
 @dataclass
@@ -482,6 +486,32 @@ def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
     return n
 
 
+def _plan_loads(super_ids, pairs, budget_supers: int):
+    """Partition the run into device loads. If all supers fit the
+    budget, one load covers everything; otherwise supers split into
+    bands of budget/2 and every band pair becomes a load containing its
+    slice of the tile list (classic blocked streaming: each band is
+    uploaded O(n_bands) times instead of holding everything in HBM)."""
+    if len(super_ids) <= budget_supers:
+        return [(list(super_ids), list(pairs))]
+    band = max(1, budget_supers // 2)
+    bands = [list(super_ids[k:k + band])
+             for k in range(0, len(super_ids), band)]
+    of_band = {}
+    for bi, ids in enumerate(bands):
+        for g in ids:
+            of_band[g] = bi
+    by_pair = {}
+    for i, j, d in pairs:
+        key = (of_band[i], of_band[j])
+        by_pair.setdefault(key, []).append((i, j, d))
+    loads = []
+    for (p, q) in sorted(by_pair):
+        ids = bands[p] if p == q else bands[p] + bands[q]
+        loads.append((ids, by_pair[(p, q)]))
+    return loads
+
+
 def _resolve_mesh(spec: str):
     """CalcSettings.mesh -> jax Mesh or None. 'auto' shards the tile
     grid over all visible devices (pairs axis) when there is more than
@@ -526,22 +556,9 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         sub="BALANCING")
 
     super_ids = balancer.block_ids()
-    blocks = []
-    for s in super_ids:
-        sup = supers[s]
-        blk = reader.read_block(sup["ids"][0])
-        for b in sup["ids"][1:]:
-            for rec in reader.read_block(b).rcds:
-                blk.add(rec)
-        blocks.append(blk)
-    B = max((blk.n for blk in blocks), default=0)
+    B = max((supers[s]["n"] for s in super_ids), default=0)
     if B == 0:
         raise ValueError("no valid data available")
-    planes = [block_to_planes(blk, n_samples, pad_to=B) for blk in blocks]
-    stacked = stack_planes(planes)
-
-    # map global super index -> local tensor slot
-    slot = {g: s for s, g in enumerate(super_ids)}
 
     if settings.window:
         minpos = {s: supers[s]["minpos"] for s in super_ids}
@@ -550,12 +567,23 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         pairs = balancer.window_pairs(minpos, maxpos, rid, settings.l_window)
     else:
         pairs = balancer.tile_pairs()
-    pairs = [(slot[i], slot[j], d) for i, j, d in pairs]
+
+    # band the super list when the bitpacked planes exceed the device
+    # memory budget (low-memory streaming; reference calc -M analogue)
+    Wh = (2 * n_samples + 127) // 128 * 4
+    Ws = (n_samples + 127) // 128 * 4
+    per_super = B * (2 * Wh + 3 * Ws) * 4
+    budget = max(2, int(settings.memory_gb * (1 << 30) / max(per_super, 1)))
+    loads = _plan_loads(super_ids, pairs, budget)
+    if len(loads) > 1:
+        log("LOG", f"Streaming {len(super_ids)} super-blocks in "
+            f"{len(loads)} band pairs "
+            f"(~{per_super * budget / 2**30:.1f} GB budget)...",
+            sub="MEMORY")
 
     mesh = _resolve_mesh(settings.mesh)
     if mesh is not None:
         log("LOG", f"Device mesh: {dict(mesh.shape)}", sub="MESH")
-    engine = LdEngine(stacked, n_samples, settings, mesh=mesh)
     filt = LdFilters(min_p=settings.min_p, min_r2=settings.min_r2,
                      max_r2=settings.max_r2, min_dprime=settings.min_dprime,
                      max_dprime=settings.max_dprime)
@@ -563,8 +591,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # upper-bound pair estimate for the ETA (diag tiles ~ half a tile)
     est = sum(B * (B - 1) // 2 if d else B * B for _, _, d in pairs)
     from ..utils.progress import ProgressTicker
-    engine.ticker = ProgressTicker(total_pairs=est,
-                                   n_samples=n_samples).start()
+    ticker = ProgressTicker(total_pairs=est, n_samples=n_samples).start()
 
     # output
     out = settings.output
@@ -588,11 +615,35 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
 
     mode = ("phased" if settings.force_phased else
             "unphased" if settings.forced_unphased else "mixed")
-    result.n_pairs += dispatch_pairs(engine, pairs, mode, filt, emit,
-                                     stacked)
+
+    all_stats = {}
+    for load_ids, load_tiles in loads:
+        blocks = []
+        for s in load_ids:
+            sup = supers[s]
+            blk = reader.read_block(sup["ids"][0])
+            for b in sup["ids"][1:]:
+                for rec in reader.read_block(b).rcds:
+                    blk.add(rec)
+            blocks.append(blk)
+        planes = [block_to_planes(blk, n_samples, pad_to=B)
+                  for blk in blocks]
+        stacked = stack_planes(planes)
+        slot = {g: s for s, g in enumerate(load_ids)}
+        tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
+
+        engine = LdEngine(stacked, n_samples, settings, mesh=mesh)
+        engine.ticker = ticker
+        result.n_pairs += dispatch_pairs(engine, tiles, mode, filt, emit,
+                                         stacked)
+        for k, s in engine.stats.items():
+            acc = all_stats.setdefault(k, {kk: 0 if not kk.endswith("_s")
+                                           else 0.0 for kk in s})
+            for kk, vv in s.items():
+                acc[kk] += vv
 
     writer.close()
-    engine.ticker.finalize()
+    ticker.finalize()
     result.elapsed = timer.elapsed()
     log("LOG", f"Computed {pretty_int(result.n_pairs)} pairs -> "
         f"{pretty_int(result.n_records)} records in "
@@ -600,19 +651,22 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         f"({pretty_int(int(result.pairs_per_sec))} pairs/s)",
         sub="PROGRESS")
     if settings.performance:
-        report_performance(engine)
+        report_performance(all_stats)
     reader.close()
     return result
 
 
-def report_performance(engine: LdEngine):
+def report_performance(stats):
     """Per-kernel-config dispatch and timing report, the analogue of the
     reference's ComputePerformance / n_method counters
-    (reference: lib/ld/ld.cpp:878-1057, ld_engine.h:171-174,313)."""
+    (reference: lib/ld/ld.cpp:878-1057, ld_engine.h:171-174,313).
+    Accepts an LdEngine or a stats dict."""
+    if isinstance(stats, LdEngine):
+        stats = stats.stats
     log("LOG", f"{'config':<24}{'tiles':>8}{'cand pairs':>14}"
         f"{'prefilter pass':>15}{'count s':>9}{'extract s':>10}"
         f"{'math s':>8}{'records':>9}", sub="PERF")
-    for key, s in sorted(engine.stats.items()):
+    for key, s in sorted(stats.items()):
         log("LOG", f"{key:<24}{s['n_tiles']:>8}{s['n_cand']:>14,}"
             f"{s['n_pass']:>15,}{s['count_s']:>9.3f}"
             f"{s['extract_s']:>10.3f}{s['math_s']:>8.3f}"
