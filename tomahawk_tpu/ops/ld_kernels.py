@@ -216,7 +216,15 @@ def phased_prefilter_cells(cells, pair_mask, min_r2: float,
                            max_r2: float):
     """Conservative device filter mirroring PhasedMath's integer guards
     and the r2 range with an f32 safety margin. Takes the four cell
-    expressions so no [I, J, 4] tensor is ever materialized."""
+    expressions so no [I, J, 4] tensor is ever materialized.
+
+    The r2 test is evaluated in multiplicative form: with integer cell
+    counts, r2 = (rr*aa - ar*ra)^2 / ((rr+ra)(ar+aa)(rr+ar)(ra+aa))
+    exactly (the total-count factors cancel), so `D2 >= lo * denom`
+    needs no division and no normalization -- division is the expensive
+    part of the VPU epilogue at 4096^2 elements per tile. f32 rounding
+    of the products is covered by the range margins; the host recomputes
+    exactly in f64."""
     refref, refalt, altref, altalt = cells
     t = refref + refalt + altref + altalt
     m = pair_mask & (t >= 5)
@@ -224,10 +232,20 @@ def phased_prefilter_cells(cells, pair_mask, min_r2: float,
                       refalt + altref + refref,
                       altalt + refalt + altref)
     m &= guard >= 5
-    r2 = phased_r2_cells(refref, refalt, altref, altalt)
-    lo = jnp.float32(min_r2) * 0.999 - 1e-6
+    rr = refref.astype(jnp.float32)
+    ra = refalt.astype(jnp.float32)
+    ar = altref.astype(jnp.float32)
+    aa = altalt.astype(jnp.float32)
+    d_num = rr * aa - ar * ra
+    d2 = d_num * d_num
+    denom = (rr + ra) * (ar + aa) * (rr + ar) * (ra + aa)
+    # the host drops D == 0 pairs (PhasedMath); this also excludes
+    # degenerate tables with a zero marginal (denom == 0 implies
+    # d_num == 0), which the division form excluded via r2 = inf
+    m &= d_num != 0
+    lo = jnp.float32(max(min_r2 * 0.999 - 1e-6, 0.0))
     hi = jnp.float32(max_r2) * 1.001 + 1e-6
-    return m & (r2 >= lo) & (r2 <= hi)
+    return m & (d2 >= lo * denom) & (d2 <= hi * denom)
 
 
 def phased_prefilter_mask(counts, pair_mask, min_r2: float, max_r2: float):
