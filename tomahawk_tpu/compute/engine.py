@@ -193,7 +193,6 @@ class LdEngine:
         self._host = host
         self._jnp = jnp
         self._dev_cache = {}           # lazy per-key uploads
-        self._count_fns = {}
         self._extract_fns = {}
         self.ticker = None           # optional ProgressTicker
         # fused-sweep survivor buffer, grown when a segment spills
@@ -222,17 +221,6 @@ class LdEngine:
         return self.sweeps.make_cfg(
             table, has_missing, cls, self.B, self.n_samples, self.window,
             self.settings.min_r2, self.settings.max_r2)
-
-    def _count_fn(self, table, has_missing, cls):
-        key = (table, has_missing, cls)
-        if key not in self._count_fns:
-            cfg = self._cfg(table, has_missing, cls)
-            if self.mesh is None:
-                fn = self.sweeps.jit_count_sweep(cfg)
-            else:
-                fn = self.sweeps.shard_count_sweep(self.mesh, cfg)
-            self._count_fns[key] = fn
-        return self._count_fns[key]
 
     def _extract_fn(self, table, has_missing, cls, cap, outcap):
         key = (table, has_missing, cls, cap, outcap)
