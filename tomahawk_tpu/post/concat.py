@@ -27,6 +27,8 @@ def concat_two(inputs, output: str) -> int:
     hdr.literals = hdr.literals + "".join(
         l if l.endswith("\n") or not l else l + "\n" for l in extra)
 
+    from ..utils.logging import stamp_literals
+    stamp_literals(hdr, "concat", " ".join(inputs))
     writer = TwoWriter(output, hdr)
     n = 0
     for r in readers:

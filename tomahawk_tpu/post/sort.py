@@ -104,6 +104,8 @@ def sort_two(input_path: str, output_path: str,
         # ------------- phase 2: k-way merge of runs -> writer -------------
         log("LOG", f"Merging {len(runs)} run(s), "
             f"{pretty_int(n_total)} records...", sub="SORT")
+        from ..utils.logging import stamp_literals
+        stamp_literals(reader.header, "sort", input_path)
         writer = TwoWriter(output_path, reader.header,
                            c_level=c_level, state=TWK_IDX_SORTED)
         dctx = zstandard.ZstdDecompressor()

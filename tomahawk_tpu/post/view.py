@@ -38,6 +38,8 @@ def view(path: str, output: Optional[str] = None,
     writer = None
     stream = out_stream or sys.stdout
     if binary:
+        from ..utils.logging import stamp_literals
+        stamp_literals(reader.header, "view", path)
         writer = TwoWriter(output or "-", reader.header)
     else:
         if show_header:

@@ -22,3 +22,14 @@ def log(level: str, *msg, sub: str = ""):
 
 def pretty_int(n) -> str:
     return f"{int(n):,}"
+
+
+def stamp_literals(header, tool: str, detail: str = ""):
+    """Append a provenance line to the output header literals, mirroring
+    the reference's per-command Version/Command stamps
+    (reference: ld.cpp:610-612, importer.cpp:78-80)."""
+    import datetime
+    from .. import __version__
+    header.literals += (f"\n##tomahawk_tpu_{tool}Version={__version__}\n"
+                        f"##tomahawk_tpu_{tool}Command={tool} {detail}; "
+                        f"Date={datetime.datetime.now().isoformat()}\n")
