@@ -73,6 +73,9 @@ def get_lib():
         lib.twk_rle_assess.restype = ctypes.c_int32
         lib.twk_rle_assess.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int32]
+        lib.twk_fisher_exact.restype = None
+        lib.twk_fisher_exact.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -156,6 +159,18 @@ def hwe_exact(n_het: np.ndarray, n_hom1: np.ndarray, n_hom2: np.ndarray):
                       n_hom1.ctypes.data_as(ctypes.c_void_p),
                       n_hom2.ctypes.data_as(ctypes.c_void_p),
                       len(n_het), out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def fisher_exact(n11, n12, n21, n22):
+    """Two-sided Fisher exact p-values, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arrs = [np.ascontiguousarray(x, np.int64) for x in (n11, n12, n21, n22)]
+    out = np.empty(len(arrs[0]), np.float64)
+    lib.twk_fisher_exact(*(a.ctypes.data_as(ctypes.c_void_p) for a in arrs),
+                         len(arrs[0]), out.ctypes.data_as(ctypes.c_void_p))
     return out
 
 

@@ -8,6 +8,7 @@
 //
 // Exposed as a plain C ABI consumed through ctypes.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -224,6 +225,92 @@ void twk_hwe_exact(const int64_t* n_het, const int64_t* n_hom1,
         out[i] = tail > 1.0 ? 1.0 : tail;
     }
     delete[] probs;
+}
+
+// Two-sided Fisher exact p per 2x2 table, O(support range) with
+// incremental hypergeometric pmf updates (same tail semantics as the
+// reference's kt_fisher_exact, lib/fisher_math.cpp:231-267: left tail
+// accumulates while pmf < 0.99999999*q, includes the stopping point if
+// pmf < 1.00000001*q; right tail mirrors; two = min(left+right, 1)).
+static double twk_lbinom(double n, double k) {
+    return lgamma(n + 1.0) - lgamma(k + 1.0) - lgamma(n - k + 1.0);
+}
+
+void twk_fisher_exact(const int64_t* n11, const int64_t* n12,
+                      const int64_t* n21, const int64_t* n22,
+                      int64_t n_tables, double* out) {
+    for (int64_t t = 0; t < n_tables; ++t) {
+        const int64_t N1i = n11[t] + n12[t];
+        const int64_t M1i = n11[t] + n21[t];
+        const int64_t Ni = n11[t] + n12[t] + n21[t] + n22[t];
+        int64_t kmin = N1i + M1i - Ni;
+        if (kmin < 0) kmin = 0;
+        const int64_t kmax = N1i < M1i ? N1i : M1i;
+        if (Ni <= 0 || kmax <= kmin) { out[t] = 1.0; continue; }
+        const double a = (double)n11[t];
+        const double N1 = (double)N1i;
+        const double M1 = (double)M1i;
+        const double N = (double)Ni;
+        const double lN = twk_lbinom(N, M1);
+        const double q = exp(twk_lbinom(N1, a)
+                             + twk_lbinom(N - N1, M1 - a) - lN);
+        if (q <= 0.0) { out[t] = 0.0; continue; }  // observed pmf underflow
+        const double lo = 0.99999999 * q;
+        const double hi = 1.00000001 * q;
+        // pmf ratios: up(k) = pmf(k+1)/pmf(k), down(k) = pmf(k-1)/pmf(k)
+        auto rup = [&](int64_t k) {
+            return (N1 - (double)k) * (M1 - (double)k)
+                / (((double)k + 1.0) * (N - N1 - M1 + (double)k + 1.0));
+        };
+        auto rdown = [&](int64_t k) {
+            return ((double)k * (N - N1 - M1 + (double)k))
+                / ((N1 - (double)k + 1.0) * (M1 - (double)k + 1.0));
+        };
+        // Both tail scans start at the OBSERVED cell and walk outward:
+        // pmf(kmin)/pmf(kmax) underflow double precision for large
+        // tables (which zeroed the whole inward scan), while terms
+        // walking outward from pmf(n11)=q decay geometrically, so the
+        // sums converge in O(hundreds) of steps independent of range.
+        // Every k in [s_left, n11] has pmf >= lo (unimodality), so the
+        // first k below n11 with pmf(k) < lo is the up-scan's stop.
+        double left = 0.0;
+        {
+            double p = q;
+            int64_t k = n11[t];
+            while (k > kmin && p * rdown(k) >= lo) {
+                p *= rdown(k);
+                --k;
+            }
+            if (p < hi) left += p;      // boundary (stop) term
+            // strict prefix below the stop, largest terms first
+            double pp = p * rdown(k);
+            --k;
+            while (k >= kmin && pp > 0.0 && pp > left * 1e-18) {
+                left += pp;
+                pp *= rdown(k);
+                --k;
+            }
+        }
+        double right = 0.0;
+        {
+            double p = q;
+            int64_t k = n11[t];
+            while (k < kmax && p * rup(k) >= lo) {
+                p *= rup(k);
+                ++k;
+            }
+            if (p < hi) right += p;
+            double pp = p * rup(k);
+            ++k;
+            while (k <= kmax && pp > 0.0 && pp > right * 1e-18) {
+                right += pp;
+                pp *= rup(k);
+                ++k;
+            }
+        }
+        const double two = left + right;
+        out[t] = two > 1.0 ? 1.0 : two;
+    }
 }
 
 // Choose the cheapest RLE word width (1/2/4 bytes) for one variant's

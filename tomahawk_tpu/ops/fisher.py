@@ -27,6 +27,12 @@ def fisher_exact_two_sided(n11, n12, n21, n22,
     n21 = np.atleast_1d(np.asarray(n21, np.int64))
     n22 = np.atleast_1d(np.asarray(n22, np.int64))
 
+    # native O(range)-scan fast path (twk_native.cpp twk_fisher_exact)
+    from ..native import fisher_exact as native_fisher
+    res = native_fisher(n11, n12, n21, n22)
+    if res is not None:
+        return res
+
     n1_ = n11 + n12
     n_1 = n11 + n21
     n = n11 + n12 + n21 + n22
