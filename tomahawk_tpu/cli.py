@@ -249,8 +249,10 @@ def _cmd_stats(args):
 def _add_decay(sub):
     p = sub.add_parser("decay", help="LD decay as a function of distance")
     p.add_argument("-i", "--input", required=True)
-    p.add_argument("-r", "--range", type=float, default=10_000_000)
+    p.add_argument("-w", "-r", "--range", type=float, default=10_000_000,
+                   help="maximum distance window in bp")
     p.add_argument("-b", "--bins", type=int, default=1000)
+    p.add_argument("-I", "--interval", action="append", default=[])
     p.add_argument("--positional", action="store_true",
                    help="per-variant positional decay")
 
@@ -258,9 +260,10 @@ def _add_decay(sub):
 def _cmd_decay(args):
     from .post.decay import decay, positional_decay
     if args.positional:
-        positional_decay(args.input)
+        positional_decay(args.input, intervals=args.interval)
     else:
-        decay(args.input, max_range=int(args.range), n_bins=args.bins)
+        decay(args.input, max_range=int(args.range), n_bins=args.bins,
+              intervals=args.interval)
     return 0
 
 

@@ -11,14 +11,24 @@ import numpy as np
 from ..io.two import TwoReader
 
 
+def _interval_filter(reader, intervals):
+    if not intervals:
+        return lambda recs: recs
+    from .intervals import parse_intervals, interval_mask
+    ivals = parse_intervals(intervals, reader.header)
+    return lambda recs: recs[interval_mask(recs, ivals)]
+
+
 def decay(path: str, max_range: int = 10_000_000, n_bins: int = 1000,
-          out=None):
+          out=None, intervals=None):
     out = out or sys.stdout
     bin_w = max(max_range // n_bins, 1)
     sums = np.zeros(n_bins)
     cnts = np.zeros(n_bins, np.int64)
     r = TwoReader(path)
+    filt = _interval_filter(r, intervals)
     for recs in r.blocks():
+        recs = filt(recs)
         pos_a = (recs["packA"] >> 2).astype(np.int64)
         pos_b = (recs["packB"] >> 2).astype(np.int64)
         m = (recs["ridA"] == recs["ridB"]) & (pos_a < pos_b)
@@ -35,14 +45,16 @@ def decay(path: str, max_range: int = 10_000_000, n_bins: int = 1000,
     return sums, cnts
 
 
-def positional_decay(path: str, out=None):
+def positional_decay(path: str, out=None, intervals=None):
     """Per left-variant mean partner offset; emitted in file order
     grouped by consecutive (ridA, Apos) runs, like the reference."""
     out = out or sys.stdout
     r = TwoReader(path)
+    filt = _interval_filter(r, intervals)
     groups = []   # (rid, pos, n, sum_bpos)
     prev = None
     for recs in r.blocks():
+        recs = filt(recs)
         pos_a = (recs["packA"] >> 2).astype(np.int64)
         pos_b = (recs["packB"] >> 2).astype(np.int64)
         use = (recs["ridA"] == recs["ridB"]) & (pos_a < pos_b)
