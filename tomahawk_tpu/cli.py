@@ -185,7 +185,7 @@ def _add_sort(sub):
 def _cmd_sort(args):
     from .post.sort import sort_two
     sort_two(args.input, args.output, memory_limit_gb=args.memory_limit,
-             c_level=args.c_level)
+             c_level=args.c_level, threads=args.threads)
     return 0
 
 

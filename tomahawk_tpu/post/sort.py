@@ -54,7 +54,11 @@ def _cut_at(k1, k2, b1, b2) -> int:
 
 def sort_two(input_path: str, output_path: str,
              memory_limit_gb: float = 0.5, run_chunk: int = 10000,
-             c_level: int = 1) -> int:
+             c_level: int = 1, threads: int = 0) -> int:
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    n_threads = threads if threads > 0 else (_os.cpu_count() or 1)
+    pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
     timer = Timer()
     reader = TwoReader(input_path)
     if not output_path.endswith(".two"):
@@ -81,13 +85,19 @@ def sort_two(input_path: str, output_path: str,
             recs = np.concatenate(buf)
             recs = recs[_sort_indices(recs)]
             foff = tmp.tell()
-            # stream-compress the run in fixed chunks
-            chunks = []
-            for s in range(0, len(recs), run_chunk):
-                part = recs[s:s + run_chunk]
-                comp = cctx.compress(part.tobytes())
-                chunks.append((len(part), len(comp)))
-                tmp.write(struct.pack("<II", len(part), len(comp)))
+            # stream-compress the run in fixed chunks; zstd releases the
+            # GIL, so chunks compress in parallel under -t
+            parts = [recs[s:s + run_chunk]
+                     for s in range(0, len(recs), run_chunk)]
+
+            def _comp(part):
+                # compressor contexts are not thread-safe; one per call
+                c = zstandard.ZstdCompressor(level=c_level) if pool \
+                    else cctx
+                return len(part), c.compress(part.tobytes())
+            comps = pool.map(_comp, parts) if pool else map(_comp, parts)
+            for n_part, comp in comps:
+                tmp.write(struct.pack("<II", n_part, len(comp)))
                 tmp.write(comp)
             runs.append((foff, tmp.tell(), len(recs)))
             buf, buf_n = [], 0
@@ -180,6 +190,8 @@ def sort_two(input_path: str, output_path: str,
                 c.fh.close()
         writer.close()
     os.unlink(tmp_path)
+    if pool is not None:
+        pool.shutdown()
     reader.close()
     log("LOG", f"Sorted {pretty_int(n_total)} records in "
         f"{timer.elapsed_string()}", sub="SORT")
