@@ -189,3 +189,55 @@ def test_calc_banded_streaming_matches_full(tmp_path):
         np.testing.assert_array_equal(a[f], b[f])
     for f in ("D", "Dprime", "R2", "P"):
         np.testing.assert_allclose(a[f], b[f], atol=1e-12)
+
+
+def test_calc_multi_contig(tmp_path):
+    """Cross-contig pairs are computed (square mode) and flagged."""
+    vcf_path = str(tmp_path / "mc.vcf")
+    # two contigs, 15 sites each
+    import random
+    random.seed(13)
+    names = "\t".join(f"S{i}" for i in range(20))
+    lines = ["##fileformat=VCFv4.2",
+             "##contig=<ID=c1,length=1000000>",
+             "##contig=<ID=c2,length=1000000>",
+             '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+             f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{names}"]
+    for contig in ("c1", "c2"):
+        pos = 1000
+        for _ in range(15):
+            pos += random.randint(50, 300)
+            gts = "\t".join(
+                f"{int(random.random() < .4)}|{int(random.random() < .4)}"
+                for _ in range(20))
+            lines.append(f"{contig}\t{pos}\t.\tA\tC\t.\tPASS\t.\tGT\t{gts}")
+    open(vcf_path, "w").write("\n".join(lines) + "\n")
+
+    twk = str(tmp_path / "mc.twk")
+    import_vcf(ImportSettings(input=vcf_path, output=twk, block_size=6))
+    two = str(tmp_path / "mc.two")
+    compute_ld(CalcSettings(input=twk, output=two, force_phased=True,
+                            min_r2=0.0, tile_rows=8))
+    want, n_cand = _expected_records(twk, "phased", min_r2=0.0)
+    _check_two(two, want)
+    # some pairs must span contigs
+    r = TwoReader(two)
+    recs = r.records()
+    r.close()
+    assert (recs["ridA"] != recs["ridB"]).any()
+
+
+def test_bcf_import_calc_pipeline(tmp_path):
+    """BCF input feeds the full calc pipeline."""
+    from test_bcf import _vcf_to_bcf
+    vcf_path = str(tmp_path / "p.vcf")
+    make_vcf(vcf_path, n_samples=25, n_sites=20, miss_frac=0.0, seed=17)
+    bcf = str(tmp_path / "p.bcf")
+    _vcf_to_bcf(vcf_path, bcf)
+    twk = str(tmp_path / "p.twk")
+    import_vcf(ImportSettings(input=bcf, output=twk, block_size=6))
+    two = str(tmp_path / "p.two")
+    compute_ld(CalcSettings(input=twk, output=two, force_phased=True,
+                            min_r2=0.05))
+    want, _ = _expected_records(twk, "phased", min_r2=0.05)
+    _check_two(two, want)

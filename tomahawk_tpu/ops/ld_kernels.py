@@ -239,12 +239,15 @@ def phased_prefilter_cells(cells, pair_mask, min_r2: float,
     d_num = rr * aa - ar * ra
     d2 = d_num * d_num
     denom = (rr + ra) * (ar + aa) * (rr + ar) * (ra + aa)
-    # the host drops D == 0 pairs (PhasedMath); this also excludes
-    # degenerate tables with a zero marginal (denom == 0 implies
-    # d_num == 0), which the division form excluded via r2 = inf
-    m &= d_num != 0
     lo = jnp.float32(max(min_r2 * 0.999 - 1e-6, 0.0))
     hi = jnp.float32(max_r2) * 1.001 + 1e-6
+    if min_r2 * 0.999 - 1e-6 > 0:
+        # any pair with exact-integer D = 0 has true r2 ~ 0 < min_r2
+        # (the host's f64 D is rounding noise ~1e-19 there, so this is
+        # safe only when a positive r2 floor exists). It also excludes
+        # zero-marginal tables (denom = 0 implies d_num = 0), which the
+        # division form excluded via r2 = inf.
+        m &= d_num != 0
     return m & (d2 >= lo * denom) & (d2 <= hi * denom)
 
 
