@@ -163,7 +163,14 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
             stats.n_kept += 1
         pending, pending_het, pending_hom = [], [], []
 
-    for site in vcf.sites():
+    encoder = None
+    if isinstance(vcf, VcfReader):
+        from ..native import SiteEncoder, available as native_ok
+        if native_ok():
+            encoder = SiteEncoder(n_samples)
+    site_iter = vcf.sites(raw=True) if encoder is not None else vcf.sites()
+
+    for site in site_iter:
         stats.n_total += 1
         # duplicate consecutive site
         if site.rid == prev[0] and site.pos == prev[1] and not prev[2]:
@@ -172,7 +179,7 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
             stats.n_dropped += 1
             continue
         dropped = True
-        if len(site.codes) == 0:
+        if site.codes is not None and len(site.codes) == 0:
             stats.filtered[4 if site.ploidy_ok else 3] += 1
         elif not site.ploidy_ok:
             stats.filtered[3] += 1
@@ -181,7 +188,11 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
         elif not site.is_snp:
             stats.filtered[7] += 1
         else:
-            rec = _encode_site(site, n_samples, settings, stats)
+            if site.codes is None:
+                rec = _encode_site_fused(site, encoder, n_samples,
+                                         settings, stats)
+            else:
+                rec = _encode_site(site, n_samples, settings, stats)
             if rec is not None:
                 dropped = False
                 pending.append(rec)
@@ -273,5 +284,58 @@ def _encode_site(site, n_samples: int, settings: ImportSettings,
         gt_ptype=width, gt_flipped=flip, gt_phase=gt_phase,
         gt_missing=miss, gt_runs=runs)
     # auxiliary count used only for the batched HWE computation
+    rec.n_hom_ref = n_refref
+    return rec
+
+
+def _encode_site_fused(site, encoder, n_samples: int,
+                       settings: ImportSettings,
+                       stats: ImportStats) -> Optional[Twk1Record]:
+    """Fast-path site encoding: one native call does GT parsing, code
+    stats, RLE width choice and encoding (twk_native.cpp
+    twk_encode_site). Parse failures and the rare major/minor flip fall
+    back to the python path for exact filter semantics."""
+    res = encoder.encode(site.raw_gt.encode())
+
+    def _fallback():
+        from .vcf import _parse_gt_fields
+        codes, phase, ploidy_ok = _parse_gt_fields(
+            site.raw_gt.split("\t"), n_samples)
+        if len(codes) == 0 or not ploidy_ok:
+            stats.filtered[3] += 1
+            return None
+        site.codes, site.phase, site.ploidy_ok = codes, phase, True
+        return _encode_site(site, n_samples, settings, stats)
+
+    if res is None or isinstance(res, int):
+        return _fallback()
+    codes, st, width, phase_state, miss, runs = res
+    (n_refref, n_refalt, n_altref, n_altalt, n_missing_alleles,
+     n_alt, n_ref, n_full) = (int(x) for x in st)
+
+    if n_full < settings.threshold_miss * n_samples:
+        stats.filtered[1] += 1
+        return None
+    if n_full < 5:
+        stats.filtered[2] += 1
+        return None
+    if settings.remove_univariate:
+        if n_refref == n_full or n_refalt == n_full or \
+           n_altref == n_full or n_altalt == n_full:
+            stats.filtered[0] += 1
+            return None
+    if settings.flip_major_minor and n_alt > n_ref:
+        # rare path: reuse the parsed codes through the python encoder
+        site.codes = codes.copy()
+        site.phase = encoder.phase.copy()
+        site.ploidy_ok = True
+        return _encode_site(site, n_samples, settings, stats)
+
+    rec = Twk1Record(
+        pos=site.pos, rid=site.rid, ac=n_alt, an=n_missing_alleles,
+        n_het=n_refalt + n_altref, n_hom=n_altalt,
+        alleles=(BASE_MAP.get(site.ref, 0) << 4) | BASE_MAP.get(site.alt, 0),
+        gt_ptype=width, gt_flipped=False, gt_phase=phase_state == 1,
+        gt_missing=miss, gt_runs=runs)
     rec.n_hom_ref = n_refref
     return rec

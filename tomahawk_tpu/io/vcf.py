@@ -36,6 +36,9 @@ class VcfSite:
     n_alleles: int
     is_snp: bool
     ploidy_ok: bool
+    # raw GT column blob when parsing is deferred to the fused native
+    # import step (sites(raw=True)); codes is None in that case
+    raw_gt: str = None
 
 
 class VcfReader:
@@ -87,7 +90,7 @@ class VcfReader:
             self._contig_map[chrom] = rid
         return rid
 
-    def sites(self) -> Iterator[VcfSite]:
+    def sites(self, raw: bool = False) -> Iterator[VcfSite]:
         from ..native import parse_gt_line as native_gt
         from ..native import available as native_ok
         use_native = native_ok()
@@ -112,6 +115,14 @@ class VcfReader:
                               alts[0], np.zeros(0, np.uint8),
                               np.zeros(0, np.uint8), n_alleles, False, False)
                 continue
+            is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
+                ref in "ACGT" and alts[0] in "ACGT"
+            if raw and len(fields) > 9:
+                # defer GT parsing to the fused native import step
+                yield VcfSite(self._rid_for(chrom), int(pos) - 1, ref,
+                              alts[0], None, None, n_alleles, is_snp,
+                              True, raw_gt=fields[9])
+                continue
             parsed = None
             if use_native and len(fields) > 9:
                 parsed = native_gt(fields[9].encode(), n_samples, gt_col=0)
@@ -121,8 +132,6 @@ class VcfReader:
                 codes, phase, ploidy_ok = _parse_gt_fields(
                     fields[9].split("\t") if len(fields) > 9 else [],
                     n_samples)
-            is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
-                ref in "ACGT" and alts[0] in "ACGT"
             yield VcfSite(self._rid_for(chrom), int(pos) - 1, ref, alts[0],
                           codes, phase, n_alleles, is_snp, ploidy_ok)
 

@@ -76,6 +76,11 @@ def get_lib():
         lib.twk_fisher_exact.restype = None
         lib.twk_fisher_exact.argtypes = [ctypes.c_void_p] * 4 + \
             [ctypes.c_int64, ctypes.c_void_p]
+        lib.twk_encode_site.restype = ctypes.c_int64
+        lib.twk_encode_site.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -160,6 +165,41 @@ def hwe_exact(n_het: np.ndarray, n_hom1: np.ndarray, n_hom2: np.ndarray):
                       n_hom2.ctypes.data_as(ctypes.c_void_p),
                       len(n_het), out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+_RLE_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
+
+class SiteEncoder:
+    """Reusable scratch buffers around twk_encode_site (the fused
+    parse + stats + RLE step). encode() returns
+    (codes, stats[8], width, phase_state, miss, runs) or an int error
+    (-1 bad count, -2 non-diploid), or None if the lib is missing."""
+
+    def __init__(self, n_samples: int):
+        self.n = n_samples
+        self.codes = np.empty(n_samples, np.uint8)
+        self.phase = np.empty(n_samples, np.uint8)
+        self.stats = np.zeros(8, np.int64)
+        self.meta = np.zeros(3, np.int32)
+        self.cap = 2 * n_samples + 16
+        self.runs = np.empty(self.cap, np.uint32)
+        self._lib = get_lib()
+        self._ptrs = tuple(a.ctypes.data_as(ctypes.c_void_p) for a in
+                           (self.codes, self.phase, self.stats,
+                            self.meta, self.runs))
+
+    def encode(self, blob: bytes):
+        if self._lib is None:
+            return None
+        n = self._lib.twk_encode_site(blob, len(blob), self.n,
+                                      *self._ptrs, self.cap)
+        if n < 0:
+            return int(n)
+        width = int(self.meta[0])
+        runs = self.runs.view(_RLE_DT[width])[:n].copy()
+        return (self.codes, self.stats, width, int(self.meta[1]),
+                bool(self.meta[2]), runs)
 
 
 def fisher_exact(n11, n12, n21, n22):

@@ -370,4 +370,36 @@ void twk_code_stats(const uint8_t* codes, int64_t n_samples,
     out[4] = miss; out[5] = alt; out[6] = ref; out[7] = full;
 }
 
+// Fused per-site import step: parse the GT column blob, compute code
+// stats, pick the RLE width, and encode -- one C call instead of four
+// (ctypes call overhead dominates the per-site import cost otherwise).
+// Returns n_words (>= 0), or the parse error (-1 count / -2 ploidy),
+// or -3 on runs_cap overflow. meta_out = [width, phase_state, miss]
+// with phase_state -1 = no called sample, 0/1 = uniform, 2 = mixed.
+int64_t twk_encode_site(const char* blob, int64_t len, int32_t n_samples,
+                        uint8_t* codes, uint8_t* phase,
+                        int64_t* stats_out, int32_t* meta_out,
+                        void* runs_out, int64_t runs_cap) {
+    const int64_t r = twk_parse_gt_line(blob, len, 0, n_samples, codes,
+                                        phase);
+    if (r != n_samples) return r < 0 ? r : -1;
+    twk_code_stats(codes, n_samples, stats_out);
+    const int32_t miss = stats_out[4] > 0 ? 1 : 0;
+    const int32_t width = twk_rle_assess(codes, n_samples, miss);
+    const int64_t n_words = twk_rle_encode(codes, n_samples, width, miss,
+                                           runs_out, runs_cap);
+    if (n_words < 0) return -3;
+    int32_t state = -1;
+    for (int64_t s = 0; s < n_samples; ++s) {
+        if ((codes[s] & 3u) == 2u) continue;
+        const int32_t p = phase[s];
+        if (state == -1) state = p;
+        else if (state != p) { state = 2; break; }
+    }
+    meta_out[0] = width;
+    meta_out[1] = state;
+    meta_out[2] = miss;
+    return n_words;
+}
+
 }  // extern "C"
