@@ -284,6 +284,11 @@ class LdEngine:
         outcap = max(self._outcap, cap * 2)
         ncol = 1 + self.sweeps.payload_cols(table, has_missing)
 
+        if not getattr(self, "_warmed", None):
+            self._warmed = True
+            log("LOG", "Dispatching device sweep (the first dispatch may "
+                "take minutes while the program warms up)...",
+                sub="ENGINE")
         t0 = _time.perf_counter()
         n_pass, n_cand, buf = self._fused_fn(
             table, has_missing, cls, cap, outcap)(dev, pi, pj, dg, live)
