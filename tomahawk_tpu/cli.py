@@ -61,6 +61,10 @@ def _add_calc(sub):
     p.add_argument("--mesh", default="auto",
                    help="device mesh: 'auto' (all local devices), "
                    "'off', or 'PxS' pairs-by-samples shape")
+    p.add_argument("-M", "--memory-gb", type=float, default=12.0,
+                   help="device-memory budget for genotype planes; "
+                   "larger inputs stream in band pairs (low-memory "
+                   "mode)")
 
 
 def _cmd_calc(args):
@@ -74,7 +78,8 @@ def _cmd_calc(args):
         min_dprime=args.min_dprime, max_dprime=args.max_dprime,
         n_chunks=args.n_chunks, c_chunk=args.c_chunk,
         intervals=args.interval, b_size=args.b_size, c_level=args.c_level,
-        performance=args.performance, mesh=args.mesh)
+        performance=args.performance, mesh=args.mesh,
+        memory_gb=args.memory_gb)
     compute_ld(s)
     return 0
 
