@@ -85,7 +85,7 @@ def main():
     _ensure_backend()
     n_samples = int(os.environ.get("BENCH_SAMPLES", 2504))
     B = int(os.environ.get("BENCH_BLOCK", 4096))
-    n_blocks = int(os.environ.get("BENCH_NBLOCKS", 32))
+    n_blocks = int(os.environ.get("BENCH_NBLOCKS", 64))
 
     from tomahawk_tpu.compute.engine import CalcSettings, LdEngine
     from tomahawk_tpu.io.header import VcfContig, VcfHeader
