@@ -164,11 +164,12 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
         pending, pending_het, pending_hom = [], [], []
 
     encoder = None
-    if isinstance(vcf, VcfReader):
-        from ..native import SiteEncoder, available as native_ok
-        if native_ok():
-            encoder = SiteEncoder(n_samples)
-    site_iter = vcf.sites(raw=True) if encoder is not None else vcf.sites()
+    from ..native import SiteEncoder, available as native_ok
+    if native_ok():
+        encoder = SiteEncoder(n_samples)
+    site_iter = (vcf.sites(raw=True)
+                 if encoder is not None and isinstance(vcf, VcfReader)
+                 else vcf.sites())
 
     for site in site_iter:
         stats.n_total += 1
@@ -191,6 +192,10 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
             if site.codes is None:
                 rec = _encode_site_fused(site, encoder, n_samples,
                                          settings, stats)
+            elif encoder is not None:
+                res = encoder.encode_codes(site.codes, site.phase)
+                rec = _finish_fused(site, res, encoder, n_samples,
+                                    settings, stats)
             else:
                 rec = _encode_site(site, n_samples, settings, stats)
             if rec is not None:
@@ -296,8 +301,7 @@ def _encode_site_fused(site, encoder, n_samples: int,
     twk_encode_site). Parse failures and the rare major/minor flip fall
     back to the python path for exact filter semantics."""
     res = encoder.encode(site.raw_gt.encode())
-
-    def _fallback():
+    if res is None or isinstance(res, int):
         from .vcf import _parse_gt_fields
         codes, phase, ploidy_ok = _parse_gt_fields(
             site.raw_gt.split("\t"), n_samples)
@@ -306,9 +310,17 @@ def _encode_site_fused(site, encoder, n_samples: int,
             return None
         site.codes, site.phase, site.ploidy_ok = codes, phase, True
         return _encode_site(site, n_samples, settings, stats)
+    return _finish_fused(site, res, encoder, n_samples, settings, stats)
 
+
+def _finish_fused(site, res, encoder, n_samples: int,
+                  settings: ImportSettings,
+                  stats: ImportStats) -> Optional[Twk1Record]:
+    """Filters + record assembly from a fused native encode result."""
     if res is None or isinstance(res, int):
-        return _fallback()
+        # runs-capacity overflow cannot happen (cap = 2N + 16); treat
+        # any failure as a python-path fallback
+        return _encode_site(site, n_samples, settings, stats)
     codes, st, width, phase_state, miss, runs = res
     (n_refref, n_refalt, n_altref, n_altalt, n_missing_alleles,
      n_alt, n_ref, n_full) = (int(x) for x in st)

@@ -81,6 +81,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.twk_encode_codes.restype = ctypes.c_int64
+        lib.twk_encode_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -199,6 +204,23 @@ class SiteEncoder:
         width = int(self.meta[0])
         runs = self.runs.view(_RLE_DT[width])[:n].copy()
         return (self.codes, self.stats, width, int(self.meta[1]),
+                bool(self.meta[2]), runs)
+
+    def encode_codes(self, codes: np.ndarray, phase: np.ndarray):
+        """Fused stats + RLE for pre-parsed codes (BCF path)."""
+        if self._lib is None:
+            return None
+        codes = np.ascontiguousarray(codes, np.uint8)
+        phase = np.ascontiguousarray(phase, np.uint8)
+        n = self._lib.twk_encode_codes(
+            codes.ctypes.data_as(ctypes.c_void_p),
+            phase.ctypes.data_as(ctypes.c_void_p), self.n,
+            *self._ptrs[2:], self.cap)
+        if n < 0:
+            return int(n)
+        width = int(self.meta[0])
+        runs = self.runs.view(_RLE_DT[width])[:n].copy()
+        return (codes, self.stats, width, int(self.meta[1]),
                 bool(self.meta[2]), runs)
 
 

@@ -402,4 +402,29 @@ int64_t twk_encode_site(const char* blob, int64_t len, int32_t n_samples,
     return n_words;
 }
 
+// Same fusion for already-parsed codes (the BCF reader decodes GT
+// vectors itself): stats + RLE width + encode + phase summary.
+int64_t twk_encode_codes(const uint8_t* codes, const uint8_t* phase,
+                         int32_t n_samples, int64_t* stats_out,
+                         int32_t* meta_out, void* runs_out,
+                         int64_t runs_cap) {
+    twk_code_stats(codes, n_samples, stats_out);
+    const int32_t miss = stats_out[4] > 0 ? 1 : 0;
+    const int32_t width = twk_rle_assess(codes, n_samples, miss);
+    const int64_t n_words = twk_rle_encode(codes, n_samples, width, miss,
+                                           runs_out, runs_cap);
+    if (n_words < 0) return -3;
+    int32_t state = -1;
+    for (int64_t s = 0; s < n_samples; ++s) {
+        if ((codes[s] & 3u) == 2u) continue;
+        const int32_t p = phase[s];
+        if (state == -1) state = p;
+        else if (state != p) { state = 2; break; }
+    }
+    meta_out[0] = width;
+    meta_out[1] = state;
+    meta_out[2] = miss;
+    return n_words;
+}
+
 }  // extern "C"
