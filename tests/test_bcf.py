@@ -151,3 +151,47 @@ def test_bcf_int16_gt_width(tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g.codes, w)
+
+
+def test_bcf_import_flip_parity(tmp_path):
+    """flip_major_minor through the fused BCF path must keep the real
+    per-sample phase (regression: the flip fallback once overwrote it
+    with scratch)."""
+    import random
+    random.seed(9)
+    vcf = str(tmp_path / "f.vcf")
+    n = 16
+    names = "\t".join(f"S{i}" for i in range(n))
+    lines = ["##fileformat=VCFv4.2",
+             "##contig=<ID=c1,length=100000>",
+             '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+             f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{names}"]
+    pos = 100
+    for s in range(20):
+        pos += random.randint(20, 80)
+        maf = 0.8 if s % 2 else 0.3      # alt-major half the time
+        gts = "\t".join(
+            f"{int(random.random() < maf)}|{int(random.random() < maf)}"
+            for _ in range(n))
+        lines.append(f"c1\t{pos}\t.\tA\tC\t.\tPASS\t.\tGT\t{gts}")
+    open(vcf, "w").write("\n".join(lines) + "\n")
+    bcf = str(tmp_path / "f.bcf")
+    _vcf_to_bcf(vcf, bcf)
+    twk_v = str(tmp_path / "fv.twk")
+    twk_b = str(tmp_path / "fb.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk_v, block_size=7,
+                              flip_major_minor=True))
+    import_vcf(ImportSettings(input=bcf, output=twk_b, block_size=7,
+                              flip_major_minor=True))
+    rv, rb = TwkReader(twk_v), TwkReader(twk_b)
+    recs_v, recs_b = list(rv.records()), list(rb.records())
+    assert len(recs_v) == len(recs_b) > 0
+    flipped = 0
+    for a, b in zip(recs_v, recs_b):
+        assert (a.rid, a.pos, a.ac, a.gt_flipped, a.gt_phase) == \
+            (b.rid, b.pos, b.ac, b.gt_flipped, b.gt_phase)
+        np.testing.assert_array_equal(a.decode_codes(), b.decode_codes())
+        flipped += a.gt_flipped
+    assert flipped > 0, "test data produced no flipped sites"
+    rv.close()
+    rb.close()

@@ -339,7 +339,8 @@ def _finish_fused(site, res, encoder, n_samples: int,
     if settings.flip_major_minor and n_alt > n_ref:
         # rare path: reuse the parsed codes through the python encoder
         site.codes = codes.copy()
-        site.phase = encoder.phase.copy()
+        if site.phase is None:      # VCF deferred path: scratch holds it
+            site.phase = encoder.phase.copy()
         site.ploidy_ok = True
         return _encode_site(site, n_samples, settings, stats)
 
