@@ -160,7 +160,10 @@ class BcfReader:
         # contigs with explicit IDX: remap the rid order
         self._n_samples = len(self.header.samples)
 
-    def sites(self) -> Iterator[VcfSite]:
+    def sites(self, raw: bool = False) -> Iterator[VcfSite]:
+        """raw=True defers simple diploid GT decoding to the fused
+        native import step: such sites carry raw_gt = (gt_bytes,
+        int_width) and codes=None."""
         n_samples = self._n_samples
         while True:
             head = self._s.maybe_read(8)
@@ -179,7 +182,7 @@ class BcfReader:
             n_sample = struct.unpack("<I", shared[20:24])[0] & 0xFFFFFF
             n_fmt = shared[23]
             off = 24
-            _id, off = _read_typed_string(shared, off)
+            off = _skip_typed(shared, off)   # ID string (unused)
             alleles = []
             for _ in range(n_allele):
                 a, off = _read_typed_string(shared, off)
@@ -187,16 +190,41 @@ class BcfReader:
             ref = alleles[0] if alleles else "N"
             alts = alleles[1:] if len(alleles) > 1 else ["."]
 
+            is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
+                ref in "ACGT" and alts[0] in "ACGT"
+            if raw and n_sample == n_samples:
+                found = self._find_gt(indiv, n_fmt, n_sample)
+                if found is not None:
+                    t, view = found
+                    yield VcfSite(rid, pos, ref, alts[0], None, None,
+                                  n_allele, is_snp, True,
+                                  raw_gt=(bytes(view), _TYPE_SIZE[t]))
+                    continue
             codes, phase, ploidy_ok = self._parse_gt(
                 indiv, n_fmt, n_sample)
             if n_sample != n_samples:
                 codes = np.zeros(0, np.uint8)
                 phase = np.zeros(0, np.uint8)
                 ploidy_ok = False
-            is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
-                ref in "ACGT" and alts[0] in "ACGT"
             yield VcfSite(rid, pos, ref, alts[0], codes, phase,
                           n_allele, is_snp, ploidy_ok)
+
+    def _find_gt(self, indiv: memoryview, n_fmt: int, n_sample: int):
+        """Locate a plain diploid int-typed GT vector; returns
+        (type, bytes view) or None (caller falls back to full
+        decoding)."""
+        off = 0
+        for _ in range(n_fmt):
+            key, off = _read_typed_int(indiv, off)
+            t, per_sample, off = _read_typed_desc(indiv, off)
+            size = _TYPE_SIZE[t] * per_sample * n_sample
+            if key != self._gt_key:
+                off += size
+                continue
+            if t in (1, 2, 3) and per_sample == 2:
+                return t, indiv[off:off + size]
+            return None
+        return None
 
     def _parse_gt(self, indiv: memoryview, n_fmt: int, n_sample: int):
         empty = (np.zeros(0, np.uint8), np.zeros(0, np.uint8), False)

@@ -167,8 +167,7 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
     from ..native import SiteEncoder, available as native_ok
     if native_ok():
         encoder = SiteEncoder(n_samples)
-    site_iter = (vcf.sites(raw=True)
-                 if encoder is not None and isinstance(vcf, VcfReader)
+    site_iter = (vcf.sites(raw=True) if encoder is not None
                  else vcf.sites())
 
     for site in site_iter:
@@ -189,7 +188,10 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
         elif not site.is_snp:
             stats.filtered[7] += 1
         else:
-            if site.codes is None:
+            if site.codes is None and isinstance(site.raw_gt, tuple):
+                rec = _encode_bcf_fused(site, encoder, n_samples,
+                                        settings, stats)
+            elif site.codes is None:
                 rec = _encode_site_fused(site, encoder, n_samples,
                                          settings, stats)
             elif encoder is not None:
@@ -352,3 +354,20 @@ def _finish_fused(site, res, encoder, n_samples: int,
         gt_missing=miss, gt_runs=runs)
     rec.n_hom_ref = n_refref
     return rec
+
+
+_BCF_GT_DT = {1: np.int8, 2: np.int16, 4: np.int32}
+
+
+def _encode_bcf_fused(site, encoder, n_samples: int,
+                      settings: ImportSettings,
+                      stats: ImportStats) -> Optional[Twk1Record]:
+    """BCF fast path: native GT-pair conversion into the encoder's
+    scratch buffers, then the fused stats + RLE call."""
+    gt_bytes, width = site.raw_gt
+    vals = np.frombuffer(gt_bytes, _BCF_GT_DT[width]).reshape(-1, 2)
+    if not encoder.bcf_gt(vals, width):
+        stats.filtered[3] += 1        # haploid-in-diploid rows
+        return None
+    return _finish_fused(site, encoder.encode_codes(), encoder,
+                         n_samples, settings, stats)

@@ -86,6 +86,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
+        lib.twk_bcf_gt.restype = ctypes.c_int32
+        lib.twk_bcf_gt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -206,22 +210,41 @@ class SiteEncoder:
         return (self.codes, self.stats, width, int(self.meta[1]),
                 bool(self.meta[2]), runs)
 
-    def encode_codes(self, codes: np.ndarray, phase: np.ndarray):
-        """Fused stats + RLE for pre-parsed codes (BCF path)."""
+    def encode_codes(self, codes: np.ndarray = None,
+                     phase: np.ndarray = None):
+        """Fused stats + RLE for pre-parsed codes (BCF path). With no
+        arguments, encodes the scratch buffers in place (as filled by
+        bcf_gt)."""
         if self._lib is None:
             return None
-        codes = np.ascontiguousarray(codes, np.uint8)
-        phase = np.ascontiguousarray(phase, np.uint8)
-        n = self._lib.twk_encode_codes(
-            codes.ctypes.data_as(ctypes.c_void_p),
-            phase.ctypes.data_as(ctypes.c_void_p), self.n,
-            *self._ptrs[2:], self.cap)
+        if codes is None:
+            cptr, pptr = self._ptrs[0], self._ptrs[1]
+            codes = self.codes
+        else:
+            codes = np.ascontiguousarray(codes, np.uint8)
+            phase = np.ascontiguousarray(phase, np.uint8)
+            cptr = codes.ctypes.data_as(ctypes.c_void_p)
+            pptr = phase.ctypes.data_as(ctypes.c_void_p)
+        n = self._lib.twk_encode_codes(cptr, pptr, self.n,
+                                       *self._ptrs[2:], self.cap)
         if n < 0:
             return int(n)
         width = int(self.meta[0])
         runs = self.runs.view(_RLE_DT[width])[:n].copy()
         return (codes, self.stats, width, int(self.meta[1]),
                 bool(self.meta[2]), runs)
+
+    def bcf_gt(self, vals: np.ndarray, width: int) -> bool:
+        """Convert BCF GT int pairs [n_samples, 2] straight into the
+        scratch codes/phase buffers. False on non-diploid rows or when
+        the lib is missing."""
+        if self._lib is None:
+            return False
+        vals = np.ascontiguousarray(vals)
+        r = self._lib.twk_bcf_gt(vals.ctypes.data_as(ctypes.c_void_p),
+                                 width, self.n, self._ptrs[0],
+                                 self._ptrs[1])
+        return r == 0
 
 
 def fisher_exact(n11, n12, n21, n22):

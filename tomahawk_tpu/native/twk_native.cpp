@@ -402,6 +402,45 @@ int64_t twk_encode_site(const char* blob, int64_t len, int32_t n_samples,
     return n_words;
 }
 
+// BCF GT value pairs -> tomahawk codes/phase. vals holds 2 ints per
+// sample in the given byte width; value = (allele+1)<<1 | phased,
+// 0/1 = missing. Returns 0, or -2 when a second slot holds the
+// END_OF_VECTOR sentinel (haploid-in-diploid => non-diploid site).
+int32_t twk_bcf_gt(const void* vals, int32_t width, int32_t n_samples,
+                   uint8_t* codes, uint8_t* phase) {
+    int64_t eov;
+    switch (width) {
+        case 1: eov = -127; break;
+        case 2: eov = -32767; break;
+        default: eov = -2147483647LL; break;
+    }
+    for (int64_t s = 0; s < n_samples; ++s) {
+        int64_t a, b;
+        switch (width) {
+            case 1:
+                a = ((const int8_t*)vals)[2 * s];
+                b = ((const int8_t*)vals)[2 * s + 1];
+                break;
+            case 2:
+                a = ((const int16_t*)vals)[2 * s];
+                b = ((const int16_t*)vals)[2 * s + 1];
+                break;
+            default:
+                a = ((const int32_t*)vals)[2 * s];
+                b = ((const int32_t*)vals)[2 * s + 1];
+                break;
+        }
+        if (b == eov) return -2;
+        const int64_t aa = (a >> 1) - 1;
+        const int64_t ab = (b >> 1) - 1;
+        const uint8_t ca = aa < 0 ? 2 : (aa > 1 ? 1 : (uint8_t)aa);
+        const uint8_t cb = ab < 0 ? 2 : (ab > 1 ? 1 : (uint8_t)ab);
+        codes[s] = (uint8_t)((ca << 2) | cb);
+        phase[s] = (uint8_t)(b & 1);
+    }
+    return 0;
+}
+
 // Same fusion for already-parsed codes (the BCF reader decodes GT
 // vectors itself): stats + RLE width + encode + phase summary.
 int64_t twk_encode_codes(const uint8_t* codes, const uint8_t* phase,
