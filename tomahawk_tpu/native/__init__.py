@@ -90,6 +90,10 @@ def get_lib():
         lib.twk_bcf_gt.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.twk_runs_to_planes.restype = ctypes.c_int64
+        lib.twk_runs_to_planes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32] + [ctypes.c_void_p] * 5
         _lib = lib
         return _lib
 
@@ -142,6 +146,25 @@ def rle_encode(codes: np.ndarray, width: int, miss: bool):
     if n < 0:
         return None
     return out[:n].copy()
+
+
+def runs_to_planes(runs: np.ndarray, miss: bool,
+                   alt, mis, het, hom, val):
+    """Decode RLE runs straight into caller-provided plane rows (alt and
+    mis zeroed except mis padding ones). Returns samples decoded or None
+    if the lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(runs)
+    return lib.twk_runs_to_planes(
+        w.ctypes.data_as(ctypes.c_void_p), len(w), w.dtype.itemsize,
+        int(miss),
+        alt.ctypes.data_as(ctypes.c_void_p),
+        mis.ctypes.data_as(ctypes.c_void_p),
+        het.ctypes.data_as(ctypes.c_void_p),
+        hom.ctypes.data_as(ctypes.c_void_p),
+        val.ctypes.data_as(ctypes.c_void_p))
 
 
 def codes_to_planes(codes: np.ndarray, alt, mis, het, hom, val):

@@ -346,6 +346,83 @@ int32_t twk_rle_assess(const uint8_t* codes, int64_t n, int32_t miss) {
     return 4;
 }
 
+// Set bits [start, start+len) of a uint32 little-endian bit plane to
+// the 2-periodic pattern (bitA on even positions, bitB on odd),
+// where positions are absolute bit indices.
+static void twk_fill_pattern(uint32_t* plane, int64_t start, int64_t len,
+                             int bitA, int bitB) {
+    if (len <= 0 || (!bitA && !bitB)) return;
+    const uint32_t even = 0x55555555u, odd = 0xAAAAAAAAu;
+    const int64_t end = start + len;
+    int64_t w0 = start >> 5, w1 = (end - 1) >> 5;
+    for (int64_t w = w0; w <= w1; ++w) {
+        // pattern phase: absolute bit (w*32) is even
+        uint32_t pat = (bitA ? even : 0u) | (bitB ? odd : 0u);
+        uint32_t mask = 0xFFFFFFFFu;
+        if (w == w0) mask &= 0xFFFFFFFFu << (start & 31);
+        if (w == w1) {
+            const int64_t tail = end - (w << 5);
+            if (tail < 32) mask &= (1u << tail) - 1u;
+        }
+        plane[w] |= pat & mask;
+    }
+}
+
+// Set bits [start, start+len) of a plane (all ones).
+static void twk_fill_range(uint32_t* plane, int64_t start, int64_t len) {
+    if (len <= 0) return;
+    const int64_t end = start + len;
+    int64_t w0 = start >> 5, w1 = (end - 1) >> 5;
+    for (int64_t w = w0; w <= w1; ++w) {
+        uint32_t mask = 0xFFFFFFFFu;
+        if (w == w0) mask &= 0xFFFFFFFFu << (start & 31);
+        if (w == w1) {
+            const int64_t tail = end - (w << 5);
+            if (tail < 32) mask &= (1u << tail) - 1u;
+        }
+        plane[w] |= mask;
+    }
+}
+
+// Decode RLE genotype runs STRAIGHT into the five bit planes, without
+// materializing per-sample codes (the unpack hot path for calc loads;
+// ref-ref runs -- the vast majority -- touch nothing except the valid
+// plane). Word buffers must be zeroed by the caller except miss_bits,
+// whose padding bits carry 1s. Returns samples decoded.
+int64_t twk_runs_to_planes(const void* words, int64_t n_words,
+                           int32_t width, int32_t miss,
+                           uint32_t* alt_bits, uint32_t* miss_bits,
+                           uint32_t* het_bits, uint32_t* hom_bits,
+                           uint32_t* valid_bits) {
+    const int shift = 2 + 2 * miss;
+    const uint32_t sym_mask = (1u << shift) - 1u;
+    int64_t s = 0;
+    for (int64_t i = 0; i < n_words; ++i) {
+        uint32_t w;
+        switch (width) {
+            case 1: w = ((const uint8_t*)words)[i]; break;
+            case 2: w = ((const uint16_t*)words)[i]; break;
+            default: w = ((const uint32_t*)words)[i]; break;
+        }
+        const int64_t run = w >> shift;
+        uint8_t sym = (uint8_t)(w & sym_mask);
+        if (!miss) sym = (uint8_t)(((sym & 2u) << 1) | (sym & 1u));
+        const uint8_t ca = sym >> 2, cb = sym & 3u;
+        if (ca != 2 && cb != 2) {
+            twk_fill_range(valid_bits, s, run);
+            const int sum = ca + cb;
+            if (sum == 1) twk_fill_range(het_bits, s, run);
+            else if (sum == 2) twk_fill_range(hom_bits, s, run);
+            twk_fill_pattern(alt_bits, 2 * s, 2 * run, ca == 1, cb == 1);
+        } else {
+            twk_fill_pattern(alt_bits, 2 * s, 2 * run, ca == 1, cb == 1);
+            twk_fill_pattern(miss_bits, 2 * s, 2 * run, ca == 2, cb == 2);
+        }
+        s += run;
+    }
+    return s;
+}
+
 // Summary statistics of one variant's codes in a single pass.
 // out layout: [n_refref, n_refalt, n_altref, n_altalt, n_missing_alleles,
 //              n_alt_alleles, n_ref_alleles, n_full]

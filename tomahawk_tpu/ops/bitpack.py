@@ -70,7 +70,7 @@ class BlockPlanes:
 def block_to_planes(blk: Twk1Block, n_samples: int,
                     pad_to: int = None) -> BlockPlanes:
     from ..native import available as native_ok
-    from ..native import codes_to_planes as native_planes
+    from ..native import runs_to_planes as native_runs_planes
 
     B = blk.n if pad_to is None else pad_to
     assert blk.n <= B
@@ -105,8 +105,8 @@ def block_to_planes(blk: Twk1Block, n_samples: int,
         mis_w[:] = _pack_bits(np.zeros((1, 2 * n_samples), np.uint8),
                               Wh, pad_value=1)[0]
         for i, rec in enumerate(blk.rcds):
-            native_planes(rec.decode_codes(), alt_w[i], mis_w[i],
-                          het_w[i], hom_w[i], val_w[i])
+            native_runs_planes(rec.gt_runs, rec.gt_missing, alt_w[i],
+                               mis_w[i], het_w[i], hom_w[i], val_w[i])
             fill_meta(i, rec)
         return BlockPlanes(
             n_rec=blk.n, alt_bits=alt_w, miss_bits=mis_w, het_bits=het_w,
