@@ -1,4 +1,4 @@
-"""Pure-function two-pass tile sweeps, single-chip or mesh-sharded.
+"""Pure-function tile sweeps, single-chip or mesh-sharded.
 
 The same scan bodies serve both execution modes:
 
@@ -10,9 +10,12 @@ The same scan bodies serve both execution modes:
   word axis across 'samples'; partial MXU contractions are then
   psum-reduced to exact counts over ICI.
 
-Pass 1 (count_sweep) returns 8 bytes per tile; pass 2 (extract_sweep)
-writes compacted survivor rows at exact caller-computed offsets so
-host<->device traffic is proportional to the output.
+The production path is fused_sweep: one dispatch produces per-tile
+survivor/candidate counts AND capped compacted survivor rows at a
+running offset. extract_sweep re-runs specific tiles at exact
+caller-computed offsets (repair for cap/buffer overflows), and
+count_sweep is the counts-only variant. Host<->device traffic is
+proportional to the output in all modes.
 """
 
 from functools import partial
