@@ -61,6 +61,8 @@ def _add_calc(sub):
     p.add_argument("--mesh", default="auto",
                    help="device mesh: 'auto' (all local devices), "
                    "'off', or 'PxS' pairs-by-samples shape")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="host threads for block unpacking (0 = all)")
     p.add_argument("-M", "--memory-gb", type=float, default=12.0,
                    help="device-memory budget for genotype planes; "
                    "larger inputs stream in band pairs (low-memory "
@@ -79,7 +81,7 @@ def _cmd_calc(args):
         n_chunks=args.n_chunks, c_chunk=args.c_chunk,
         intervals=args.interval, b_size=args.b_size, c_level=args.c_level,
         performance=args.performance, mesh=args.mesh,
-        memory_gb=args.memory_gb)
+        memory_gb=args.memory_gb, threads=args.threads)
     compute_ld(s)
     return 0
 

@@ -73,6 +73,9 @@ class CalcSettings:
     # it stream in band pairs (the low-memory analogue of the
     # reference's calc -M, reference: ld_engine.cpp:1871-1896)
     memory_gb: float = 12.0
+    # host threads for block decompression + plane inflation (the
+    # reference's parallel unpacker, ld_unpacker.h); 0 = all cores
+    threads: int = 0
 
 
 @dataclass
@@ -609,6 +612,12 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     mode = ("phased" if settings.force_phased else
             "unphased" if settings.forced_unphased else "mixed")
 
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    n_threads = settings.threads if settings.threads > 0 \
+        else (_os.cpu_count() or 1)
+    pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
+
     all_stats = {}
     for load_ids, load_tiles in loads:
         blocks = []
@@ -619,8 +628,11 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                 for rec in reader.read_block(b).rcds:
                     blk.add(rec)
             blocks.append(blk)
-        planes = [block_to_planes(blk, n_samples, pad_to=B)
-                  for blk in blocks]
+        # parallel plane inflation (the reference's threaded unpacker,
+        # ld_unpacker.h): the native RLE->plane decode releases the GIL
+        inflate = lambda blk: block_to_planes(blk, n_samples, pad_to=B)
+        planes = list(pool.map(inflate, blocks)) if pool \
+            else [inflate(blk) for blk in blocks]
         stacked = stack_planes(planes)
         slot = {g: s for s, g in enumerate(load_ids)}
         tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
@@ -635,6 +647,8 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
             for kk, vv in s.items():
                 acc[kk] += vv
 
+    if pool is not None:
+        pool.shutdown()
     writer.close()
     ticker.finalize()
     result.elapsed = timer.elapsed()
