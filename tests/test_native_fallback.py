@@ -89,3 +89,43 @@ def test_native_code_stats_matches_numpy():
             np.sum(ca == 0) + np.sum(cb == 0),
             np.sum(full)]
     np.testing.assert_array_equal(st, want)
+
+
+def test_runs_to_planes_matches_pack_bits():
+    """The native RLE->plane fill must equal packing the decoded codes."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from tomahawk_tpu.ops.bitpack import _pack_bits, words_for
+    rng = np.random.default_rng(5)
+    n_samples = 301          # odd, non-multiple of 32
+    Wh, Ws = words_for(2 * n_samples), words_for(n_samples)
+    for miss_rate in (0.0, 0.15):
+        for trial in range(20):
+            codes = _codes(rng, n_samples, miss=miss_rate)
+            runs, width = rle_encode(codes, miss_rate > 0)
+            alt_w = np.zeros(Wh, np.uint32)
+            mis_w = _pack_bits(np.zeros((1, 2 * n_samples), np.uint8),
+                               Wh, pad_value=1)[0].copy()
+            het_w = np.zeros(Ws, np.uint32)
+            hom_w = np.zeros(Ws, np.uint32)
+            val_w = np.zeros(Ws, np.uint32)
+            n = native.runs_to_planes(runs, miss_rate > 0, alt_w, mis_w,
+                                      het_w, hom_w, val_w)
+            assert n == n_samples
+            ca, cb = codes >> 2, codes & 3
+            alt = np.zeros(2 * n_samples, bool)
+            alt[0::2], alt[1::2] = ca == 1, cb == 1
+            mis = np.zeros(2 * n_samples, bool)
+            mis[0::2], mis[1::2] = ca == 2, cb == 2
+            full = (ca != 2) & (cb != 2)
+            np.testing.assert_array_equal(
+                alt_w, _pack_bits(alt[None], Wh)[0], "alt")
+            np.testing.assert_array_equal(
+                mis_w, _pack_bits(mis[None], Wh, pad_value=1)[0], "mis")
+            np.testing.assert_array_equal(
+                val_w, _pack_bits(full[None], Ws)[0], "val")
+            np.testing.assert_array_equal(
+                het_w, _pack_bits((full & (ca + cb == 1))[None], Ws)[0])
+            np.testing.assert_array_equal(
+                hom_w, _pack_bits((full & (ca == 1) & (cb == 1))[None],
+                                  Ws)[0])

@@ -92,9 +92,14 @@ def _add_scalc(sub):
     p.add_argument("-o", "--output", default="-")
     p.add_argument("-I", "--interval", required=True,
                    help="target site, e.g. chr20:60000")
-    p.add_argument("-l", "--l-surrounding", type=float, default=500_000)
+    p.add_argument("-w", "-l", "--l-surrounding", type=float,
+                   default=500_000,
+                   help="bases to include around the target site")
     p.add_argument("-P", "--min-p", type=float, default=1.0)
     p.add_argument("-r", "--min-r2", type=float, default=0.1)
+    p.add_argument("-R", "--max-r2", type=float, default=100.0)
+    p.add_argument("-d", "--min-dprime", type=float, default=0.0)
+    p.add_argument("-D", "--max-dprime", type=float, default=100.0)
 
 
 def _cmd_scalc(args):
@@ -102,7 +107,9 @@ def _cmd_scalc(args):
     s = ScalcSettings(input=args.input, output=args.output,
                       interval=args.interval,
                       l_surrounding=int(args.l_surrounding),
-                      min_p=args.min_p, min_r2=args.min_r2)
+                      min_p=args.min_p, min_r2=args.min_r2,
+                      max_r2=args.max_r2, min_dprime=args.min_dprime,
+                      max_dprime=args.max_dprime)
     compute_single(s)
     return 0
 
