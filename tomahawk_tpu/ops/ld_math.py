@@ -75,7 +75,8 @@ def _common_flags(meta: PairMeta, r2, cnt, used_phased) -> np.ndarray:
     return flags
 
 
-def _assemble(keep, meta, flags, cnt, D, Dprime, R, R2, P, chisq_fisher):
+def _assemble(keep, meta, flags, cnt, D, Dprime, R, R2, P, chisq_fisher,
+              chisq_model=None):
     idx = np.flatnonzero(keep)
     recs = np.zeros(len(idx), TWO_DTYPE)
     recs["controller"] = flags[idx]
@@ -90,7 +91,10 @@ def _assemble(keep, meta, flags, cnt, D, Dprime, R, R2, P, chisq_fisher):
     recs["R2"] = R2[idx]
     recs["P"] = P[idx]
     recs["ChiSqFisher"] = chisq_fisher[idx]
-    recs["ChiSqModel"] = 0.0
+    # the chosen EM root's goodness-of-fit chi-squared for unphased
+    # records; 0 for phased/folded ones (reference: ld_engine.cpp:1258,
+    # 1344, 1462-1532)
+    recs["ChiSqModel"] = 0.0 if chisq_model is None else chisq_model[idx]
     return recs, idx
 
 
@@ -268,9 +272,11 @@ def solve_unphased_f11(T: np.ndarray):
                 T[sel], n[sel], roots[sel, r], p[sel], q[sel])
     best = np.argmin(chis, axis=1)
     f11 = roots[np.arange(K), best]
+    chi_model = chis[np.arange(K), best]
+    chi_model = np.where(np.isfinite(chi_model), chi_model, 0.0)
     valid = n_possible > 0
     multiple = n_possible > 1
-    return f11, p, q, n, valid, multiple
+    return f11, p, q, n, valid, multiple, chi_model
 
 
 def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
@@ -302,9 +308,10 @@ def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
     if em.any():
         Te = T[em]
         meta_e = _meta_subset(meta, em)
-        f11, p, q, ne, valid, multiple = solve_unphased_f11(Te)
+        (f11, p, q, ne, valid, multiple,
+         chi_model) = solve_unphased_f11(Te)
         recs = _choose_f11_records(Te, meta_e, filt, f11, p, q, ne, valid,
-                                   multiple)
+                                   multiple, chi_model)
         rec_parts.append(recs)
 
     if not rec_parts:
@@ -317,7 +324,8 @@ def _meta_subset(meta: PairMeta, mask) -> PairMeta:
                        for k in PairMeta.__dataclass_fields__})
 
 
-def _choose_f11_records(T, meta, filt, f11, p, q, n, valid, multiple):
+def _choose_f11_records(T, meta, filt, f11, p, q, n, valid, multiple,
+                        chi_model=None):
     """Statistics from the chosen root
     (reference: ld_engine.cpp:1590-1740 ChooseF11Calculate)."""
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -363,5 +371,5 @@ def _choose_f11_records(T, meta, filt, f11, p, q, n, valid, multiple):
                           used_phased=np.zeros(len(n), bool))
     flags |= np.where(multiple, FLAG_MULTIPLE_ROOTS, 0).astype(np.uint16)
     recs, _ = _assemble(keep, meta, flags, cnt_out, D, Dprime, R, R2, P,
-                        chisq_fisher)
+                        chisq_fisher, chisq_model=chi_model)
     return recs
