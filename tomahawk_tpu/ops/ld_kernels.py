@@ -369,12 +369,6 @@ def unphased_prefilter_cells(cells, pair_mask, min_r2: float,
     lo = jnp.float32(min_r2) * 0.98 - 1e-4
     hi = jnp.float32(max_r2) * 1.02 + 1e-4
 
-    def r2_of(f11):
-        D = f11 * (1.0 - (p + q) + f11) - (p - f11) * (q - f11)
-        denom = p * (1 - p) * q * (1 - q)
-        return jnp.where(denom > 0, D * D / jnp.where(denom > 0, denom, 1.0),
-                         jnp.float32(np.inf))
-
     # ---- fold case (no double hets): exact phased table ----
     refref = 2 * T00 + T01 + T10
     refalt = 2 * T02 + T01 + T12
@@ -384,41 +378,29 @@ def unphased_prefilter_cells(cells, pair_mask, min_r2: float,
     t = refref + refalt + altref + altalt
     fold_ok = (t >= 5) & (r2_fold >= lo) & (r2_fold <= hi)
 
-    # ---- EM case: all candidate cubic roots, branchless ----
-    a = 4.0 * n
-    b = 2.0 * n * (1.0 - 2.0 * p - 2.0 * q) - 2.0 * n11 - ndh
-    c = (-n11 * (1.0 - 2.0 * p - 2.0 * q) - ndh * (1.0 - p - q)
-         + 2.0 * n * p * q)
-    dee = -n11 * p * q
-    a_s = jnp.where(a != 0, a, 1.0)
-    xN = -b / (3.0 * a_s)
-    d2 = (b ** 2 - 3.0 * a_s * c) / (9.0 * a_s ** 2)
-    yN = a * xN ** 3 + b * xN ** 2 + c * xN + dee
-    diff = yN ** 2 - 4.0 * a ** 2 * d2 ** 3
-
-    # three-real-root branch (valid when diff < 0)
-    h = jnp.sqrt(jnp.maximum(4.0 * a ** 2 * d2 ** 3, 1e-30))
-    theta = jnp.arccos(jnp.clip(-yN / h, -1.0, 1.0)) / 3.0
-    delta = jnp.sqrt(jnp.maximum(d2, 0.0))
-    r0 = xN + 2.0 * delta * jnp.cos(theta)
-    r1 = xN + 2.0 * delta * jnp.cos(2.0 * np.pi / 3.0 + theta)
-    r2_ = xN + 2.0 * delta * jnp.cos(4.0 * np.pi / 3.0 + theta)
-    # single-real-root branch (valid when diff > 0)
-    s = jnp.sqrt(jnp.maximum(diff, 0.0))
-    u = (-yN + s) / (2.0 * a_s)
-    v = (-yN - s) / (2.0 * a_s)
-    r3 = xN + jnp.cbrt(u) + jnp.cbrt(v)
-
-    three = diff < 0
+    # ---- EM case: exact r2 range over the plausible f11 interval ----
+    # D(f11) = f11*f22 - f12*f21 collapses to f11 - p*q (linear!), so
+    # r2(f11) = (f11 - pq)^2 / denom is a parabola whose exact min/max
+    # over the biologically-plausible interval [minhap, maxhap] come
+    # from the endpoints (min 0 when pq lies inside). Whatever cubic
+    # root the host's f64 EM selects lies in this interval, so passing
+    # when [r2_min, r2_max] intersects [lo, hi] is a true superset --
+    # unlike solving the cubic in f32, whose discriminant/cancellation
+    # error near degenerate cases dropped real survivors.
     minhap = n11 / (2.0 * ns)
     maxhap = (n11 + ndh) / (2.0 * ns)
     tol = 1e-4                        # widened vs the host's 1e-5
-    em_ok = jnp.zeros_like(m)
-    for root, cond in ((r0, three), (r1, three), (r2_, three),
-                       (r3, ~three)):
-        plausible = cond & (root >= minhap - tol) & (root <= maxhap + tol)
-        rr = r2_of(root)
-        em_ok |= plausible & (rr >= lo) & (rr <= hi)
+    pq = p * q
+    lo_h = minhap - tol
+    hi_h = maxhap + tol
+    dmin = jnp.maximum(jnp.maximum(lo_h - pq, pq - hi_h), 0.0)
+    dmax = jnp.maximum(hi_h - pq, pq - lo_h)
+    denom = p * (1 - p) * q * (1 - q)
+    pos = denom > 0
+    denom_s = jnp.where(pos, denom, 1.0)
+    r2_min = jnp.where(pos, dmin * dmin / denom_s, jnp.float32(np.inf))
+    r2_max = jnp.where(pos, dmax * dmax / denom_s, jnp.float32(np.inf))
+    em_ok = (r2_min <= hi) & (r2_max >= lo)
 
     return m & jnp.where(ndh == 0, fold_ok, em_ok)
 
