@@ -53,14 +53,26 @@ for trial in range(int(sys.argv[2]) if len(sys.argv) > 2 else 10):
                                   block_size=rng.choice([4, 9, 500]),
                                   threshold_miss=0.5))
         two = f"{tmp}/t.two"
-        s = CalcSettings(input=twk, output=two,
-                         force_phased=(mode == "phased"),
-                         forced_unphased=(mode == "unphased"),
-                         window=window is not None,
-                         l_window=window or 1_000_000,
-                         min_r2=min_r2, tile_rows=tile_rows,
-                         mesh=mesh, memory_gb=memory_gb)
-        res = compute_ld(s)
+        common = dict(force_phased=(mode == "phased"),
+                      forced_unphased=(mode == "unphased"),
+                      window=window is not None,
+                      l_window=window or 1_000_000,
+                      min_r2=min_r2, tile_rows=tile_rows,
+                      mesh=mesh, memory_gb=memory_gb)
+        n_chunks = rng.choice([1, 1, 3]) if window is None else 1
+        if n_chunks > 1:
+            from tomahawk_tpu.post.concat import concat_two
+            parts = []
+            for c in range(n_chunks):
+                part = f"{tmp}/part{c}.two"
+                compute_ld(CalcSettings(input=twk, output=part,
+                                        n_chunks=n_chunks, c_chunk=c,
+                                        **common))
+                parts.append(part)
+            concat_two(parts, two)
+            cfgs["n_chunks"] = n_chunks
+        else:
+            res = compute_ld(CalcSettings(input=twk, output=two, **common))
         want, n_cand = _expected_records(twk, mode, min_r2=min_r2,
                                          window=window)
         try:
