@@ -241,3 +241,61 @@ def test_bcf_import_calc_pipeline(tmp_path):
                             min_r2=0.05))
     want, _ = _expected_records(twk, "phased", min_r2=0.05)
     _check_two(two, want)
+
+
+def test_fused_cap_overflow_and_spill_repair(tmp_path, monkeypatch):
+    """Tiles whose survivors exceed the fused compaction cap, and
+    buffers that spill, must be repaired exactly: a run with tiny caps
+    equals a run with caps nothing overflows."""
+    from tomahawk_tpu.compute.engine import LdEngine
+    import numpy as np
+
+    # correlated sites -> many survivors per tile
+    rng = np.random.default_rng(3)
+    vcf_path = str(tmp_path / "r.vcf")
+    n, sites = 30, 60
+    lines = ["##fileformat=VCFv4.2",
+             "##contig=<ID=c1,length=10000000>",
+             '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(f"S{i}" for i in range(n))]
+    base = rng.random(2 * n) < 0.4
+    pos = 1000
+    for s in range(sites):
+        if s % 10 == 0:
+            base = rng.random(2 * n) < 0.4
+        hap = base ^ (rng.random(2 * n) < 0.06)
+        pos += int(rng.integers(40, 200))
+        gt = "\t".join(f"{int(hap[2*i])}|{int(hap[2*i+1])}"
+                       for i in range(n))
+        lines.append(f"c1\t{pos}\t.\tA\tC\t.\tPASS\t.\tGT\t{gt}")
+    open(vcf_path, "w").write("\n".join(lines) + "\n")
+    twk = str(tmp_path / "r.twk")
+    import_vcf(ImportSettings(input=vcf_path, output=twk, block_size=8))
+
+    def run(cap, outcap):
+        monkeypatch.setattr(LdEngine, "FUSED_CAP", cap)
+        out = str(tmp_path / f"o{cap}_{outcap}.two")
+        orig_init = LdEngine.__init__
+
+        def patched(self, *a, **kw):
+            orig_init(self, *a, **kw)
+            self._outcap = outcap
+        monkeypatch.setattr(LdEngine, "__init__", patched)
+        compute_ld(CalcSettings(input=twk, output=out, force_phased=True,
+                                min_r2=0.0, mesh="off"))
+        monkeypatch.setattr(LdEngine, "__init__", orig_init)
+        r = TwoReader(out)
+        recs = r.records()
+        r.close()
+        order = np.lexsort((recs["packB"], recs["packA"],
+                            recs["ridB"], recs["ridA"]))
+        return recs[order]
+
+    big = run(1 << 20, 1 << 20)          # nothing overflows
+    tiny = run(8, 64)                    # every tile overflows + spills
+    assert len(big) == len(tiny) > 100
+    for f in ("ridA", "ridB", "packA", "packB", "controller"):
+        np.testing.assert_array_equal(big[f], tiny[f])
+    for f in ("D", "R2", "P"):
+        np.testing.assert_allclose(big[f], tiny[f], atol=1e-14)
