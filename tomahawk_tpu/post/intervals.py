@@ -57,8 +57,11 @@ def _parse_one(s: str, header) -> Interval:
 def parse_intervals(strings, header) -> List[Interval]:
     out = []
     for s in strings or []:
-        if ";" in s:
-            a, b = s.split(";", 1)
+        # linked two-sided interval: the reference separates with ','
+        # (intervals.h:117-127); ';' is accepted as well
+        sep = ";" if ";" in s else ("," if "," in s else None)
+        if sep:
+            a, b = s.split(sep, 1)
             iv = _parse_one(a.strip(), header)
             iv.linked = _parse_one(b.strip(), header)
             out.append(iv)
