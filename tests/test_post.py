@@ -198,3 +198,58 @@ def test_scalc(pipeline, tmp_path):
     keys_full = sorted(int(p) >> 2 for p in fa["packB"])
     keys_scalc = sorted(int(p) >> 2 for p in fwd["packB"])
     assert keys_full == keys_scalc
+
+
+def test_haplotype_matches_vcf_strings(tmp_path):
+    """Full haplotype matrix equals the genotype strings of the source
+    VCF, per sample and hap, over the whole region."""
+    vcf = str(tmp_path / "h.vcf")
+    make_vcf(vcf, n_samples=12, n_sites=20, miss_frac=0.05, seed=21)
+    twk = str(tmp_path / "h.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=5,
+                              threshold_miss=0.4))
+    with TwkReader(twk) as r:
+        recs = list(r.records())
+        contig = r.header.contigs[0].name
+    sub = [x for x in recs if x.rid == 0]
+    lo, hi = sub[0].pos + 1, sub[-1].pos + 1
+
+    buf = io.StringIO()
+    n_var = haplotype(twk, "-", f"{contig}:{lo}-{hi}", fmt="tsv",
+                      out_stream=buf)
+    assert n_var == len(sub)
+    lines = [ln.split("\t") for ln in buf.getvalue().splitlines()]
+    header, rows = lines[0], lines[1:]
+    assert [int(p) for p in header[1:]] == [x.pos + 1 for x in sub]
+
+    # rebuild expected codes per variant from the archive
+    by_row = {row[0]: row[1:] for row in rows}
+    for v, rec in enumerate(sub):
+        codes = rec.decode_codes()
+        ca, cb = codes >> 2, codes & 3
+        for s in range(12):
+            wa = "." if ca[s] == 2 else str(ca[s])
+            wb = "." if cb[s] == 2 else str(cb[s])
+            assert by_row[f"S{s}_1"][v] == wa, (v, s)
+            assert by_row[f"S{s}_2"][v] == wb, (v, s)
+
+
+def test_decay_matches_direct_computation(pipeline):
+    d, twk, two = pipeline
+    buf = io.StringIO()
+    sums, cnts = decay(two, max_range=20000, n_bins=8, out=buf)
+    with TwoReader(two) as r:
+        recs = r.records()
+    pos_a = (recs["packA"] >> 2).astype(np.int64)
+    pos_b = (recs["packB"] >> 2).astype(np.int64)
+    m = (recs["ridA"] == recs["ridB"]) & (pos_a < pos_b)
+    dist = pos_b[m] - pos_a[m]
+    bw = 20000 // 8
+    want_sum = np.zeros(8)
+    want_cnt = np.zeros(8, np.int64)
+    for dd, r2 in zip(dist, recs["R2"][m]):
+        b = min(dd // bw, 7)
+        want_sum[b] += r2
+        want_cnt[b] += 1
+    np.testing.assert_allclose(sums, want_sum)
+    np.testing.assert_array_equal(cnts, want_cnt)
