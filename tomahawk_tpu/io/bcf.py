@@ -165,6 +165,12 @@ class BcfReader:
         native import step: such sites carry raw_gt = (gt_bytes,
         int_width) and codes=None."""
         n_samples = self._n_samples
+        scanner = None
+        if raw and self._gt_key is not None:
+            from ..native import BcfScanner, available
+            if available():
+                scanner = BcfScanner(self._gt_key)
+        base_map = {65: "A", 67: "C", 71: "G", 84: "T"}
         while True:
             head = self._s.maybe_read(8)
             if len(head) == 0:
@@ -172,8 +178,25 @@ class BcfReader:
             if len(head) != 8:
                 raise ValueError(f"{self.path}: truncated BCF record")
             l_shared, l_indiv = struct.unpack("<II", head)
-            shared = memoryview(self._s.read(l_shared))
-            indiv = memoryview(self._s.read(l_indiv))
+            shared_b = self._s.read(l_shared)
+            indiv_b = self._s.read(l_indiv)
+            if scanner is not None:
+                res = scanner.scan(shared_b, indiv_b)
+                if res is not None and res[7] == n_samples \
+                        and res[5] >= 0:
+                    rid, pos, n_allele = int(res[0]), int(res[1]), \
+                        int(res[2])
+                    ref = base_map.get(int(res[3]))
+                    alt = base_map.get(int(res[4]))
+                    is_snp = ref is not None and alt is not None
+                    go, gw = int(res[5]), int(res[6])
+                    gt = indiv_b[go:go + gw * 2 * n_samples]
+                    yield VcfSite(rid, pos, ref or "N", alt or ".",
+                                  None, None, n_allele, is_snp, True,
+                                  raw_gt=(gt, gw))
+                    continue
+            shared = memoryview(shared_b)
+            indiv = memoryview(indiv_b)
 
             (rid, pos, _rlen) = struct.unpack("<iii", shared[:12])
             # qual f32 at 12:16

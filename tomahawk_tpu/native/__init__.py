@@ -90,6 +90,10 @@ def get_lib():
         lib.twk_bcf_gt.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.twk_bcf_scan.restype = ctypes.c_int32
+        lib.twk_bcf_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         lib.twk_runs_to_planes.restype = ctypes.c_int64
         lib.twk_runs_to_planes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -181,6 +185,27 @@ def codes_to_planes(codes: np.ndarray, alt, mis, het, hom, val):
         hom.ctypes.data_as(ctypes.c_void_p),
         val.ctypes.data_as(ctypes.c_void_p))
     return True
+
+
+class BcfScanner:
+    """Reusable scratch around twk_bcf_scan (the BCF shared/indiv block
+    walk). scan() returns the 8-int64 result array or None on fallback
+    (unsupported layout or missing lib)."""
+
+    def __init__(self, gt_key: int):
+        self._lib = get_lib()
+        self._gt_key = gt_key
+        self.out = np.zeros(8, np.int64)
+        self._optr = self.out.ctypes.data_as(ctypes.c_void_p)
+
+    def scan(self, shared: bytes, indiv: bytes):
+        if self._lib is None:
+            return None
+        r = self._lib.twk_bcf_scan(shared, len(shared), indiv,
+                                   len(indiv), self._gt_key, self._optr)
+        if r != 0:
+            return None
+        return self.out
 
 
 def hwe_exact(n_het: np.ndarray, n_hom1: np.ndarray, n_hom2: np.ndarray):

@@ -479,6 +479,110 @@ int64_t twk_encode_site(const char* blob, int64_t len, int32_t n_samples,
     return n_words;
 }
 
+// Scan one BCF record (shared + indiv blocks) for the import fast
+// path. Fills out[] = {rid, pos, n_allele, ref_byte, alt_byte,
+// gt_offset, gt_width, n_sample}; ref/alt bytes are 0 for multi-char
+// alleles (caller treats as non-SNP), gt_offset/width = -1 when no
+// plain diploid int GT vector exists. Returns 0, or -1 when the
+// typed-value walk hits something unsupported (caller falls back to
+// the python parser).
+static int64_t twk_bcf_desc(const uint8_t* buf, int64_t len, int64_t* off,
+                            int32_t* type, int64_t* n) {
+    if (*off >= len) return -1;
+    const uint8_t b = buf[(*off)++];
+    *type = b & 0x0F;
+    *n = b >> 4;
+    if (*n == 15) {
+        int32_t t2; int64_t n2;
+        if (twk_bcf_desc(buf, len, off, &t2, &n2) < 0) return -1;
+        int64_t sz;
+        switch (t2) { case 1: sz = 1; break; case 2: sz = 2; break;
+                      case 3: sz = 4; break; default: return -1; }
+        if (*off + sz * n2 > len || n2 < 1) return -1;
+        int64_t v = 0;
+        switch (t2) {
+            case 1: v = *(const int8_t*)(buf + *off); break;
+            case 2: { int16_t x; memcpy(&x, buf + *off, 2); v = x; break; }
+            default: { int32_t x; memcpy(&x, buf + *off, 4); v = x; break; }
+        }
+        *off += sz * n2;
+        *n = v;
+    }
+    return 0;
+}
+
+static int64_t twk_bcf_type_size(int32_t t) {
+    switch (t) { case 0: return 0; case 1: return 1; case 2: return 2;
+                 case 3: return 4; case 5: return 4; case 7: return 1; }
+    return -1;
+}
+
+int32_t twk_bcf_scan(const uint8_t* shared, int64_t l_shared,
+                     const uint8_t* indiv, int64_t l_indiv,
+                     int64_t gt_key, int64_t* out) {
+    if (l_shared < 24) return -1;
+    int32_t rid, pos;
+    memcpy(&rid, shared, 4);
+    memcpy(&pos, shared + 4, 4);
+    uint16_t n_allele;
+    memcpy(&n_allele, shared + 18, 2);
+    uint32_t ns4;
+    memcpy(&ns4, shared + 20, 4);
+    const int64_t n_sample = ns4 & 0xFFFFFF;
+    const int32_t n_fmt = shared[23];
+    out[0] = rid; out[1] = pos; out[2] = n_allele;
+    out[3] = 0; out[4] = 0; out[5] = -1; out[6] = -1; out[7] = n_sample;
+
+    int64_t off = 24;
+    int32_t t; int64_t n;
+    // ID string: skip
+    if (twk_bcf_desc(shared, l_shared, &off, &t, &n) < 0) return -1;
+    int64_t sz = twk_bcf_type_size(t);
+    if (sz < 0 || off + sz * n > l_shared) return -1;
+    off += sz * n;
+    // alleles
+    for (int64_t a = 0; a < n_allele && a < 2; ++a) {
+        if (twk_bcf_desc(shared, l_shared, &off, &t, &n) < 0) return -1;
+        if (t != 7) return -1;
+        if (off + n > l_shared) return -1;
+        if (n == 1) out[3 + a] = shared[off];
+        off += n;
+    }
+    // indiv: find a plain diploid int GT vector
+    int64_t io = 0;
+    for (int32_t f = 0; f < n_fmt; ++f) {
+        int32_t kt; int64_t kn;
+        if (twk_bcf_desc(indiv, l_indiv, &io, &kt, &kn) < 0) return -1;
+        int64_t ksz = twk_bcf_type_size(kt);
+        if (ksz < 0 || kn < 1 || io + ksz > l_indiv) return -1;
+        int64_t key = 0;
+        switch (kt) {
+            case 1: key = *(const int8_t*)(indiv + io); break;
+            case 2: { int16_t x; memcpy(&x, indiv + io, 2); key = x;
+                      break; }
+            case 3: { int32_t x; memcpy(&x, indiv + io, 4); key = x;
+                      break; }
+            default: return -1;
+        }
+        io += ksz * kn;
+        int32_t vt; int64_t per;
+        if (twk_bcf_desc(indiv, l_indiv, &io, &vt, &per) < 0) return -1;
+        const int64_t vsz = twk_bcf_type_size(vt);
+        if (vsz < 0) return -1;
+        const int64_t size = vsz * per * n_sample;
+        if (io + size > l_indiv) return -1;
+        if (key == gt_key) {
+            if ((vt == 1 || vt == 2 || vt == 3) && per == 2) {
+                out[5] = io;
+                out[6] = vsz;
+            }
+            return 0;
+        }
+        io += size;
+    }
+    return 0;
+}
+
 // BCF GT value pairs -> tomahawk codes/phase. vals holds 2 ints per
 // sample in the given byte width; value = (allele+1)<<1 | phased,
 // 0/1 = missing. Returns 0, or -2 when a second slot holds the
