@@ -20,6 +20,11 @@ def test_two_process_sharded_count_sweep():
     port = str(_free_port())
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    # keep the workers off the axon TPU tunnel: concurrent interpreter
+    # startups contend for the single tunneled device and can hang at
+    # plugin registration; the test is CPU-only by design
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
