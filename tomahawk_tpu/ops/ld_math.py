@@ -92,8 +92,10 @@ def _assemble(keep, meta, flags, cnt, D, Dprime, R, R2, P, chisq_fisher,
     recs["P"] = P[idx]
     recs["ChiSqFisher"] = chisq_fisher[idx]
     # the chosen EM root's goodness-of-fit chi-squared for unphased
-    # records; 0 for phased/folded ones (reference: ld_engine.cpp:1258,
-    # 1344, 1462-1532)
+    # records; 0 for phased/folded ones. The reference COMPUTES this
+    # (ld_engine.cpp:1462-1532) but then dead-stores 0 over it in
+    # ChooseF11Calculate (ld_engine.cpp:1670), so its emitted field is
+    # always 0; we deliberately emit the documented value instead.
     recs["ChiSqModel"] = 0.0 if chisq_model is None else chisq_model[idx]
     return recs, idx
 
