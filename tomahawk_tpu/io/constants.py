@@ -18,9 +18,10 @@ TWK_IDX_UNSORTED = 0
 TWK_IDX_PARTIAL = 1
 TWK_IDX_SORTED = 2
 
-# Allele single-base encoding (reference: include/core.h:38-49)
-BASE_MAP = {"T": 1, "G": 2, "A": 3, "C": 4}
-BASE_MAP_INV = "ATGC"  # indexed by (code - ... ) see EncodeAlleles
+# Allele single-base encoding (reference TWK_BASE_MAP, include/core.h:38-49:
+# 'A'->0 (and every unmapped byte), 'T'->1, 'G'->2, 'C'->3, 'N'->4).
+BASE_MAP = {"A": 0, "T": 1, "G": 2, "C": 3, "N": 4}
+BASE_MAP_INV = "ATGC"  # TWK_BASE_MAP_INV (include/core.h:49)
 
 # TWO record flag bits (reference: include/core.h:770-783)
 FLAG_USED_PHASED_MATH = 1 << 0
