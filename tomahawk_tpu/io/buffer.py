@@ -70,7 +70,10 @@ class BufferReader:
         return b
 
     def _unpack(self, fmt: str, size: int):
-        (v,) = struct.unpack_from(fmt, self.buf, self.pos)
+        try:
+            (v,) = struct.unpack_from(fmt, self.buf, self.pos)
+        except struct.error as e:
+            raise EOFError(f"buffer underrun: {e}") from None
         self.pos += size
         return v
 

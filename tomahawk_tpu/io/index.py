@@ -17,6 +17,7 @@ from typing import List
 
 from .buffer import BufferReader, BufferWriter
 from .constants import INDEX_START_MARKER, TWK_IDX_UNSORTED
+from .errors import CorruptFileError
 
 
 @dataclass
@@ -147,22 +148,27 @@ class Index:
         return w.getvalue()
 
     @classmethod
-    def read(cls, r: BufferReader) -> "Index":
+    def read(cls, r: BufferReader, path: str = "<index>") -> "Index":
         marker = r.u64()
-        assert marker == INDEX_START_MARKER, "corrupt index (bad marker)"
+        if marker != INDEX_START_MARKER:
+            raise CorruptFileError(path, "corrupt index (bad start marker)")
         idx = cls()
         if cls.output:
             idx.state = r.u8()
         n = r.u64()
         _m = r.u64()
         m_ent = r.u64()
-        idx.ent = [IndexEntry.read(r, output=cls.output) for _ in range(n)]
-        idx.ent_meta = [IndexEntryMeta.read(r) for _ in range(m_ent)]
+        try:
+            idx.ent = [IndexEntry.read(r, output=cls.output)
+                       for _ in range(n)]
+            idx.ent_meta = [IndexEntryMeta.read(r) for _ in range(m_ent)]
+        except EOFError as e:
+            raise CorruptFileError(path, f"corrupt index: {e}") from None
         return idx
 
     @classmethod
-    def deserialize(cls, buf: bytes) -> "Index":
-        return cls.read(BufferReader(buf))
+    def deserialize(cls, buf: bytes, path: str = "<index>") -> "Index":
+        return cls.read(BufferReader(buf), path=path)
 
 
 class IndexOutput(Index):

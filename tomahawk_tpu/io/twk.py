@@ -29,6 +29,8 @@ import zstandard
 
 from .buffer import BufferReader, BufferWriter
 from .constants import TWK_MAGIC, FILE_EOF
+from .errors import (CorruptFileError, decompress_checked, parse_checked,
+                     read_exact)
 from .header import VcfHeader
 from .index import Index, IndexEntry
 
@@ -207,24 +209,45 @@ class TwkReader:
         self._dctx = zstandard.ZstdDecompressor()
         magic = self._fh.read(len(TWK_MAGIC))
         if magic != TWK_MAGIC:
-            raise ValueError(f"{path}: not a .twk archive (bad magic)")
-        b_unc, b_cmp = struct.unpack("<QQ", self._fh.read(16))
-        self.header = VcfHeader.deserialize(
-            self._dctx.decompress(self._fh.read(b_cmp), max_output_size=b_unc))
+            raise CorruptFileError(path, "not a .twk archive (bad magic)", 0)
+        b_unc, b_cmp = struct.unpack(
+            "<QQ", read_exact(self._fh, 16, path, "header sizes"))
+        hoff = self._fh.tell()
+        self.header = parse_checked(
+            VcfHeader.deserialize,
+            decompress_checked(
+                self._dctx, read_exact(self._fh, b_cmp, path, "header"),
+                b_unc, path, "header", hoff),
+            path, "header", hoff)
         self._data_start = self._fh.tell()
 
         # Footer: EOF sentinel then index offset just before it.
+        end = self._fh.seek(0, 2)
+        if end < self._data_start + len(FILE_EOF) + 8:
+            raise CorruptFileError(path, "truncated archive (no footer)",
+                                   end)
         self._fh.seek(-(len(FILE_EOF) + 8), 2)
         index_offset, = struct.unpack("<Q", self._fh.read(8))
         eof = self._fh.read(len(FILE_EOF))
         if eof != FILE_EOF:
-            raise ValueError(f"{path}: truncated archive (bad EOF sentinel)")
+            raise CorruptFileError(
+                path, "truncated archive (bad EOF sentinel)",
+                end - len(FILE_EOF))
+        if not self._data_start <= index_offset < end:
+            raise CorruptFileError(
+                path, f"corrupt footer: index offset {index_offset} "
+                "out of range", end - len(FILE_EOF) - 8)
         self._fh.seek(index_offset)
-        marker, ib_unc, ib_cmp = struct.unpack("<BQQ", self._fh.read(17))
-        assert marker == 0, "corrupt footer marker"
+        marker, ib_unc, ib_cmp = struct.unpack(
+            "<BQQ", read_exact(self._fh, 17, path, "index header"))
+        if marker != 0:
+            raise CorruptFileError(path, "corrupt footer marker",
+                                   index_offset)
         self.index = Index.deserialize(
-            self._dctx.decompress(self._fh.read(ib_cmp),
-                                  max_output_size=ib_unc))
+            decompress_checked(
+                self._dctx, read_exact(self._fh, ib_cmp, path, "index"),
+                ib_unc, path, "index", index_offset + 17),
+            path=path)
         self._fh.seek(self._data_start)
 
     @property
@@ -234,11 +257,19 @@ class TwkReader:
     def read_block(self, i: int) -> Twk1Block:
         ent = self.index.ent[i]
         self._fh.seek(ent.foff)
-        marker, b_unc, b_cmp = struct.unpack("<BII", self._fh.read(9))
-        assert marker == 1, "corrupt block marker"
-        payload = self._dctx.decompress(self._fh.read(b_cmp),
-                                        max_output_size=b_unc)
-        return Twk1Block.deserialize(payload)
+        marker, b_unc, b_cmp = struct.unpack(
+            "<BII", read_exact(self._fh, 9, self.path, "block header"))
+        if marker != 1:
+            raise CorruptFileError(self.path, "corrupt block marker",
+                                   ent.foff)
+        payload = decompress_checked(
+            self._dctx, read_exact(self._fh, b_cmp, self.path, "block"),
+            b_unc, self.path, "block", ent.foff + 9)
+        try:
+            return Twk1Block.deserialize(payload)
+        except (EOFError, struct.error, KeyError) as e:
+            raise CorruptFileError(self.path, f"corrupt block payload: {e}",
+                                   ent.foff + 9) from None
 
     def blocks(self) -> Iterator[Twk1Block]:
         for i in range(self.index.n):

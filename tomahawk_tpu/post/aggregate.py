@@ -82,23 +82,33 @@ class Twa:
 
     @classmethod
     def open(cls, path: str) -> "Twa":
+        from ..io.errors import CorruptFileError
         raw = open(path, "rb").read()
         if not raw.startswith(TWOAGG_MAGIC):
-            raise ValueError(f"{path}: not a .twa file")
+            raise CorruptFileError(path, "not a .twa file (bad magic)", 0)
         if not raw.endswith(TWOAGG_EOF):
-            raise ValueError(f"{path}: truncated .twa (bad EOF)")
-        r = BufferReader(raw, len(TWOAGG_MAGIC))
-        n = r.u32()
-        obj = cls(x=r.u32(), y=r.u32(), bpx=r.u32(), bpy=r.u32(),
-                  n_original=r.u32(), range=r.u64(), filename=r.string())
-        n_rid = r.u32()
-        obj.rid_offsets = [(r.u32(), r.u32(), r.u64())
-                           for _ in range(n_rid)]
-        nc = r.u32()
-        data = zstandard.ZstdDecompressor().decompress(
-            r.raw(nc), max_output_size=n * 8)
-        obj.data = np.frombuffer(data, np.float64).reshape(obj.x, obj.y)
-        assert obj.n == n
+            raise CorruptFileError(path, "truncated .twa (bad EOF)",
+                                   len(raw))
+        try:
+            r = BufferReader(raw, len(TWOAGG_MAGIC))
+            n = r.u32()
+            obj = cls(x=r.u32(), y=r.u32(), bpx=r.u32(), bpy=r.u32(),
+                      n_original=r.u32(), range=r.u64(),
+                      filename=r.string())
+            n_rid = r.u32()
+            obj.rid_offsets = [(r.u32(), r.u32(), r.u64())
+                               for _ in range(n_rid)]
+            nc = r.u32()
+            data = zstandard.ZstdDecompressor().decompress(
+                r.raw(nc), max_output_size=max(n * 8, 1))
+            obj.data = np.frombuffer(data, np.float64).reshape(obj.x, obj.y)
+        except (EOFError, zstandard.ZstdError, ValueError,
+                MemoryError) as e:
+            raise CorruptFileError(path, f"corrupt .twa: {e}") from None
+        if obj.n != n:
+            raise CorruptFileError(
+                path, f"corrupt .twa: raster is {obj.x}x{obj.y} but "
+                f"header declares {n} cells")
         return obj
 
 

@@ -31,7 +31,10 @@ class TwoFilter:
     refalt: Optional[tuple] = None
     altref: Optional[tuple] = None
     altalt: Optional[tuple] = None
-    hap_min: float = 0.0          # minimum of any cell (-m in view)
+    hap_min: float = 0.0          # minimum of any cell
+    # non-major haplotype count: sum of all cells except the largest
+    # (-a/-A minMHC/maxMHC; reference: two_reader.h:162-170 FilterMHC)
+    mhc: Optional[tuple] = None
     # flag masks
     flag_include: int = 0
     flag_exclude: int = 0
@@ -43,7 +46,7 @@ class TwoFilter:
         return any(getattr(self, f) is not None for f in (
             "rid_a", "rid_b", "pos_a", "pos_b", "d", "dprime", "r", "r2",
             "p", "chisq_fisher", "chisq_model", "refref", "refalt",
-            "altref", "altalt")) or self.flag_include or \
+            "altref", "altalt", "mhc")) or self.flag_include or \
             self.flag_exclude or self.upper_only or self.lower_only or \
             self.hap_min > 0
 
@@ -76,6 +79,18 @@ class TwoFilter:
         rng(recs["cnt"][:, 3], self.altalt)
         if self.hap_min > 0:
             m &= recs["cnt"].min(axis=1) >= self.hap_min
+        if self.mhc is not None:
+            cnt = recs["cnt"]
+            # major cell with the reference's exact tie-breaking
+            # (two_reader.h:164-166): cnt[1] wins a 0-vs-1 tie, later
+            # cells must strictly exceed the running max
+            mi = np.where(cnt[:, 1] >= cnt[:, 0], 1, 0)
+            cur = cnt[np.arange(len(cnt)), mi]
+            mi = np.where(cnt[:, 2] > cur, 2, mi)
+            cur = cnt[np.arange(len(cnt)), mi]
+            mi = np.where(cnt[:, 3] > cur, 3, mi)
+            nonmajor = cnt.sum(axis=1) - cnt[np.arange(len(cnt)), mi]
+            rng(nonmajor, self.mhc)
         if self.flag_include:
             m &= (recs["controller"] & self.flag_include) != 0
         if self.flag_exclude:
