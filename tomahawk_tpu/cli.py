@@ -119,6 +119,11 @@ def _add_view(sub):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="-")
     p.add_argument("-H", "--no-header", action="store_true")
+    p.add_argument("--header-only", action="store_true",
+                   help="print only the stored literal header "
+                        "(reference view -h)")
+    p.add_argument("-J", "--json", action="store_true",
+                   help="print records as JSON arrays (PrintLDJson)")
     p.add_argument("-b", "--binary", action="store_true",
                    help="write filtered binary .two instead of text")
     p.add_argument("-I", "--interval", action="append", default=[])
@@ -143,8 +148,12 @@ def _add_view(sub):
         p.add_argument(f"--min-{cell}", type=float, default=None,
                        help=f"min {desc} haplotype count")
         p.add_argument(f"--max-{cell}", type=float, default=None)
-    p.add_argument("-m", "--hap-min", type=float, default=0.0,
-                   help="minimum count in any haplotype cell (minMHC)")
+    p.add_argument("--hap-min", type=float, default=0.0,
+                   help="minimum count in any haplotype cell")
+    p.add_argument("-a", "--min-mhc", type=float, default=None,
+                   help="min non-major haplotype count (sum of all "
+                        "cells except the largest)")
+    p.add_argument("-A", "--max-mhc", type=float, default=None)
     p.add_argument("-f", "--flag-include", type=int, default=0)
     p.add_argument("-F", "--flag-exclude", type=int, default=0)
     p.add_argument("-U", "--upper-only", action="store_true")
@@ -171,6 +180,7 @@ def _cmd_view(args):
         altref=_rng(args.min_q1, args.max_q1),
         altalt=_rng(args.min_q2, args.max_q2),
         hap_min=args.hap_min,
+        mhc=_rng(args.min_mhc, args.max_mhc),
         flag_include=args.flag_include, flag_exclude=args.flag_exclude,
         upper_only=args.upper_only, lower_only=args.lower_only)
     out = None if args.output in ("-", "") else args.output
@@ -180,7 +190,9 @@ def _cmd_view(args):
     else:
         stream = open(out, "w") if out else sys.stdout
         view(args.input, filt=filt, intervals=args.interval,
-             show_header=not args.no_header, out_stream=stream)
+             show_header=not args.no_header,
+             header_only=args.header_only, json_out=args.json,
+             out_stream=stream)
         if out:
             stream.close()
     return 0

@@ -98,6 +98,12 @@ def get_lib():
         lib.twk_runs_to_planes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32] + [ctypes.c_void_p] * 5
+        lib.twk_format_ld.restype = ctypes.c_int64
+        lib.twk_format_ld.argtypes = (
+            [ctypes.c_int64] + [ctypes.c_void_p] * 13 +
+            [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+             ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+             ctypes.c_void_p])
         _lib = lib
         return _lib
 
@@ -326,3 +332,53 @@ def code_stats(codes: np.ndarray):
     lib.twk_code_stats(codes.ctypes.data_as(ctypes.c_void_p),
                        len(codes), out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def format_ld(recs: np.ndarray, contig_names, json: bool = False):
+    """Format a block of .two records as LD text (or JSON arrays), one
+    row per record, matching the reference's PrintLD/PrintLDJson
+    columns (reference: lib/core.cpp:520-532). `contig_names` is a
+    sequence indexed by rid. Returns bytes, or None if the native
+    library is unavailable (callers fall back to Python formatting)."""
+    lib = get_lib()
+    if lib is None or len(recs) == 0:
+        return b"" if len(recs) == 0 and lib is not None else None
+    n = len(recs)
+    controller = np.ascontiguousarray(recs["controller"], np.uint16)
+    ridA = np.ascontiguousarray(recs["ridA"], np.uint32)
+    ridB = np.ascontiguousarray(recs["ridB"], np.uint32)
+    posA = np.ascontiguousarray((recs["packA"] >> 2) + 1, np.uint32)
+    posB = np.ascontiguousarray((recs["packB"] >> 2) + 1, np.uint32)
+    cnt = np.ascontiguousarray(recs["cnt"], np.float64)
+    cols = [np.ascontiguousarray(recs[f], np.float64)
+            for f in ("D", "Dprime", "R", "R2", "P", "ChiSqFisher",
+                      "ChiSqModel")]
+    blobs = [str(c).encode() for c in contig_names]
+    names = b"".join(blobs)
+    name_off = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=name_off[1:])
+    rows_done = ctypes.c_int64(0)
+    max_name = max((len(b) for b in blobs), default=0)
+    out = bytearray()
+    start = 0
+    vp = ctypes.c_void_p
+    while start < n:
+        chunk = min(n - start, 65536)
+        cap = chunk * (440 + 2 * max_name)
+        buf = ctypes.create_string_buffer(cap)
+        sl = slice(start, start + chunk)
+        nb = lib.twk_format_ld(
+            chunk, vp(controller[sl].ctypes.data),
+            vp(ridA[sl].ctypes.data), vp(ridB[sl].ctypes.data),
+            vp(posA[sl].ctypes.data), vp(posB[sl].ctypes.data),
+            vp(cnt[sl].ctypes.data),
+            *(vp(c[sl].ctypes.data) for c in cols),
+            names, vp(name_off.ctypes.data), len(blobs),
+            int(json), vp(ctypes.addressof(buf)), cap,
+            vp(ctypes.addressof(rows_done)))
+        done = rows_done.value
+        if done <= 0:
+            return None  # should not happen with the cap above
+        out += buf.raw[:nb]
+        start += done
+    return bytes(out)

@@ -8,6 +8,7 @@
 //
 // Exposed as a plain C ABI consumed through ctypes.
 
+#include <charconv>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -645,6 +646,95 @@ int64_t twk_encode_codes(const uint8_t* codes, const uint8_t* phase,
     meta_out[1] = state;
     meta_out[2] = miss;
     return n_words;
+}
+
+// ---------------------------------------------------------------------------
+// LD record text formatting (the hot loop of `view`; the reference
+// streams records through C++ ostreams, core.cpp:520-532 PrintLD /
+// PrintLDJson). Floats print as %.6g (ostream default precision) via
+// std::to_chars.
+
+static inline char* fmt_u64(char* p, uint64_t v) {
+    char tmp[20];
+    int k = 0;
+    do { tmp[k++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+static inline char* fmt_g6(char* p, double v) {
+    // integral fast path: haplotype counts (4 of 11 float columns) are
+    // whole numbers; below 1e6 the %.6g rendering is the plain integer
+    if (v == (double)(int64_t)v && v >= 0 && v < 1e6) {
+        return fmt_u64(p, (uint64_t)v);
+    }
+    auto r = std::to_chars(p, p + 64, v, std::chars_format::general, 6);
+    return r.ptr;
+}
+
+extern "C" int64_t twk_format_ld(
+        int64_t n, const uint16_t* controller,
+        const uint32_t* ridA, const uint32_t* ridB,
+        const uint32_t* posA, const uint32_t* posB,
+        const double* cnt,                      /* [n*4] */
+        const double* D, const double* Dprime, const double* R,
+        const double* R2, const double* P, const double* csf,
+        const double* csm,
+        const char* names, const int64_t* name_off, int64_t n_contigs,
+        int32_t json, char* out, int64_t out_cap, int64_t* rows_done) {
+    char* p = out;
+    char* const end = out + out_cap;
+    int64_t i = 0;
+    for (; i < n; ++i) {
+        // worst case per row: 16 fields x ~24 chars + 2 contig names
+        int64_t max_name = 0;
+        if ((int64_t)ridA[i] < n_contigs)
+            max_name += name_off[ridA[i] + 1] - name_off[ridA[i]];
+        else max_name += 20;
+        if ((int64_t)ridB[i] < n_contigs)
+            max_name += name_off[ridB[i] + 1] - name_off[ridB[i]];
+        else max_name += 20;
+        if (end - p < 420 + max_name) break;
+        const char sep = json ? ',' : '\t';
+        if (json) *p++ = '[';
+        p = fmt_u64(p, controller[i]);
+        *p++ = sep;
+        if (!json && (int64_t)ridA[i] < n_contigs) {
+            const int64_t o = name_off[ridA[i]];
+            const int64_t len = name_off[ridA[i] + 1] - o;
+            memcpy(p, names + o, len); p += len;
+        } else {
+            p = fmt_u64(p, ridA[i]);
+        }
+        *p++ = sep;
+        p = fmt_u64(p, posA[i]);
+        *p++ = sep;
+        if (!json && (int64_t)ridB[i] < n_contigs) {
+            const int64_t o = name_off[ridB[i]];
+            const int64_t len = name_off[ridB[i] + 1] - o;
+            memcpy(p, names + o, len); p += len;
+        } else {
+            p = fmt_u64(p, ridB[i]);
+        }
+        *p++ = sep;
+        p = fmt_u64(p, posB[i]);
+        *p++ = sep;
+        for (int c = 0; c < 4; ++c) {
+            p = fmt_g6(p, cnt[4 * i + c]);
+            *p++ = sep;
+        }
+        p = fmt_g6(p, D[i]);      *p++ = sep;
+        p = fmt_g6(p, Dprime[i]); *p++ = sep;
+        p = fmt_g6(p, R[i]);      *p++ = sep;
+        p = fmt_g6(p, R2[i]);     *p++ = sep;
+        p = fmt_g6(p, P[i]);      *p++ = sep;
+        p = fmt_g6(p, csf[i]);    *p++ = sep;
+        p = fmt_g6(p, csm[i]);
+        if (json) *p++ = ']';
+        *p++ = '\n';
+    }
+    *rows_done = i;
+    return p - out;
 }
 
 }  // extern "C"

@@ -2,8 +2,10 @@
 
 Mirrors the reference view subcommand (reference: lib/view.h): applies
 the record filter chain and either prints the tab-separated LD format
-(reference: lib/core.cpp:520-526 PrintLD) or writes a filtered binary
-.two file.
+(reference: lib/core.cpp:520-526 PrintLD), JSON arrays (core.cpp:528-532
+PrintLDJson), or writes a filtered binary .two file. Text emission goes
+through the native row formatter (tomahawk_tpu/native twk_format_ld)
+with a pure-Python fallback.
 """
 
 import sys
@@ -25,11 +27,36 @@ def _fmt(v: float) -> str:
     return f"{v:.6g}"
 
 
+def _python_rows(sel, names, json_out):
+    """Fallback formatter (one f-string per record)."""
+    pos_a = (sel["packA"] >> 2) + 1
+    pos_b = (sel["packB"] >> 2) + 1
+    out = []
+    for r, pa, pb in zip(sel, pos_a, pos_b):
+        cnt = r["cnt"]
+        fields = (f"{r['controller']}",
+                  f"{r['ridA']}" if json_out
+                  else f"{names.get(int(r['ridA']), r['ridA'])}",
+                  f"{pa}",
+                  f"{r['ridB']}" if json_out
+                  else f"{names.get(int(r['ridB']), r['ridB'])}",
+                  f"{pb}",
+                  _fmt(cnt[0]), _fmt(cnt[1]), _fmt(cnt[2]), _fmt(cnt[3]),
+                  _fmt(r['D']), _fmt(r['Dprime']), _fmt(r['R']),
+                  _fmt(r['R2']), _fmt(r['P']), _fmt(r['ChiSqFisher']),
+                  _fmt(r['ChiSqModel']))
+        out.append("[" + ",".join(fields) + "]\n" if json_out
+                   else "\t".join(fields) + "\n")
+    return "".join(out)
+
+
 def view(path: str, output: Optional[str] = None,
          filt: Optional[TwoFilter] = None, intervals=None,
          show_header: bool = True, binary: bool = False,
+         header_only: bool = False, json_out: bool = False,
          out_stream=None):
     """Stream records; returns number of records emitted."""
+    from .. import native
     reader = TwoReader(path)
     filt = filt or TwoFilter()
     ivals = parse_intervals(intervals, reader.header) if intervals else None
@@ -37,41 +64,89 @@ def view(path: str, output: Optional[str] = None,
     n_out = 0
     writer = None
     stream = out_stream or sys.stdout
+    if header_only:
+        # reference view -h: emit only the stored literal header
+        lit = reader.header.literals
+        if lit:
+            stream.write(lit if lit.endswith("\n") else lit + "\n")
+        reader.close()
+        return 0
     if binary:
         from ..utils.logging import stamp_literals
         stamp_literals(reader.header, "view", path)
         writer = TwoWriter(output or "-", reader.header)
     else:
-        if show_header:
+        if show_header and not json_out:
             lit = reader.header.literals
             if lit:
                 stream.write(lit if lit.endswith("\n") else lit + "\n")
             stream.write(LD_HEADER + "\n")
 
     names = {c.idx: c.name for c in reader.header.contigs}
-    for recs in reader.blocks():
+    name_list = [names.get(i, str(i))
+                 for i in range(max(names, default=-1) + 1)]
+    unfiltered = not filt.active() and ivals is None
+
+    def select(recs):
+        if unfiltered:
+            return recs
         m = filt.mask(recs)
         if ivals is not None:
             m &= interval_mask(recs, ivals)
-        sel = recs[m]
-        if len(sel) == 0:
-            continue
-        n_out += len(sel)
-        if binary:
-            writer.add(sel)
-        else:
-            pos_a = (sel["packA"] >> 2) + 1
-            pos_b = (sel["packB"] >> 2) + 1
-            for r, pa, pb in zip(sel, pos_a, pos_b):
-                cnt = r["cnt"]
-                stream.write(
-                    f"{r['controller']}\t{names.get(int(r['ridA']), r['ridA'])}"
-                    f"\t{pa}\t{names.get(int(r['ridB']), r['ridB'])}\t{pb}\t"
-                    f"{_fmt(cnt[0])}\t{_fmt(cnt[1])}\t{_fmt(cnt[2])}\t"
-                    f"{_fmt(cnt[3])}\t{_fmt(r['D'])}\t{_fmt(r['Dprime'])}\t"
-                    f"{_fmt(r['R'])}\t{_fmt(r['R2'])}\t{_fmt(r['P'])}\t"
-                    f"{_fmt(r['ChiSqFisher'])}\t{_fmt(r['ChiSqModel'])}\n")
-    if writer is not None:
+        return recs[m]
+
+    if binary:
+        for recs in reader.blocks():
+            sel = select(recs)
+            if len(sel):
+                n_out += len(sel)
+                writer.add(sel)
         writer.close()
+        reader.close()
+        return n_out
+
+    use_native = native.available()
+    out_buf = getattr(stream, "buffer", None)
+    if use_native and out_buf is not None:
+        stream.flush()   # keep ordering with the text-layer header write
+
+    def emit(blob_or_text):
+        if isinstance(blob_or_text, bytes):
+            if out_buf is not None:
+                out_buf.write(blob_or_text)
+            else:
+                stream.write(blob_or_text.decode())
+        else:
+            stream.write(blob_or_text)
+
+    if use_native:
+        # the native formatter releases the GIL: filter+format blocks in
+        # a thread pool, write in order
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fmt(recs):
+            sel = select(recs)
+            return len(sel), native.format_ld(sel, name_list,
+                                              json=json_out)
+        n_workers = min(8, _os.cpu_count() or 1)
+        if n_workers > 1:
+            with ThreadPoolExecutor(n_workers) as pool:
+                for n_sel, blob in pool.map(fmt, reader.blocks()):
+                    n_out += n_sel
+                    if blob:
+                        emit(blob)
+        else:
+            for recs in reader.blocks():
+                n_sel, blob = fmt(recs)
+                n_out += n_sel
+                if blob:
+                    emit(blob)
+    else:
+        for recs in reader.blocks():
+            sel = select(recs)
+            if len(sel):
+                n_out += len(sel)
+                emit(_python_rows(sel, names, json_out))
     reader.close()
     return n_out
