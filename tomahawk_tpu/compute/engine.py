@@ -160,10 +160,21 @@ class LdEngine:
     """Holds device-resident block tensors and the jitted two-pass
     sweeps for one run configuration. Pass a ('pairs'[, 'samples'])
     jax.sharding.Mesh to shard the tile grid (and optionally the packed
-    word axis) across devices."""
+    word axis) across devices.
+
+    The engine is long-lived across banded-streaming loads: device
+    planes are cached per BAND (uploaded once while the band stays
+    resident, the fix for the per-band-pair re-upload of round 1), and
+    all jitted sweep functions are shared across loads. A plain
+    `LdEngine(stacked, ...)` call wraps `stacked` as a single
+    always-resident band."""
+
+    #: resident band limit: a banded load touches at most 2 bands, and
+    #: holding a third lets the row band survive the (i, i) diagonal
+    MAX_RESIDENT_BANDS = 2
 
     def __init__(self, stacked: dict, n_samples: int,
-                 settings: CalcSettings, mesh=None):
+                 settings: CalcSettings, mesh=None, B: int = None):
         from ..utils.jaxcache import enable_compilation_cache
         enable_compilation_cache()
         import jax.numpy as jnp
@@ -172,30 +183,10 @@ class LdEngine:
         self.sweeps = sweeps
         self.settings = settings
         self.n_samples = n_samples
-        self.stacked = stacked           # host copies for metadata
-        self.B = stacked["alt_bits"].shape[1]
-        self.NB = stacked["alt_bits"].shape[0]
         self.window = settings.l_window if settings.window else 0
         self.mesh = mesh
         self.n_pair_shards = 1 if mesh is None else mesh.shape["pairs"]
-
-        host = {k: stacked[k] for k in sweeps.DEV_KEYS}
-        if mesh is not None and "samples" in mesh.shape \
-                and mesh.shape["samples"] > 1:
-            # pad the packed word axes so they split evenly
-            ns = mesh.shape["samples"]
-            for k in sweeps.WORD_KEYS:
-                v = host[k]
-                W = v.shape[-1]
-                Wp = ((W + ns - 1) // ns) * ns
-                if Wp != W:
-                    pad = np.zeros((*v.shape[:-1], Wp - W), v.dtype)
-                    if k == "miss_bits":   # padding is "missing"
-                        pad = ~pad
-                    host[k] = np.concatenate([v, pad], axis=-1)
-        self._host = host
         self._jnp = jnp
-        self._dev_cache = {}           # lazy per-key uploads
         self._extract_fns = {}
         self.ticker = None           # optional ProgressTicker
         # fused-sweep survivor buffer, grown when a segment spills
@@ -203,15 +194,106 @@ class LdEngine:
         # per-config dispatch statistics, the analogue of the
         # reference's n_method[] kernel counters (ld_engine.h:313)
         self.stats = {}
+        # band-granular device residency
+        self._band_host = {}      # band_id -> host planes (word keys)
+        self._band_dev = {}       # (key, band_id) -> device array
+        self._band_meta = {}      # band_id -> host metadata dict
+        self._band_nb = {}        # band_id -> number of supers
+        self._load_bands = []     # band ids of the current load, in order
+        self._load_dev = {}       # per-load concatenated dev arrays
+        self.n_band_uploads = 0   # telemetry: device uploads performed
+
+        self.stacked = None
+        self.B = B
+        self.NB = 0
+        if stacked is not None:
+            self.set_load([("all", stacked)])
+        elif B is None:
+            raise ValueError("need either stacked planes or explicit B")
+
+    # -- band residency --------------------------------------------------
+    def _pad_samples_axis(self, host: dict) -> dict:
+        if self.mesh is None or "samples" not in self.mesh.shape \
+                or self.mesh.shape["samples"] <= 1:
+            return host
+        ns = self.mesh.shape["samples"]
+        out = dict(host)
+        for k in self.sweeps.WORD_KEYS:
+            v = out[k]
+            W = v.shape[-1]
+            Wp = ((W + ns - 1) // ns) * ns
+            if Wp != W:
+                pad = np.zeros((*v.shape[:-1], Wp - W), v.dtype)
+                if k == "miss_bits":   # padding is "missing"
+                    pad = ~pad
+                out[k] = np.concatenate([v, pad], axis=-1)
+        return out
+
+    META_KEYS = ("pos", "rid", "ac", "an", "n_het", "n_hom", "hwe",
+                 "has_missing", "valid", "n_rec")
+
+    def set_load(self, bands):
+        """Make `bands` (a list of (band_id, stacked-or-None)) the
+        current load, in order. A band passed with stacked=None must
+        still be resident from an earlier load. Evicts bands outside
+        the load beyond MAX_RESIDENT_BANDS."""
+        for band_id, stacked in bands:
+            if stacked is None:
+                if band_id not in self._band_meta:
+                    raise ValueError(f"band {band_id} not resident")
+                continue
+            host = self._pad_samples_axis(
+                {k: stacked[k] for k in self.sweeps.DEV_KEYS})
+            self._band_host[band_id] = host
+            self._band_meta[band_id] = {k: stacked[k]
+                                        for k in self.META_KEYS}
+            self._band_nb[band_id] = stacked["alt_bits"].shape[0]
+            if self.B is None:
+                self.B = stacked["alt_bits"].shape[1]
+            elif stacked["alt_bits"].shape[1] != self.B:
+                raise ValueError("band tile_rows mismatch")
+        self._load_bands = [b for b, _ in bands]
+        self._load_dev = {}
+        self.NB = sum(self._band_nb[b] for b in self._load_bands)
+        self.stacked = {
+            k: np.concatenate([self._band_meta[b][k]
+                               for b in self._load_bands])
+            for k in self.META_KEYS}
+        # evict non-load bands beyond the residency limit (LRU-ish:
+        # anything not in the current load is fair game)
+        resident = [b for b in self._band_host if b in self._load_bands]
+        others = [b for b in self._band_host if b not in self._load_bands]
+        for b in others[:max(0, len(resident) + len(others)
+                             - self.MAX_RESIDENT_BANDS)]:
+            self._evict(b)
+
+    def _evict(self, band_id):
+        self._band_host.pop(band_id, None)
+        self._band_meta.pop(band_id, None)
+        self._band_nb.pop(band_id, None)
+        for key in [k for k in self._band_dev if k[1] == band_id]:
+            self._band_dev.pop(key)
+
+    def _band_dev_get(self, k, band_id):
+        key = (k, band_id)
+        if key not in self._band_dev:
+            self._band_dev[key] = self._jnp.asarray(
+                self._band_host[band_id][k])
+            self.n_band_uploads += 1
+        return self._band_dev[key]
 
     def _dev_for(self, cfg) -> dict:
-        """Device tensors for one sweep config, uploaded on first use
-        (a phased run never pays for the het/hom/valid sample planes)."""
+        """Device tensors for one sweep config: per-band uploads happen
+        on first use (a phased run never pays for the het/hom/valid
+        sample planes), then concatenate on device per load."""
         out = {}
         for k in self.sweeps.dev_keys_for(cfg):
-            if k not in self._dev_cache:
-                self._dev_cache[k] = self._jnp.asarray(self._host[k])
-            out[k] = self._dev_cache[k]
+            if k not in self._load_dev:
+                parts = [self._band_dev_get(k, b)
+                         for b in self._load_bands]
+                self._load_dev[k] = (parts[0] if len(parts) == 1
+                                     else self._jnp.concatenate(parts))
+            out[k] = self._load_dev[k]
         return out
 
     def _stat(self, table, has_missing, cls):
@@ -486,10 +568,13 @@ def _plan_loads(super_ids, pairs, budget_supers: int):
     """Partition the run into device loads. If all supers fit the
     budget, one load covers everything; otherwise supers split into
     bands of budget/2 and every band pair becomes a load containing its
-    slice of the tile list (classic blocked streaming: each band is
-    uploaded O(n_bands) times instead of holding everything in HBM)."""
+    slice of the tile list (classic blocked streaming). Returns
+    (bands, loads): bands is a list of super-id lists; each load is
+    ((p, q), tiles) over band indices. The engine keeps bands resident
+    across consecutive loads, so with the row-major (p, q) order each
+    row band uploads once per row and only the column band churns."""
     if len(super_ids) <= budget_supers:
-        return [(list(super_ids), list(pairs))]
+        return [list(super_ids)], [((0, 0), list(pairs))]
     band = max(1, budget_supers // 2)
     bands = [list(super_ids[k:k + band])
              for k in range(0, len(super_ids), band)]
@@ -501,11 +586,7 @@ def _plan_loads(super_ids, pairs, budget_supers: int):
     for i, j, d in pairs:
         key = (of_band[i], of_band[j])
         by_pair.setdefault(key, []).append((i, j, d))
-    loads = []
-    for (p, q) in sorted(by_pair):
-        ids = bands[p] if p == q else bands[p] + bands[q]
-        loads.append((ids, by_pair[(p, q)]))
-    return loads
+    return bands, [((p, q), by_pair[(p, q)]) for p, q in sorted(by_pair)]
 
 
 def _resolve_mesh(spec: str):
@@ -569,12 +650,15 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     Wh = (2 * n_samples + 127) // 128 * 4
     Ws = (n_samples + 127) // 128 * 4
     per_super = B * (2 * Wh + 3 * Ws) * 4
-    budget = max(2, int(settings.memory_gb * (1 << 30) / max(per_super, 1)))
-    loads = _plan_loads(super_ids, pairs, budget)
+    # the device holds resident band planes PLUS the per-load
+    # concatenation, so the banding budget is half the configured one
+    budget = max(2, int(settings.memory_gb * (1 << 30) / 2
+                        / max(per_super, 1)))
+    bands, loads = _plan_loads(super_ids, pairs, budget)
     if len(loads) > 1:
         log("LOG", f"Streaming {len(super_ids)} super-blocks in "
-            f"{len(loads)} band pairs "
-            f"(~{per_super * budget / 2**30:.1f} GB budget)...",
+            f"{len(loads)} band-pair loads over {len(bands)} bands "
+            f"(~{per_super * budget / 2**30:.1f} GB plane budget)...",
             sub="MEMORY")
 
     mesh = _resolve_mesh(settings.mesh)
@@ -618,10 +702,9 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         else (_os.cpu_count() or 1)
     pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
 
-    all_stats = {}
-    for load_ids, load_tiles in loads:
+    def inflate_band(ids):
         blocks = []
-        for s in load_ids:
+        for s in ids:
             sup = supers[s]
             blk = reader.read_block(sup["ids"][0])
             for b in sup["ids"][1:]:
@@ -633,19 +716,28 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         inflate = lambda blk: block_to_planes(blk, n_samples, pad_to=B)
         planes = list(pool.map(inflate, blocks)) if pool \
             else [inflate(blk) for blk in blocks]
-        stacked = stack_planes(planes)
+        return stack_planes(planes)
+
+    # ONE engine for the whole run: jitted sweeps compile once, device
+    # planes upload once per band residency (not once per band PAIR)
+    engine = LdEngine(None, n_samples, settings, mesh=mesh, B=B)
+    engine.ticker = ticker
+    for (p, q), load_tiles in loads:
+        load = [(p, None if p in engine._band_host
+                 else inflate_band(bands[p]))]
+        if q != p:
+            load.append((q, None if q in engine._band_host
+                         else inflate_band(bands[q])))
+        engine.set_load(load)
+        load_ids = bands[p] if p == q else bands[p] + bands[q]
         slot = {g: s for s, g in enumerate(load_ids)}
         tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
-
-        engine = LdEngine(stacked, n_samples, settings, mesh=mesh)
-        engine.ticker = ticker
         result.n_pairs += dispatch_pairs(engine, tiles, mode, filt, emit,
-                                         stacked)
-        for k, s in engine.stats.items():
-            acc = all_stats.setdefault(k, {kk: 0 if not kk.endswith("_s")
-                                           else 0.0 for kk in s})
-            for kk, vv in s.items():
-                acc[kk] += vv
+                                         engine.stacked)
+    all_stats = engine.stats
+    if len(loads) > 1:
+        log("LOG", f"Band uploads: {engine.n_band_uploads} device plane "
+            f"transfers over {len(loads)} loads", sub="MEMORY")
 
     if pool is not None:
         pool.shutdown()
