@@ -98,6 +98,10 @@ def get_lib():
         lib.twk_runs_to_planes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32] + [ctypes.c_void_p] * 5
+        lib.twk_radix_sort_idx.restype = ctypes.c_int64
+        lib.twk_radix_sort_idx.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.twk_format_ld.restype = ctypes.c_int64
         lib.twk_format_ld.argtypes = (
             [ctypes.c_int64] + [ctypes.c_void_p] * 13 +
@@ -382,3 +386,23 @@ def format_ld(recs: np.ndarray, contig_names, json: bool = False):
         out += buf.raw[:nb]
         start += done
     return bytes(out)
+
+
+def radix_sort_idx(k1: np.ndarray, k2: np.ndarray):
+    """Permutation that sorts by (k1, k2) ascending — adaptive LSD radix
+    (constant byte planes skipped). Returns None if the native library
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(k1)
+    k1 = np.ascontiguousarray(k1, np.uint64)
+    k2 = np.ascontiguousarray(k2, np.uint32)
+    idx = np.empty(n, np.int64)
+    tmp = np.empty(n, np.int64)
+    lib.twk_radix_sort_idx(
+        k1.ctypes.data_as(ctypes.c_void_p),
+        k2.ctypes.data_as(ctypes.c_void_p), n,
+        idx.ctypes.data_as(ctypes.c_void_p),
+        tmp.ctypes.data_as(ctypes.c_void_p))
+    return idx

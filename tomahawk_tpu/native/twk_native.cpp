@@ -649,6 +649,60 @@ int64_t twk_encode_codes(const uint8_t* codes, const uint8_t* phase,
 }
 
 // ---------------------------------------------------------------------------
+// Permutation sort of .two sort keys: LSD radix over (k1:u64, k2:u32)
+// with constant byte planes skipped (positions rarely use the high
+// bytes). Replaces np.lexsort in the external sorter's phase 1 / merge
+// batches (reference sorts records with std::sort,
+// two_sorter_structs.cpp:38-160; this sorts a permutation instead so
+// the 106-byte records move once, via a numpy gather).
+
+extern "C" int64_t twk_radix_sort_idx(const uint64_t* k1,
+                                      const uint32_t* k2, int64_t n,
+                                      int64_t* idx, int64_t* tmp) {
+    for (int64_t i = 0; i < n; ++i) idx[i] = i;
+    if (n < 2) return 0;
+    int64_t count[256];
+    int64_t offs[256];
+    int n_passes = 0;
+    int64_t* src = idx;
+    int64_t* dst = tmp;
+    // passes from least-significant: k2 bytes 0..3, then k1 bytes 0..7
+    for (int pass = 0; pass < 12; ++pass) {
+        const int shift = (pass < 4) ? 8 * pass : 8 * (pass - 4);
+        const bool use_k2 = pass < 4;
+        memset(count, 0, sizeof(count));
+        if (use_k2) {
+            for (int64_t i = 0; i < n; ++i)
+                ++count[(k2[i] >> shift) & 0xFF];
+        } else {
+            for (int64_t i = 0; i < n; ++i)
+                ++count[(k1[i] >> shift) & 0xFF];
+        }
+        bool trivial = false;
+        for (int b = 0; b < 256; ++b)
+            if (count[b] == n) { trivial = true; break; }
+        if (trivial) continue;
+        int64_t off = 0;
+        for (int b = 0; b < 256; ++b) { offs[b] = off; off += count[b]; }
+        if (use_k2) {
+            for (int64_t i = 0; i < n; ++i) {
+                const int64_t j = src[i];
+                dst[offs[(k2[j] >> shift) & 0xFF]++] = j;
+            }
+        } else {
+            for (int64_t i = 0; i < n; ++i) {
+                const int64_t j = src[i];
+                dst[offs[(k1[j] >> shift) & 0xFF]++] = j;
+            }
+        }
+        int64_t* t = src; src = dst; dst = t;
+        ++n_passes;
+    }
+    if (src != idx) memcpy(idx, src, (size_t)n * sizeof(int64_t));
+    return n_passes;
+}
+
+// ---------------------------------------------------------------------------
 // LD record text formatting (the hot loop of `view`; the reference
 // streams records through C++ ostreams, core.cpp:520-532 PrintLD /
 // PrintLDJson). Floats print as %.6g (ostream default precision) via

@@ -135,20 +135,46 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
         from .intervals import interval_mask
         return recs[interval_mask(recs, ivals)]
 
-    # ---- pass 1: used ranges per contig --------------------------------
-    mn = np.full(n_contigs, np.iinfo(np.uint32).max, np.int64)
-    mx = np.zeros(n_contigs, np.int64)
-    n_original = 0
-    for recs in reader.blocks():
-        recs = _filtered(recs)
-        if not len(recs):
-            continue
-        n_original += len(recs)
-        for rid_f, pos_f in (("ridA", "packA"), ("ridB", "packB")):
-            rid = recs[rid_f].astype(np.int64)
-            pos = (recs[pos_f] >> 2).astype(np.int64)
-            np.minimum.at(mn, rid, pos)
-            np.maximum.at(mx, rid, pos)
+    # ---- pass 1: used ranges per contig (threaded over block ranges,
+    # the reference's FindRangesUnsorted slaves, aggregation.h:127-154) --
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    n_workers = min(8, _os.cpu_count() or 1)
+    n_blocks = reader.index.n
+
+    def _pass1(lo, hi):
+        mn = np.full(n_contigs, np.iinfo(np.uint32).max, np.int64)
+        mx = np.zeros(n_contigs, np.int64)
+        n_orig = 0
+        rd = TwoReader(input_path)
+        for i in range(lo, hi):
+            recs = _filtered(rd.read_block(i))
+            if not len(recs):
+                continue
+            n_orig += len(recs)
+            for rid_f, pos_f in (("ridA", "packA"), ("ridB", "packB")):
+                rid = recs[rid_f].astype(np.int64)
+                pos = (recs[pos_f] >> 2).astype(np.int64)
+                # few distinct contigs per block: masked min/max beats
+                # np.minimum.at by ~50x
+                for c in np.unique(rid):
+                    sel = pos[rid == c]
+                    mn[c] = min(mn[c], int(sel.min()))
+                    mx[c] = max(mx[c], int(sel.max()))
+        rd.close()
+        return mn, mx, n_orig
+
+    bounds = np.linspace(0, n_blocks, n_workers + 1).astype(int)
+    spans = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])
+             if b > a]
+    if n_workers > 1 and len(spans) > 1:
+        with ThreadPoolExecutor(len(spans)) as pool:
+            parts = list(pool.map(lambda s: _pass1(*s), spans))
+    else:
+        parts = [_pass1(0, n_blocks)]
+    mn = np.min([p[0] for p in parts], axis=0)
+    mx = np.max([p[1] for p in parts], axis=0)
+    n_original = sum(p[2] for p in parts)
     used = mx > 0
 
     # ---- flattened genome coordinates ---------------------------------
@@ -176,39 +202,71 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
                             int(mx[c]) if used[c] else 0,
                             int(offsets[c + 1])))
 
-    # ---- pass 2: scatter-add into bins ---------------------------------
-    # np.bincount on a flattened bin index is ~100x np.ufunc.at; min/max
-    # (which have no bincount form) are only tallied when requested
+    # ---- pass 2: scatter-add into bins (threaded BuildMatrix slaves
+    # with per-thread partial matrices + reduce, the reference's
+    # aggregation.h:156-187 design) --------------------------------------
+    # np.bincount on a flattened bin index is ~100x np.ufunc.at; the
+    # bin-index streams batch across blocks so the XY-sized bincount
+    # runs once per ~2M records, not once per block
     XY = xbins * ybins
     need_minmax = reduce in ("min", "max")
-    cnt = np.zeros(XY)
-    tot = np.zeros(XY)
-    tot2 = np.zeros(XY)
-    vmin = np.full((xbins, ybins), np.inf)
-    vmax = np.full((xbins, ybins), -np.inf)
+    BATCH = 1 << 21
 
-    reader2 = TwoReader(input_path)
-    for recs in reader2.blocks():
-        recs = _filtered(recs)
-        if not len(recs):
-            continue
-        rid_a = recs["ridA"].astype(np.int64)
-        rid_b = recs["ridB"].astype(np.int64)
-        pos_a = (recs["packA"] >> 2).astype(np.int64)
-        pos_b = (recs["packB"] >> 2).astype(np.int64)
-        fa = offsets[rid_a] + (pos_a - starts[rid_a])
-        fb = offsets[rid_b] + (pos_b - starts[rid_b])
-        xb = np.clip(fa * xbins // total_range, 0, xbins - 1)
-        yb = np.clip(fb * ybins // total_range, 0, ybins - 1)
-        v = value_of(recs).astype(np.float64)
-        flat = xb * ybins + yb
-        cnt += np.bincount(flat, minlength=XY)
-        tot += np.bincount(flat, weights=v, minlength=XY)
-        tot2 += np.bincount(flat, weights=v * v, minlength=XY)
-        if need_minmax:
-            np.minimum.at(vmin, (xb, yb), v)
-            np.maximum.at(vmax, (xb, yb), v)
-    reader2.close()
+    def _pass2(lo, hi):
+        cnt = np.zeros(XY)
+        tot = np.zeros(XY)
+        tot2 = np.zeros(XY)
+        vmin = np.full((xbins, ybins), np.inf)
+        vmax = np.full((xbins, ybins), -np.inf)
+        flats, vals, pend = [], [], 0
+
+        def drain():
+            nonlocal flats, vals, pend
+            if not pend:
+                return
+            flat = np.concatenate(flats)
+            v = np.concatenate(vals)
+            cnt[:] += np.bincount(flat, minlength=XY)
+            tot[:] += np.bincount(flat, weights=v, minlength=XY)
+            tot2[:] += np.bincount(flat, weights=v * v, minlength=XY)
+            flats, vals, pend = [], [], 0
+
+        rd = TwoReader(input_path)
+        for i in range(lo, hi):
+            recs = _filtered(rd.read_block(i))
+            if not len(recs):
+                continue
+            rid_a = recs["ridA"].astype(np.int64)
+            rid_b = recs["ridB"].astype(np.int64)
+            pos_a = (recs["packA"] >> 2).astype(np.int64)
+            pos_b = (recs["packB"] >> 2).astype(np.int64)
+            fa = offsets[rid_a] + (pos_a - starts[rid_a])
+            fb = offsets[rid_b] + (pos_b - starts[rid_b])
+            xb = np.clip(fa * xbins // total_range, 0, xbins - 1)
+            yb = np.clip(fb * ybins // total_range, 0, ybins - 1)
+            v = value_of(recs).astype(np.float64)
+            flats.append(xb * ybins + yb)
+            vals.append(v)
+            pend += len(v)
+            if pend >= BATCH:
+                drain()
+            if need_minmax:
+                np.minimum.at(vmin, (xb, yb), v)
+                np.maximum.at(vmax, (xb, yb), v)
+        drain()
+        rd.close()
+        return cnt, tot, tot2, vmin, vmax
+
+    if n_workers > 1 and len(spans) > 1:
+        with ThreadPoolExecutor(len(spans)) as pool:
+            parts = list(pool.map(lambda s: _pass2(*s), spans))
+    else:
+        parts = [_pass2(0, n_blocks)]
+    cnt = np.sum([p[0] for p in parts], axis=0)
+    tot = np.sum([p[1] for p in parts], axis=0)
+    tot2 = np.sum([p[2] for p in parts], axis=0)
+    vmin = np.min([p[3] for p in parts], axis=0)
+    vmax = np.max([p[4] for p in parts], axis=0)
     cnt = cnt.reshape(xbins, ybins)
     tot = tot.reshape(xbins, ybins)
     tot2 = tot2.reshape(xbins, ybins)

@@ -28,9 +28,14 @@ from ..utils import Timer, log, pretty_int
 
 def _sort_indices(recs: np.ndarray) -> np.ndarray:
     """Lexsort by (ridA, ridB, Apos, Bpos) — reference twk1_two_t
-    operator< (lib/core.cpp:458-468)."""
-    return np.lexsort((recs["packB"] >> 2, recs["packA"] >> 2,
-                       recs["ridB"], recs["ridA"]))
+    operator< (lib/core.cpp:458-468) — native adaptive radix sort over
+    two packed keys, numpy 2-key lexsort fallback."""
+    from .. import native
+    k1, k2 = _pack_keys(recs)
+    idx = native.radix_sort_idx(k1, k2)
+    if idx is None:
+        idx = np.lexsort((k2, k1))
+    return idx
 
 
 def _pack_keys(recs: np.ndarray):
@@ -77,30 +82,38 @@ def sort_two(input_path: str, output_path: str,
     with os.fdopen(tmp_fd, "wb") as tmp:
         buf = []
         buf_n = 0
+        pending = []   # run futures, written in submission order
 
-        def flush_run():
-            nonlocal buf, buf_n
-            if buf_n == 0:
-                return
-            recs = np.concatenate(buf)
+        def _sort_and_compress(parts):
+            """Runs in the pool: numpy sorts and zstd both release the
+            GIL, so whole runs pipeline against the reader."""
+            recs = np.concatenate(parts)
             recs = recs[_sort_indices(recs)]
-            foff = tmp.tell()
-            # stream-compress the run in fixed chunks; zstd releases the
-            # GIL, so chunks compress in parallel under -t
-            parts = [recs[s:s + run_chunk]
-                     for s in range(0, len(recs), run_chunk)]
+            c = zstandard.ZstdCompressor(level=c_level) if pool else cctx
+            out = []
+            for s in range(0, len(recs), run_chunk):
+                part = recs[s:s + run_chunk]
+                out.append((len(part), c.compress(part.tobytes())))
+            return len(recs), out
 
-            def _comp(part):
-                # compressor contexts are not thread-safe; one per call
-                c = zstandard.ZstdCompressor(level=c_level) if pool \
-                    else cctx
-                return len(part), c.compress(part.tobytes())
-            comps = pool.map(_comp, parts) if pool else map(_comp, parts)
-            for n_part, comp in comps:
+        def _write_run(n_recs, chunks):
+            foff = tmp.tell()
+            for n_part, comp in chunks:
                 tmp.write(struct.pack("<II", n_part, len(comp)))
                 tmp.write(comp)
-            runs.append((foff, tmp.tell(), len(recs)))
-            buf, buf_n = [], 0
+            runs.append((foff, tmp.tell(), n_recs))
+
+        def flush_run(final=False):
+            nonlocal buf, buf_n
+            if buf_n:
+                if pool:
+                    pending.append(pool.submit(_sort_and_compress, buf))
+                else:
+                    _write_run(*_sort_and_compress(buf))
+                buf, buf_n = [], 0
+            # bound in-flight runs (each holds up to limit_recs records)
+            while pending and (final or len(pending) > 2):
+                _write_run(*pending.pop(0).result())
 
         for blk in reader.blocks():
             buf.append(blk)
@@ -108,7 +121,7 @@ def sort_two(input_path: str, output_path: str,
             n_total += len(blk)
             if buf_n >= limit_recs:
                 flush_run()
-        flush_run()
+        flush_run(final=True)
         tmp.flush()   # phase 2 reads via a separate handle
 
         # ------------- phase 2: k-way merge of runs -> writer -------------
