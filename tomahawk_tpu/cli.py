@@ -67,6 +67,15 @@ def _add_calc(sub):
                    help="device-memory budget for genotype planes; "
                    "larger inputs stream in band pairs (low-memory "
                    "mode)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run via jax.distributed: tiles are "
+                   "round-robined across processes, each writes a .two "
+                   "shard; merge with concat + sort")
+    p.add_argument("--coordinator", default="",
+                   help="coordinator host:port (default: jax "
+                   "auto-detection, e.g. on TPU pods)")
+    p.add_argument("--num-processes", type=int, default=-1)
+    p.add_argument("--process-id", type=int, default=-1)
 
 
 def _cmd_calc(args):
@@ -81,7 +90,9 @@ def _cmd_calc(args):
         n_chunks=args.n_chunks, c_chunk=args.c_chunk,
         intervals=args.interval, b_size=args.b_size, c_level=args.c_level,
         performance=args.performance, mesh=args.mesh,
-        memory_gb=args.memory_gb, threads=args.threads)
+        memory_gb=args.memory_gb, threads=args.threads,
+        distributed=args.distributed, coordinator=args.coordinator,
+        num_processes=args.num_processes, process_id=args.process_id)
     compute_ld(s)
     return 0
 

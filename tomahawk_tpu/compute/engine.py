@@ -76,6 +76,16 @@ class CalcSettings:
     # host threads for block decompression + plane inflation (the
     # reference's parallel unpacker, ld_unpacker.h); 0 = all cores
     threads: int = 0
+    # multi-host mode: initialize jax.distributed, round-robin the tile
+    # list across processes (diagonal tiles are ~half the work of
+    # square ones, so interleaving balances load), and write one .two
+    # shard per process. Merge = `twk concat` + `twk sort` over the
+    # shards, exactly like the reference's chunk farm
+    # (docs/job-balancing.md) but from a single command per host.
+    distributed: bool = False
+    coordinator: str = ""        # host:port; "" = jax auto-detect
+    num_processes: int = -1      # -1 = auto
+    process_id: int = -1         # -1 = auto
 
 
 @dataclass
@@ -589,23 +599,56 @@ def _plan_loads(super_ids, pairs, budget_supers: int):
     return bands, [((p, q), by_pair[(p, q)]) for p, q in sorted(by_pair)]
 
 
-def _resolve_mesh(spec: str):
+def _resolve_mesh(spec: str, local_only: bool = False):
     """CalcSettings.mesh -> jax Mesh or None. 'auto' shards the tile
     grid over all visible devices (pairs axis) when there is more than
-    one; 'PxS' builds an explicit ('pairs', 'samples') mesh."""
+    one; 'PxS' builds an explicit ('pairs', 'samples') mesh. In
+    distributed mode each process meshes only its LOCAL devices: the
+    pairs axis needs no cross-host collectives (tiles are independent),
+    so inter-host scaling is the static tile partition."""
     if spec in ("off", "", None):
         return None
     import jax
     from ..parallel.mesh import make_mesh
-    n_dev = len(jax.devices())
+    platform = None
+    if ":" in spec:   # e.g. "cpu:4x2" pins the mesh platform
+        platform, _, spec = spec.partition(":")
+    if platform:
+        devices = jax.devices(platform)
+    else:
+        devices = jax.local_devices() if local_only else jax.devices()
+    n_dev = len(devices)
     if spec == "auto":
-        return make_mesh(n_dev, 1) if n_dev > 1 else None
+        return make_mesh(n_dev, 1, devices=devices) if n_dev > 1 else None
     p, _, s = spec.partition("x")
-    return make_mesh(int(p), int(s) if s else 1)
+    n_p, n_s = int(p), int(s) if s else 1
+    return make_mesh(n_p, n_s, devices=devices[:n_p * n_s])
+
+
+def _init_distributed(settings: CalcSettings):
+    """jax.distributed rendezvous; returns (process_id, n_processes).
+    Must run before any other JAX use in the process."""
+    import jax
+    kw = {}
+    if settings.coordinator:
+        kw["coordinator_address"] = settings.coordinator
+    if settings.num_processes > 0:
+        kw["num_processes"] = settings.num_processes
+    if settings.process_id >= 0:
+        kw["process_id"] = settings.process_id
+    jax.distributed.initialize(**kw)
+    p, n = jax.process_index(), jax.process_count()
+    log("LOG", f"Distributed: process {p}/{n}, "
+        f"{jax.local_device_count()} local device(s) of "
+        f"{jax.device_count()} global", sub="DIST")
+    return p, n
 
 
 def compute_ld(settings: CalcSettings) -> CalcResult:
     timer = Timer()
+    proc_id, n_procs = (0, 1)
+    if settings.distributed:
+        proc_id, n_procs = _init_distributed(settings)
     log("LOG", f"Opening {settings.input}...", sub="READER")
     reader = TwkReader(settings.input)
     n_samples = reader.header.n_samples
@@ -645,6 +688,17 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     else:
         pairs = balancer.tile_pairs()
 
+    if n_procs > 1:
+        # round-robin tile partition: diagonal tiles carry ~half the
+        # pairs of square tiles, so interleaving spreads them evenly
+        # (SURVEY §7 "shard the flattened tile list round-robin")
+        pairs = pairs[proc_id::n_procs]
+        # only this process's supers need loading
+        touched = sorted({i for i, j, _ in pairs} | {j for _, j, _ in pairs})
+        super_ids = [s for s in super_ids if s in set(touched)]
+        log("LOG", f"Process {proc_id}: {len(pairs)} tiles over "
+            f"{len(super_ids)} super-blocks", sub="DIST")
+
     # band the super list when the bitpacked planes exceed the device
     # memory budget (low-memory streaming; reference calc -M analogue)
     Wh = (2 * n_samples + 127) // 128 * 4
@@ -661,7 +715,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
             f"(~{per_super * budget / 2**30:.1f} GB plane budget)...",
             sub="MEMORY")
 
-    mesh = _resolve_mesh(settings.mesh)
+    mesh = _resolve_mesh(settings.mesh, local_only=n_procs > 1)
     if mesh is not None:
         log("LOG", f"Device mesh: {dict(mesh.shape)}", sub="MESH")
     filt = LdFilters(min_p=settings.min_p, min_r2=settings.min_r2,
@@ -673,8 +727,15 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     from ..utils.progress import ProgressTicker
     ticker = ProgressTicker(total_pairs=est, n_samples=n_samples).start()
 
-    # output
+    # output (one shard per process in distributed mode; merge with
+    # `twk concat` + `twk sort`, mirroring the reference's chunk merge,
+    # docs/job-balancing.md)
     out = settings.output
+    if n_procs > 1:
+        if out == "-":
+            raise ValueError("distributed calc needs a file output")
+        base = out[:-4] if out.endswith(".two") else out
+        out = f"{base}.p{proc_id}of{n_procs}.two"
     if out not in ("-",) and not out.endswith(".two"):
         out = out + ".two"
     hdr = reader.header
@@ -742,6 +803,13 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     if pool is not None:
         pool.shutdown()
     writer.close()
+    if n_procs > 1:
+        # every shard exists before any process returns, so a driving
+        # script can merge immediately after rank 0 finishes
+        import jax.experimental.multihost_utils as mhu
+        mhu.sync_global_devices("twk_calc_shards_done")
+        log("LOG", f"Shard {out} complete; merge shards with "
+            f"`twk concat` + `twk sort`", sub="DIST")
     ticker.finalize()
     result.elapsed = timer.elapsed()
     log("LOG", f"Computed {pretty_int(result.n_pairs)} pairs -> "
