@@ -363,6 +363,90 @@ def test_our_sort_readable_by_reference_view(pipelines, ref_bin):
     assert n_data == len(load_two(p["ours_two"]))
 
 
+@pytest.fixture(scope="session")
+def scalc_files(ref_bin, tmp_path_factory):
+    """A .twk with enough variants that the reference scalc works: its
+    neighbour blocks only count once FULL (100 records), so with < 100
+    neighbours it errors out ("no surrounding variants",
+    ld.cpp:205-246), and the trailing partial block (up to 99
+    neighbours) is silently dropped (n_blks = ldd2_n excludes it)."""
+    d = tmp_path_factory.mktemp("scalc")
+    vcf = str(d / "in.vcf")
+    make_vcf(vcf, n_samples=30, n_sites=260, seed=9, miss_frac=0.0,
+             phased=True, contigs=("20",))
+    twk = str(d / "in.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk))
+    with TwkReader(twk) as r:
+        positions = [rec.pos for rec in r.records()]
+        contig = r.header.contigs[0].name
+    return dict(dir=d, twk=twk, positions=positions, contig=contig)
+
+
+def _pair_map(arr):
+    out = {}
+    for rec in arr:
+        k = (int(rec["ridA"]), int(rec["packA"]) >> 2,
+             int(rec["ridB"]), int(rec["packB"]) >> 2)
+        if (k[0], k[1]) <= (k[2], k[3]):
+            out[k] = rec
+    return out
+
+
+@pytest.mark.parametrize("ranged", [False, True])
+def test_scalc_parity(scalc_files, ref_bin, ranged):
+    """Single-site LD vs the reference scalc binary, point and RANGED
+    targets (reference ld.cpp:123-255 interval-tree target matching:
+    every variant inside the interval is a target in block 0, and
+    target x target pairs are computed too). The reference drops the
+    trailing partial neighbour block, so the contract is: its pair set
+    is a subset of ours of the expected truncated size, every common
+    pair matches field-for-field, and our extras are exactly the
+    trailing neighbours it dropped."""
+    import jax
+    from tomahawk_tpu.compute.scalc import ScalcSettings, compute_single
+    sf = scalc_files
+    positions, contig, d = sf["positions"], sf["contig"], sf["dir"]
+    i0 = len(positions) // 2
+    if ranged:
+        lo1, hi1 = positions[i0] + 1, positions[i0 + 4] + 1
+        interval = f"{contig}:{lo1}-{hi1}"
+        targets = [p for p in positions if lo1 - 1 <= p <= hi1 - 1]
+    else:
+        interval = f"{contig}:{positions[i0] + 1}"
+        targets = [positions[i0]]
+    neigh = [p for p in positions if p not in targets]
+    tag = "r" if ranged else "p"
+    ref_two = str(d / f"ref_scalc_{tag}.two")
+    run_ref(ref_bin, "scalc", "-i", sf["twk"], "-o", ref_two,
+            "-I", interval, "-w", "999999", "-t", "1")
+    ours_two = str(d / f"ours_scalc_{tag}.two")
+    with jax.default_device(jax.devices("cpu")[0]):
+        compute_single(ScalcSettings(input=sf["twk"], output=ours_two,
+                                     interval=interval,
+                                     l_surrounding=999999))
+
+    ours, ref = _pair_map(load_two(ours_two)), _pair_map(load_two(ref_two))
+    nt = len(targets)
+    kept_neigh = 100 * (len(neigh) // 100)
+    # the reference also drops sporadic pairs inside PhasedMath (D == 0
+    # or minor-count < 5 rejections) — we reject those identically — so
+    # compare as sets, not by closed-form counts
+    assert len(ref) > nt * kept_neigh // 2
+    assert set(ref) <= set(ours)
+    dropped = set(neigh[kept_neigh:])
+    for k in set(ours) - set(ref):
+        assert k[1] in dropped or k[3] in dropped, k
+    for k, rr in ref.items():
+        ro = ours[k]
+        for f in rr.dtype.names:
+            if f == "ChiSqModel":
+                continue  # documented dead-store divergence
+            np.testing.assert_allclose(
+                np.atleast_1d(ro[f]).astype(float),
+                np.atleast_1d(rr[f]).astype(float), atol=TOL,
+                err_msg=(k, f))
+
+
 def test_view_text_field_parity(pipelines, ref_bin):
     """Parse both implementations' `view` text output and compare every
     column numerically."""

@@ -107,7 +107,9 @@ def _add_scalc(sub):
                    default=500_000,
                    help="bases to include around the target site")
     p.add_argument("-P", "--min-p", type=float, default=1.0)
-    p.add_argument("-r", "--min-r2", type=float, default=0.1)
+    p.add_argument("-r", "--min-r2", type=float, default=0.0,
+                   help="min r2 (the reference scalc pins this to 0, "
+                        "scalc.h:189; honored here if set)")
     p.add_argument("-R", "--max-r2", type=float, default=100.0)
     p.add_argument("-d", "--min-dprime", type=float, default=0.0)
     p.add_argument("-D", "--max-dprime", type=float, default=100.0)

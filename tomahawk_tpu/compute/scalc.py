@@ -31,7 +31,10 @@ class ScalcSettings:
     interval: str = ""
     l_surrounding: int = 500_000
     min_p: float = 1.0
-    min_r2: float = 0.1
+    # the reference scalc force-sets minR2 = 0 after flag parsing
+    # (reference: lib/scalc.h:189 — its -r flag is effectively ignored);
+    # we default to 0 for drop-in behavior but still honor -r if given
+    min_r2: float = 0.0
     max_r2: float = 100.0
     min_dprime: float = 0.0
     max_dprime: float = 100.0
@@ -44,37 +47,43 @@ def compute_single(settings: ScalcSettings) -> CalcResult:
     reader = TwkReader(settings.input)
     ivals = parse_intervals([settings.interval], reader.header)
     iv = ivals[0]
-    if iv.start != iv.end:
-        raise ValueError(
-            "scalc expects a single position, e.g. chr20:60000")
 
+    # Ranged targets (reference LoadTargetSingle, ld.cpp:123-255):
+    # every variant inside [start, end] is a target and goes into
+    # block 0; the flanks [start - l, start) and (end, end + l] are the
+    # neighbourhood. A point interval is the start == end special case.
     lo = max(iv.start - settings.l_surrounding, 0)
     hi = iv.end + settings.l_surrounding
 
-    target = None
+    targets = []
     neighbours = []
     for i, ent in enumerate(reader.index.ent):
         if ent.rid != iv.rid or ent.minpos - 1 > hi or ent.maxpos - 1 < lo:
             continue
         blk = reader.read_block(i)
         for rec in blk.rcds:
-            if rec.pos == iv.start and rec.rid == iv.rid:
-                target = rec
-            elif lo <= rec.pos <= hi and rec.rid == iv.rid:
+            if rec.rid != iv.rid:
+                continue
+            if iv.start <= rec.pos <= iv.end:
+                targets.append(rec)
+            elif lo <= rec.pos <= hi:
                 neighbours.append(rec)
-    if target is None:
+    if not targets:
         raise ValueError(
-            f"target variant not found at {settings.interval}")
+            f"no target variant found in {settings.interval}")
     log("LOG", f"Target {settings.interval}: "
+        f"{pretty_int(len(targets))} target variant(s), "
         f"{pretty_int(len(neighbours))} neighbours within "
         f"{pretty_int(settings.l_surrounding)} bp", sub="SCALC")
 
+    rid = targets[0].rid
     nb = settings.neighbour_block
-    B = max(nb, 1)
-    blocks = [Twk1Block(rid=target.rid)]
-    blocks[0].add(target)
+    B = max(nb, len(targets), 1)
+    blocks = [Twk1Block(rid=rid)]
+    for rec in targets:
+        blocks[0].add(rec)
     for s in range(0, len(neighbours), nb):
-        b = Twk1Block(rid=target.rid)
+        b = Twk1Block(rid=rid)
         for rec in neighbours[s:s + nb]:
             b.add(rec)
         blocks.append(b)
@@ -104,18 +113,22 @@ def compute_single(settings: ScalcSettings) -> CalcResult:
     writer = TwoWriter(out, hdr, c_level=settings.c_level)
     result = CalcResult()
 
+    target_pos = np.array(sorted(r.pos for r in targets), np.int64)
+
     def emit(recs: np.ndarray):
         if len(recs) == 0:
             return
-        # keep only rows where the A side is the target variant
-        m = ((recs["ridA"] == target.rid) &
-             ((recs["packA"] >> 2) == target.pos))
+        # keep only rows where the A side is a target variant
+        m = ((recs["ridA"] == rid) &
+             np.isin((recs["packA"] >> 2).astype(np.int64), target_pos))
         fwd = recs[m]
         writer.add(fwd)
         writer.add(_reverse_records(fwd))
         result.n_records += 2 * len(fwd)
 
-    pairs = [(0, j, False) for j in range(1, len(blocks))]
+    # target x target (diagonal) plus target x each neighbour block
+    # (reference BuildSingleSite covers (0, 0..n), ld_balancing.h:91-101)
+    pairs = [(0, 0, True)] + [(0, j, False) for j in range(1, len(blocks))]
     result.n_pairs = dispatch_pairs(engine, pairs, "mixed", filt, emit,
                                     stacked)
     writer.close()
