@@ -167,17 +167,25 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
     from ..native import SiteEncoder, available as native_ok
     if native_ok():
         encoder = SiteEncoder(n_samples)
-    site_iter = (vcf.sites(raw=True) if encoder is not None
-                 else vcf.sites())
 
-    for site in site_iter:
+    def keep(rec: Twk1Record):
+        pending.append(rec)
+        pending_het.append(rec.n_het)
+        pending_hom.append([rec.n_hom_ref, rec.n_hom])
+        if len(pending) >= 8192:
+            flush_pending()
+
+    state = {"prev": prev}
+
+    def process_site(site):
         stats.n_total += 1
         # duplicate consecutive site
+        prev = state["prev"]
         if site.rid == prev[0] and site.pos == prev[1] and not prev[2]:
-            prev = (site.rid, site.pos, True)
+            state["prev"] = (site.rid, site.pos, True)
             stats.filtered[9] += 1
             stats.n_dropped += 1
-            continue
+            return
         dropped = True
         if site.codes is not None and len(site.codes) == 0:
             stats.filtered[4 if site.ploidy_ok else 3] += 1
@@ -202,14 +210,20 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
                 rec = _encode_site(site, n_samples, settings, stats)
             if rec is not None:
                 dropped = False
-                pending.append(rec)
-                pending_het.append(rec.n_het)
-                pending_hom.append([rec.n_hom_ref, rec.n_hom])
-                if len(pending) >= 8192:
-                    flush_pending()
+                keep(rec)
         if dropped:
             stats.n_dropped += 1
-        prev = (site.rid, site.pos, dropped)
+        state["prev"] = (site.rid, site.pos, dropped)
+
+    if encoder is not None and type(vcf) is VcfReader \
+            and settings.input != "-":
+        _import_body_chunked(vcf, settings, stats, n_samples,
+                             keep, process_site, state)
+    else:
+        site_iter = (vcf.sites(raw=True) if encoder is not None
+                     else vcf.sites())
+        for site in site_iter:
+            process_site(site)
 
     flush_pending()
     if block.n:
@@ -225,6 +239,171 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
         if cnt:
             log("LOG", f"   {name}: {pretty_int(cnt)}")
     return stats
+
+
+_RUNS_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
+
+def _import_body_chunked(vcf, settings: ImportSettings,
+                         stats: ImportStats, n_samples: int,
+                         keep, process_site, state):
+    """Bulk import loop: the whole VCF body streams through
+    twk_import_chunk (one native call per ~4 MB of text does column
+    parsing, GT decode, stats, and RLE for every line), and Python only
+    applies filters and assembles records for kept sites. Lines the
+    native parser cannot classify (no GT FORMAT, unparsable genotypes,
+    malformed) are re-fed through the exact single-site path."""
+    import gzip
+
+    from ..native import ChunkImporter
+
+    path = settings.input
+    fh = (gzip.open(path, "rb") if path.endswith((".gz", ".bgz"))
+          else open(path, "rb"))
+    for line in fh:
+        if line.startswith(b"#CHROM"):
+            break
+
+    ci = ChunkImporter(n_samples)
+    rid_cache = {}
+    thresh_full = settings.threshold_miss * n_samples
+    base_map = BASE_MAP
+
+    def rid_of(chrom_bytes):
+        rid = rid_cache.get(chrom_bytes)
+        if rid is None:
+            rid = vcf._rid_for(chrom_bytes.decode())
+            rid_cache[chrom_bytes] = rid
+        return rid
+
+    def fast_site(mv, chunk, runs_buf):
+        stats.n_total += 1
+        m = mv.tolist()   # one conversion; numpy scalar reads are slow
+        rid = rid_of(chunk[m[1]:m[1] + m[2]])
+        pos = m[0]
+        status = m[3]
+        prev = state["prev"]
+        if rid == prev[0] and pos == prev[1] and not prev[2]:
+            state["prev"] = (rid, pos, True)
+            stats.filtered[9] += 1
+            stats.n_dropped += 1
+            return
+        dropped = True
+        if status == 3:
+            stats.filtered[6] += 1
+        elif status == 4:
+            stats.filtered[7] += 1
+        else:
+            (n_refref, n_refalt, n_altref, n_altalt, n_missing, n_alt,
+             n_ref, n_full) = m[11:19]
+            if n_full < thresh_full:
+                stats.filtered[1] += 1
+            elif n_full < 5:
+                stats.filtered[2] += 1
+            elif settings.remove_univariate and (
+                    n_refref == n_full or n_refalt == n_full
+                    or n_altref == n_full or n_altalt == n_full):
+                stats.filtered[0] += 1
+            elif settings.flip_major_minor and n_alt > n_ref:
+                # rare path: re-run the line through the exact
+                # single-site encoder (needs the parsed codes)
+                stats.n_total -= 1
+                line = _line_at(chunk, m[1])
+                process_site(vcf.parse_line(line.decode()))
+                return
+            else:
+                width = m[6]
+                runs = np.frombuffer(
+                    runs_buf, _RUNS_DT[width], count=m[9],
+                    offset=m[10]).copy()
+                rec = Twk1Record(
+                    pos=pos, rid=rid, ac=n_alt, an=n_missing,
+                    n_het=n_refalt + n_altref, n_hom=n_altalt,
+                    alleles=(base_map.get(chr(m[4]), 0) << 4)
+                    | base_map.get(chr(m[5]), 0),
+                    gt_ptype=width, gt_flipped=False,
+                    gt_phase=m[7] == 1, gt_missing=bool(m[8]),
+                    gt_runs=runs)
+                rec.n_hom_ref = n_refref
+                keep(rec)
+                dropped = False
+        if dropped:
+            stats.n_dropped += 1
+        state["prev"] = (rid, pos, dropped)
+
+    # Pipelined chunking: chunks are cut at newline boundaries so they
+    # parse independently; while Python assembles chunk k (GIL-bound),
+    # a worker thread runs the GIL-releasing native parse of chunk k+1
+    # on a second ChunkImporter. Sites whose runs spill the per-call
+    # buffer (consumed < len) are re-fed synchronously.
+    from concurrent.futures import ThreadPoolExecutor
+
+    ci2 = ChunkImporter(n_samples)
+    tail = b""
+    eof = False
+
+    def next_chunk():
+        nonlocal tail, eof
+        while not eof:
+            data = fh.read(1 << 22)
+            if not data:
+                eof = True
+                break
+            buf = tail + data
+            cut = buf.rfind(b"\n") + 1
+            tail = buf[cut:]
+            if cut:
+                return buf[:cut]
+        if tail:
+            t = tail if tail.endswith(b"\n") else tail + b"\n"
+            tail = b""
+            return t
+        return None
+
+    def handle(chunk, parsed):
+        nonlocal lineno
+        n, meta, runs_buf, consumed = parsed
+        for i in range(n):
+            lineno += 1
+            m = meta[i]
+            status = int(m[3])
+            if status in (1, 2, 5) or int(m[0]) < 0:
+                # exact-path fallback (raises on truly malformed input)
+                line = _line_at(chunk, int(m[1]))
+                site = vcf.parse_line(line.decode(), lineno, raw=False)
+                if site is not None:
+                    process_site(site)
+                continue
+            fast_site(m, chunk, runs_buf)
+        return consumed
+
+    lineno = 0
+    pool = ThreadPoolExecutor(1)
+    try:
+        cur = next_chunk()
+        cur_imp = ci
+        fut = pool.submit(cur_imp.parse, cur) if cur is not None else None
+        while fut is not None:
+            nxt = next_chunk()
+            nxt_imp = ci2 if cur_imp is ci else ci
+            nxt_fut = (pool.submit(nxt_imp.parse, nxt)
+                       if nxt is not None else None)
+            parsed = fut.result()
+            consumed = handle(cur, parsed)
+            # runs-buffer spill: re-feed the unconsumed lines now, on
+            # the importer the worker is NOT using
+            while consumed < len(cur):
+                cur = cur[consumed:]
+                consumed = handle(cur, cur_imp.parse(cur))
+            cur, cur_imp, fut = nxt, nxt_imp, nxt_fut
+    finally:
+        pool.shutdown()
+        fh.close()
+
+
+def _line_at(chunk, start: int) -> bytes:
+    end = chunk.index(b"\n", start)
+    return chunk[start:end]
 
 
 def _encode_site(site, n_samples: int, settings: ImportSettings,

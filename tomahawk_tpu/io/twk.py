@@ -70,19 +70,15 @@ class Twk1Record:
             syms = ((syms & 0b10) << 1) | (syms & 0b01)
         return np.repeat(syms, lens)
 
+    _HDR = struct.Struct("<BBIIIIIIdI")
+
     def write(self, w: BufferWriter):
         pack = (self.gt_ptype << 3) | (int(self.gt_flipped) << 2) | \
                (int(self.gt_phase) << 1) | int(self.gt_missing)
-        w.u8(pack)
-        w.u8(self.alleles)
-        w.u32(self.pos)
-        w.u32(self.ac)
-        w.u32(self.an)
-        w.u32(self.rid)
-        w.u32(self.n_het)
-        w.u32(self.n_hom)
-        w.f64(self.hwe)
-        w.u32((len(self.gt_runs) << 1) | int(self.gt_missing))
+        w.raw(self._HDR.pack(
+            pack, self.alleles, self.pos, self.ac, self.an, self.rid,
+            self.n_het, self.n_hom, self.hwe,
+            (len(self.gt_runs) << 1) | int(self.gt_missing)))
         arr = np.ascontiguousarray(
             self.gt_runs, dtype=_PTYPE_DTYPE[self.gt_ptype])
         if arr.dtype.byteorder == ">":  # pragma: no cover - LE platforms

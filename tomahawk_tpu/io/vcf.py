@@ -90,50 +90,54 @@ class VcfReader:
             self._contig_map[chrom] = rid
         return rid
 
-    def sites(self, raw: bool = False) -> Iterator[VcfSite]:
+    def parse_line(self, line: str, lineno: int = 0,
+                   raw: bool = False) -> Optional[VcfSite]:
+        """One VCF body line -> VcfSite (None for blank lines)."""
         from ..native import parse_gt_line as native_gt
         from ..native import available as native_ok
-        use_native = native_ok()
+        if not line or line == "\n":
+            return None
         n_samples = self.header.n_samples
+        # limited split: the sample columns stay one blob for the
+        # native parser (twk_native.cpp twk_parse_gt_line)
+        fields = line.rstrip("\n").split("\t", 9)
+        if len(fields) < 8:
+            raise ValueError(
+                f"{self.path}: malformed VCF body line {lineno}: "
+                f"expected >=8 tab-separated fields, got {len(fields)}")
+        chrom, pos, _id, ref, alt = fields[0], fields[1], fields[2], \
+            fields[3], fields[4]
+        alts = alt.split(",")
+        n_alleles = 1 + len(alts)
+        fmt = fields[8] if len(fields) > 8 else ""
+        if not (fmt == "GT" or fmt.startswith("GT:")):
+            return VcfSite(self._rid_for(chrom), int(pos) - 1, ref,
+                           alts[0], np.zeros(0, np.uint8),
+                           np.zeros(0, np.uint8), n_alleles, False, False)
+        is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
+            ref in "ACGT" and alts[0] in "ACGT"
+        if raw and len(fields) > 9:
+            # defer GT parsing to the fused native import step
+            return VcfSite(self._rid_for(chrom), int(pos) - 1, ref,
+                           alts[0], None, None, n_alleles, is_snp,
+                           True, raw_gt=fields[9])
+        parsed = None
+        if native_ok() and len(fields) > 9:
+            parsed = native_gt(fields[9].encode(), n_samples, gt_col=0)
+        if parsed is not None:
+            codes, phase, ploidy_ok = parsed[0], parsed[1], True
+        else:
+            codes, phase, ploidy_ok = _parse_gt_fields(
+                fields[9].split("\t") if len(fields) > 9 else [],
+                n_samples)
+        return VcfSite(self._rid_for(chrom), int(pos) - 1, ref, alts[0],
+                       codes, phase, n_alleles, is_snp, ploidy_ok)
+
+    def sites(self, raw: bool = False) -> Iterator[VcfSite]:
         for lineno, line in enumerate(self._fh, 1):
-            if not line or line == "\n":
-                continue
-            # limited split: the sample columns stay one blob for the
-            # native parser (twk_native.cpp twk_parse_gt_line)
-            fields = line.rstrip("\n").split("\t", 9)
-            if len(fields) < 8:
-                raise ValueError(
-                    f"{self.path}: malformed VCF body line {lineno}: "
-                    f"expected >=8 tab-separated fields, got {len(fields)}")
-            chrom, pos, _id, ref, alt = fields[0], fields[1], fields[2], \
-                fields[3], fields[4]
-            alts = alt.split(",")
-            n_alleles = 1 + len(alts)
-            fmt = fields[8] if len(fields) > 8 else ""
-            if not (fmt == "GT" or fmt.startswith("GT:")):
-                yield VcfSite(self._rid_for(chrom), int(pos) - 1, ref,
-                              alts[0], np.zeros(0, np.uint8),
-                              np.zeros(0, np.uint8), n_alleles, False, False)
-                continue
-            is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
-                ref in "ACGT" and alts[0] in "ACGT"
-            if raw and len(fields) > 9:
-                # defer GT parsing to the fused native import step
-                yield VcfSite(self._rid_for(chrom), int(pos) - 1, ref,
-                              alts[0], None, None, n_alleles, is_snp,
-                              True, raw_gt=fields[9])
-                continue
-            parsed = None
-            if use_native and len(fields) > 9:
-                parsed = native_gt(fields[9].encode(), n_samples, gt_col=0)
-            if parsed is not None:
-                codes, phase, ploidy_ok = parsed[0], parsed[1], True
-            else:
-                codes, phase, ploidy_ok = _parse_gt_fields(
-                    fields[9].split("\t") if len(fields) > 9 else [],
-                    n_samples)
-            yield VcfSite(self._rid_for(chrom), int(pos) - 1, ref, alts[0],
-                          codes, phase, n_alleles, is_snp, ploidy_ok)
+            site = self.parse_line(line, lineno, raw=raw)
+            if site is not None:
+                yield site
 
     def close(self):
         self._fh.close()

@@ -98,6 +98,12 @@ def get_lib():
         lib.twk_runs_to_planes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32] + [ctypes.c_void_p] * 5
+        lib.twk_import_chunk.restype = ctypes.c_int64
+        lib.twk_import_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.twk_radix_sort_idx.restype = ctypes.c_int64
         lib.twk_radix_sort_idx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -406,3 +412,41 @@ def radix_sort_idx(k1: np.ndarray, k2: np.ndarray):
         idx.ctypes.data_as(ctypes.c_void_p),
         tmp.ctypes.data_as(ctypes.c_void_p))
     return idx
+
+
+META_N = 19   # int64 fields per site in twk_import_chunk's meta table
+
+
+class ChunkImporter:
+    """Reusable buffers around twk_import_chunk (bulk VCF-body parse +
+    stats + RLE for every complete line of a chunk in ONE native
+    call)."""
+
+    def __init__(self, n_samples: int, max_sites: int = 4096):
+        self.n = n_samples
+        self.max_sites = max_sites
+        self.meta = np.zeros((max_sites, META_N), np.int64)
+        # worst case per site is (2N+16)*4 bytes of runs; size for the
+        # TYPICAL case (~N bytes) and let the native side stop early
+        # when a pathological chunk would overflow
+        self.runs = np.zeros(
+            min(max(max_sites * max(2 * n_samples, 1024),
+                    (2 * n_samples + 16) * 4 * 8), 1 << 27), np.uint8)
+        self.codes = np.empty(n_samples, np.uint8)
+        self.phase = np.empty(n_samples, np.uint8)
+        self._consumed = ctypes.c_int64(0)
+        self._lib = get_lib()
+
+    def parse(self, chunk: bytes):
+        """Returns (n_sites, meta_view, runs_buffer, consumed_bytes),
+        or None when the native library is unavailable."""
+        if self._lib is None:
+            return None
+        vp = ctypes.c_void_p
+        n = self._lib.twk_import_chunk(
+            chunk, len(chunk), self.n, self.max_sites,
+            vp(self.meta.ctypes.data), vp(self.runs.ctypes.data),
+            len(self.runs), vp(self.codes.ctypes.data),
+            vp(self.phase.ctypes.data),
+            vp(ctypes.addressof(self._consumed)))
+        return n, self.meta, self.runs, self._consumed.value

@@ -12,6 +12,11 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -329,10 +334,12 @@ int32_t twk_rle_assess(const uint8_t* codes, int64_t n, int32_t miss) {
     if (n == 0) return 1;
     uint32_t cur = sym_of(codes[0]);
     uint64_t run = 1;
+    // short runs dominate; avoid the 3 integer divisions per run
+    // boundary in the common case
     auto account = [&](uint64_t r) {
-        c1 += (r + lim1 - 1) / lim1;
-        c2 += (r + lim2 - 1) / lim2;
-        c4 += (r + lim4 - 1) / lim4;
+        c1 += r <= lim1 ? 1 : (r + lim1 - 1) / lim1;
+        c2 += r <= lim2 ? 1 : (r + lim2 - 1) / lim2;
+        c4 += r <= lim4 ? 1 : (r + lim4 - 1) / lim4;
     };
     for (int64_t i = 1; i < n; ++i) {
         const uint32_t s = sym_of(codes[i]);
@@ -646,6 +653,367 @@ int64_t twk_encode_codes(const uint8_t* codes, const uint8_t* phase,
     meta_out[1] = state;
     meta_out[2] = miss;
     return n_words;
+}
+
+// ---------------------------------------------------------------------------
+// Bulk VCF body import: parse every complete line of a text chunk in
+// one call (the per-site ctypes round trip dominated import time).
+// Combines the column walk, a fixed-stride fast path for the GT blob
+// (4 bytes per diploid sample: allele, separator, allele, tab), code
+// stats, RLE width selection and RLE encoding — the same fused step as
+// twk_encode_site, amortized over a whole chunk. (Reference equivalent:
+// htslib's threaded bcf_read + GenotypeEncoder, lib/importer.cpp:33.)
+//
+// Per-site meta layout (19 int64):
+//   0 pos (0-based; -1 if the line is unusable)
+//   1 chrom_off  2 chrom_len      (into buf)
+//   3 status: 0 ok, 1 no GT FORMAT, 2 bad/non-diploid GT,
+//             3 not biallelic, 4 not SNP, 5 malformed line
+//   4 ref_char  5 alt_char
+//   6 width  7 phase_state  8 miss  9 n_runs  10 runs_byte_off
+//   11..18 stats[8] (refref, refalt, altref, altalt, n_missing,
+//                    n_alt, n_ref, n_full)
+// Returns the number of sites written; *consumed = bytes of complete
+// processed lines (the caller re-feeds the remainder with more data).
+
+static const int TWK_META_N = 19;
+
+// Decompose codes into (symbol, length) runs. The naive per-byte walk
+// mispredicts on every boundary (~1 per 1.3 samples on common
+// variants); this scan finds each boundary with one 32-byte
+// compare+movemask, so long runs skip 32 at a time and short runs cost
+// a handful of predictable ops.
+static int64_t twk_run_scan(const uint8_t* codes, int64_t n,
+                            uint8_t* syms, int32_t* lens) {
+    int64_t i = 0, nr = 0;
+    while (i < n) {
+        const uint8_t c = codes[i];
+        int64_t j = i + 1;
+#if defined(__AVX2__)
+        const __m256i vc = _mm256_set1_epi8((char)c);
+        while (j + 32 <= n) {
+            const uint32_t eq = (uint32_t)_mm256_movemask_epi8(
+                _mm256_cmpeq_epi8(
+                    _mm256_loadu_si256((const __m256i*)(codes + j)), vc));
+            const uint32_t neq = ~eq;
+            if (neq) { j += __builtin_ctz(neq); break; }
+            j += 32;
+        }
+        if (j < n && codes[j] == c) {
+            // ran into the < 32-byte tail without finding a boundary
+            while (j < n && codes[j] == c) ++j;
+        }
+#else
+        while (j < n && codes[j] == c) ++j;
+#endif
+        syms[nr] = c;
+        lens[nr] = (int32_t)(j - i);
+        ++nr;
+        i = j;
+    }
+    return nr;
+}
+
+extern "C" int64_t twk_import_chunk(
+        const char* buf, int64_t size, int32_t n_samples,
+        int64_t max_sites, int64_t* meta, uint8_t* runs_out,
+        int64_t runs_cap, uint8_t* codes, uint8_t* phase,
+        int64_t* consumed) {
+    int64_t off = 0;
+    int64_t n_sites = 0;
+    int64_t runs_off = 0;
+    const int64_t max_site_runs = ((int64_t)2 * n_samples + 16) * 4;
+    *consumed = 0;
+    uint8_t* rsyms = (uint8_t*)malloc((size_t)n_samples + 1);
+    int32_t* rlens = (int32_t*)malloc(
+        sizeof(int32_t) * ((size_t)n_samples + 1));
+    while (off < size && n_sites < max_sites) {
+        const char* nl = (const char*)memchr(buf + off, '\n', size - off);
+        if (nl == nullptr) break;                  // partial line: stop
+        const int64_t line_len = nl - (buf + off); // excl. newline
+        if (runs_off + max_site_runs > runs_cap) break;
+        const char* line = buf + off;
+        int64_t* m = meta + n_sites * TWK_META_N;
+        for (int k = 0; k < TWK_META_N; ++k) m[k] = 0;
+        m[0] = -1;
+        m[1] = off;   // line start (chrom offset), set even when malformed
+
+        // column walk: offsets of the first 9 tabs
+        int64_t tabs[9];
+        int n_tabs = 0;
+        for (int64_t i = 0; i < line_len && n_tabs < 9; ++i)
+            if (line[i] == '\t') tabs[n_tabs++] = i;
+        if (n_tabs < 8 || line_len == 0) {
+            m[3] = 5;
+            off += line_len + 1;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+        // CHROM
+        m[2] = tabs[0];
+        // POS (1-based in the file)
+        int64_t pos = 0;
+        bool pos_ok = tabs[1] > tabs[0] + 1;
+        for (int64_t i = tabs[0] + 1; i < tabs[1]; ++i) {
+            if (line[i] < '0' || line[i] > '9') { pos_ok = false; break; }
+            pos = pos * 10 + (line[i] - '0');
+        }
+        if (!pos_ok) {
+            m[3] = 5;
+            off += line_len + 1;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+        m[0] = pos - 1;
+        const int64_t ref_len = tabs[3] - tabs[2] - 1;
+        const int64_t alt_len = tabs[4] - tabs[3] - 1;
+        m[4] = ref_len > 0 ? (unsigned char)line[tabs[2] + 1] : 0;
+        m[5] = alt_len > 0 ? (unsigned char)line[tabs[3] + 1] : 0;
+        // FORMAT must be GT or GT:...
+        const int64_t fmt_s = tabs[7] + 1;
+        const int64_t fmt_e = n_tabs >= 9 ? tabs[8] : line_len;
+        const bool has_gt = (fmt_e - fmt_s >= 2 && line[fmt_s] == 'G'
+                             && line[fmt_s + 1] == 'T'
+                             && (fmt_e - fmt_s == 2
+                                 || line[fmt_s + 2] == ':'));
+        if (!has_gt || n_tabs < 9) {
+            m[3] = 1;
+            off += line_len + 1;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+        // biallelic: ALT must not contain a comma
+        if (memchr(line + tabs[3] + 1, ',', alt_len) != nullptr) {
+            m[3] = 3;
+            off += line_len + 1;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+        // SNP: single-base ACGT ref and alt
+        auto acgt = [](char c) {
+            return c == 'A' || c == 'C' || c == 'G' || c == 'T';
+        };
+        if (ref_len != 1 || alt_len != 1 || !acgt(line[tabs[2] + 1])
+                || !acgt(line[tabs[3] + 1])) {
+            m[3] = 4;
+            off += line_len + 1;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+
+        // GT blob
+        const char* gt = line + tabs[8] + 1;
+        const int64_t gt_len = line_len - tabs[8] - 1;
+        bool parsed = false;
+        // per-code histogram accumulated inside the parse loop: the
+        // stats fields all derive from it, so the codes are only
+        // re-walked by the width assessment and the RLE encode
+        int64_t hist[16] = {0};
+        if (gt_len == (int64_t)4 * n_samples - 1) {
+            // fixed-stride fast path: each diploid sample is exactly
+            // "a|b\t" (4 bytes); validity accumulates and is checked
+            // once at the end.
+            uint32_t ok = 1;
+            int32_t s = 0;
+#if defined(__AVX2__)
+            // 8 samples per iteration: one 32-bit lane per sample
+            // [a, sep, b, tab]; stop 8 samples early so the final
+            // (3-byte) sample never makes the load run past the line.
+            const __m256i v0 = _mm256_set1_epi8('0');
+            const __m256i v1 = _mm256_set1_epi8('1');
+            const __m256i vd = _mm256_set1_epi8('.');
+            const __m256i vp = _mm256_set1_epi8('|');
+            const __m256i vs = _mm256_set1_epi8('/');
+            const __m256i vt = _mm256_set1_epi8('\t');
+            const __m256i two = _mm256_set1_epi8(2);
+            // byte roles per 32-bit lane (little-endian):
+            // 0 = allele a, 1 = separator, 2 = allele b, 3 = tab
+            const __m256i m_ab = _mm256_set1_epi32(0x00FF00FF);
+            const __m256i m_sep = _mm256_set1_epi32(0x0000FF00);
+            const __m256i m_tab = _mm256_set1_epi32((int)0xFF000000);
+            const __m256i lane_pick = _mm256_setr_epi8(
+                0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                -1, -1,
+                0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                -1, -1);
+            __m256i okv = _mm256_set1_epi8(-1);
+            for (; s + 16 <= n_samples; s += 8) {
+                __m256i x = _mm256_loadu_si256(
+                    (const __m256i*)(gt + 4 * s));
+                const __m256i isd = _mm256_cmpeq_epi8(x, vd);
+                const __m256i allele_ok = _mm256_or_si256(
+                    _mm256_or_si256(_mm256_cmpeq_epi8(x, v0),
+                                    _mm256_cmpeq_epi8(x, v1)), isd);
+                const __m256i isp = _mm256_cmpeq_epi8(x, vp);
+                const __m256i sep_ok = _mm256_or_si256(
+                    isp, _mm256_cmpeq_epi8(x, vs));
+                const __m256i tab_ok = _mm256_cmpeq_epi8(x, vt);
+                const __m256i want = _mm256_or_si256(
+                    _mm256_or_si256(_mm256_and_si256(m_ab, allele_ok),
+                                    _mm256_and_si256(m_sep, sep_ok)),
+                    _mm256_and_si256(m_tab, tab_ok));
+                okv = _mm256_and_si256(okv, want);
+                // code bytes: '.'-aware value = (c=='.') ? 2 : c-'0'
+                const __m256i val = _mm256_blendv_epi8(
+                    _mm256_sub_epi8(x, v0), two, isd);
+                // per-lane: code = (a << 2) | b
+                const __m256i a32 = _mm256_and_si256(
+                    val, _mm256_set1_epi32(0xFF));
+                const __m256i b32 = _mm256_and_si256(
+                    _mm256_srli_epi32(val, 16), _mm256_set1_epi32(0xFF));
+                const __m256i code32 = _mm256_or_si256(
+                    _mm256_slli_epi32(a32, 2), b32);
+                // per-lane phase: 1 iff separator is '|'
+                const __m256i ph32 = _mm256_and_si256(
+                    _mm256_srli_epi32(isp, 8), _mm256_set1_epi32(1));
+                // pack the 8 lane low bytes to 8 contiguous bytes
+                const __m256i cp = _mm256_shuffle_epi8(code32, lane_pick);
+                const __m256i pp = _mm256_shuffle_epi8(ph32, lane_pick);
+                const uint32_t clo = (uint32_t)_mm256_extract_epi32(cp, 0);
+                const uint32_t chi = (uint32_t)_mm256_extract_epi32(cp, 4);
+                const uint32_t plo = (uint32_t)_mm256_extract_epi32(pp, 0);
+                const uint32_t phi = (uint32_t)_mm256_extract_epi32(pp, 4);
+                memcpy(codes + s, &clo, 4);
+                memcpy(codes + s + 4, &chi, 4);
+                memcpy(phase + s, &plo, 4);
+                memcpy(phase + s + 4, &phi, 4);
+            }
+            ok &= (uint32_t)(_mm256_movemask_epi8(okv) == -1);
+#endif
+            for (; s < n_samples; ++s) {
+                uint32_t a, sep, b;
+                if (s + 1 < n_samples) {
+                    uint32_t x;
+                    memcpy(&x, gt + 4 * s, 4);
+                    a = x & 0xFF;
+                    sep = (x >> 8) & 0xFF;
+                    b = (x >> 16) & 0xFF;
+                    ok &= (x >> 24) == '\t';
+                } else {
+                    a = (uint8_t)gt[4 * s];
+                    sep = (uint8_t)gt[4 * s + 1];
+                    b = (uint8_t)gt[4 * s + 2];
+                }
+                ok &= ((a == '0') | (a == '1') | (a == '.'))
+                    & ((b == '0') | (b == '1') | (b == '.'))
+                    & ((sep == '|') | (sep == '/'));
+                const uint32_t ca = a == '.' ? 2u : (a - '0');
+                const uint32_t cb = b == '.' ? 2u : (b - '0');
+                codes[s] = (uint8_t)((ca << 2) | cb);
+                phase[s] = (uint8_t)(sep == '|');
+            }
+            if (ok) {
+                for (int32_t q = 0; q < n_samples; ++q)
+                    ++hist[codes[q] & 15u];
+            }
+            parsed = ok != 0;
+        }
+        if (!parsed) {
+            const int64_t r = twk_parse_gt_line(gt, gt_len, 0, n_samples,
+                                                codes, phase);
+            if (r != n_samples) {
+                m[3] = 2;
+                off += line_len + 1;
+                ++n_sites;
+                *consumed = off;
+                continue;
+            }
+            memset(hist, 0, sizeof(hist));
+            for (int32_t s = 0; s < n_samples; ++s) ++hist[codes[s] & 15u];
+        }
+
+        {
+            // stats from the histogram (same fields as twk_code_stats)
+            int64_t missc = 0, altc = 0, refc = 0, fullc = 0;
+            for (int c = 0; c < 16; ++c) {
+                const int64_t ca = c >> 2, cb = c & 3;
+                if (!hist[c]) continue;
+                missc += hist[c] * ((ca == 2) + (cb == 2));
+                altc += hist[c] * ((ca == 1) + (cb == 1));
+                refc += hist[c] * ((ca == 0) + (cb == 0));
+                if (ca != 2 && cb != 2) fullc += hist[c];
+            }
+            m[11] = hist[0]; m[12] = hist[1]; m[13] = hist[4];
+            m[14] = hist[5];
+            m[15] = missc; m[16] = altc; m[17] = refc; m[18] = fullc;
+        }
+        const int32_t miss = m[15] > 0 ? 1 : 0;
+
+        // one SIMD run scan feeds both the width choice and the RLE
+        // encode with predictable-branch loops over ~n_runs entries
+        const int64_t nr = twk_run_scan(codes, n_samples, rsyms, rlens);
+        const int64_t lim1 = miss ? 15 : 63;
+        const int64_t lim2 = miss ? 4095 : 16383;
+        int64_t c1 = nr, c2 = nr;
+        for (int64_t r = 0; r < nr; ++r) {
+            const int64_t len = rlens[r];
+            if (len > lim1) c1 += (len + lim1 - 1) / lim1 - 1;
+            if (len > lim2) c2 += (len + lim2 - 1) / lim2 - 1;
+        }
+        const int64_t b1 = c1, b2 = 2 * c2, b4 = 4 * nr;
+        const int32_t width = (b1 <= b2 && b1 <= b4) ? 1
+                              : (b2 <= b4 ? 2 : 4);
+
+        runs_off = (runs_off + 3) & ~(int64_t)3;   // 4-byte aligned
+        const int shift = 2 + 2 * miss;
+        const uint64_t limit = (1ull << (8 * width - shift)) - 1ull;
+        void* wout = runs_out + runs_off;
+        int64_t n_words = 0;
+        const int64_t wcap = (runs_cap - runs_off) / width;
+        bool overflow = false;
+        for (int64_t r = 0; r < nr && !overflow; ++r) {
+            const uint32_t sym = miss
+                ? rsyms[r]
+                : (((rsyms[r] >> 2) << 1) | (rsyms[r] & 1u));
+            uint64_t run = (uint64_t)rlens[r];
+            while (run > 0) {
+                const uint64_t take = run > limit ? limit : run;
+                if (n_words >= wcap) { overflow = true; break; }
+                const uint64_t w = (take << shift) | sym;
+                switch (width) {
+                    case 1: ((uint8_t*)wout)[n_words] = (uint8_t)w;
+                            break;
+                    case 2: ((uint16_t*)wout)[n_words] = (uint16_t)w;
+                            break;
+                    default: ((uint32_t*)wout)[n_words] = (uint32_t)w;
+                            break;
+                }
+                ++n_words;
+                run -= take;
+            }
+        }
+        if (overflow) break;   // no space: re-feed this line later
+
+        // phase uniformity without early exit (branchless sweep;
+        // "called" matches twk_encode_codes: allele B not missing)
+        uint32_t any_called = 0, all_phased = 1, any_phased = 0;
+        for (int32_t s = 0; s < n_samples; ++s) {
+            const uint32_t called = (codes[s] & 3u) != 2u;
+            any_called |= called;
+            any_phased |= called & phase[s];
+            all_phased &= (~called | phase[s]) & 1u;
+        }
+        const int32_t state = !any_called ? -1
+                              : (any_phased != all_phased ? 2
+                                 : (int32_t)any_phased);
+        m[6] = width;
+        m[7] = state;
+        m[8] = miss;
+        m[9] = n_words;
+        m[10] = runs_off;
+        runs_off += n_words * width;
+        off += line_len + 1;
+        ++n_sites;
+        *consumed = off;
+    }
+    free(rsyms);
+    free(rlens);
+    return n_sites;
 }
 
 // ---------------------------------------------------------------------------
