@@ -50,21 +50,28 @@ def haplotype(input_path: str, output: str, interval: str,
         return 0
 
     mat = np.stack(cols)            # [V, 2N]
-    hapmat = mat.T                  # [2N, V]
-    lut = np.array(["0", "1", "."])
+    hapmat = np.ascontiguousarray(mat.T)     # [2N, V]
+    # code -> ASCII in one fancy-index over the whole matrix; rows then
+    # emit via tobytes (no per-allele Python strings)
+    byte_lut = np.frombuffer(b"01.", np.uint8)
+    ascii_mat = byte_lut[hapmat]
 
     if fmt == "fasta":
-        for h in range(hapmat.shape[0]):
+        for h in range(ascii_mat.shape[0]):
             name = reader.header.samples[h // 2]
-            stream.write(f">{name}_{h % 2 + 1}\n")
-            stream.write("".join(lut[hapmat[h]]) + "\n")
+            stream.write(f">{name}_{h % 2 + 1}\n"
+                         + ascii_mat[h].tobytes().decode() + "\n")
     else:  # tsv matrix: one row per haplotype, one column per variant
         stream.write("haplotype\t" +
                      "\t".join(str(p + 1) for p in positions) + "\n")
-        for h in range(hapmat.shape[0]):
+        V = ascii_mat.shape[1]
+        inter = np.empty((ascii_mat.shape[0], 2 * V), np.uint8)
+        inter[:, 0::2] = ord("\t")
+        inter[:, 1::2] = ascii_mat
+        for h in range(inter.shape[0]):
             name = reader.header.samples[h // 2]
-            stream.write(f"{name}_{h % 2 + 1}\t" +
-                         "\t".join(lut[hapmat[h]]) + "\n")
+            stream.write(f"{name}_{h % 2 + 1}"
+                         + inter[h].tobytes().decode() + "\n")
     if close:
         stream.close()
     return hapmat.shape[1]

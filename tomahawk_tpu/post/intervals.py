@@ -54,7 +54,74 @@ def _parse_one(s: str, header) -> Interval:
     raise ValueError(f"cannot parse interval: {s}")
 
 
-def parse_intervals(strings, header) -> List[Interval]:
+_RID_SHIFT = 40   # positions < 2^40; rid-tagged keys sort by (rid, pos)
+
+
+class IntervalSet(list):
+    """Parsed intervals plus a sorted merged lookup index.
+
+    The TPU-native replacement for the reference's per-contig interval
+    trees + dedupe-by-extension (reference: include/intervalTree.h,
+    lib/intervals.cpp): unlinked intervals merge into disjoint sorted
+    (rid << 40 | pos) key ranges, so point containment is ONE
+    vectorized searchsorted regardless of how many intervals were
+    given, and block-overlap queries exploit that merged-disjoint
+    ranges have co-sorted starts and ends. Linked pairs (usually few)
+    keep per-pair vectorized checks. Behaves as a plain list of
+    Interval for existing callers."""
+
+    def __init__(self, ivals):
+        super().__init__(ivals)
+        self.linked_pairs = [iv for iv in ivals if iv.linked is not None]
+        plain = [iv for iv in ivals if iv.linked is None]
+        starts = sorted((iv.rid << _RID_SHIFT) | iv.start for iv in plain)
+        ends = [((iv.rid << _RID_SHIFT) | iv.end)
+                for iv in sorted(plain,
+                                 key=lambda v: (v.rid << _RID_SHIFT)
+                                 | v.start)]
+        # dedupe-by-extension: merge overlapping/adjacent ranges
+        ms, me = [], []
+        for s, e in zip(starts, ends):
+            if ms and s <= me[-1] + 1 and (s >> _RID_SHIFT) == \
+                    (me[-1] >> _RID_SHIFT):
+                me[-1] = max(me[-1], e)
+            else:
+                ms.append(s)
+                me.append(e)
+        self._starts = np.array(ms, np.int64)
+        self._ends = np.array(me, np.int64)
+
+    def contains(self, rid, pos) -> np.ndarray:
+        """Vectorized point containment in the merged unlinked set."""
+        if len(self._starts) == 0:
+            return np.zeros(np.shape(pos), bool)
+        key = (np.asarray(rid, np.int64) << _RID_SHIFT) \
+            | np.asarray(pos, np.int64)
+        idx = np.searchsorted(self._starts, key, "right") - 1
+        safe = np.maximum(idx, 0)
+        return (idx >= 0) & (key <= self._ends[safe])
+
+    def overlaps_range(self, rid, lo, hi) -> np.ndarray:
+        """Vectorized [lo, hi] range-overlap against the merged set.
+        Merged ranges are disjoint and sorted, so starts and ends are
+        co-sorted: the candidate with the largest start <= hi covers
+        the query iff its end >= lo OR a later range starts within
+        [lo, hi] — the latter is impossible for the largest such start,
+        so one searchsorted suffices."""
+        if len(self._starts) == 0:
+            return np.zeros(np.shape(lo), bool)
+        khi = (np.asarray(rid, np.int64) << _RID_SHIFT) \
+            | np.asarray(hi, np.int64)
+        klo = (np.asarray(rid, np.int64) << _RID_SHIFT) \
+            | np.asarray(lo, np.int64)
+        idx = np.searchsorted(self._starts, khi, "right") - 1
+        safe = np.maximum(idx, 0)
+        return (idx >= 0) & (self._ends[safe] >= klo) & \
+            ((self._starts[safe] >> _RID_SHIFT)
+             == (khi >> _RID_SHIFT))
+
+
+def parse_intervals(strings, header) -> IntervalSet:
     out = []
     for s in strings or []:
         # linked two-sided interval: the reference separates with ','
@@ -67,44 +134,48 @@ def parse_intervals(strings, header) -> List[Interval]:
             out.append(iv)
         else:
             out.append(_parse_one(s.strip(), header))
-    return out
+    return IntervalSet(out)
 
 
-def interval_mask(recs: np.ndarray, ivals: List[Interval]) -> np.ndarray:
+def interval_mask(recs: np.ndarray, ivals) -> np.ndarray:
     """True where a .two record overlaps any interval. Unlinked
     intervals match on either side; linked pairs require A in the first
     and B in the second (or the swap)."""
     if not ivals:
         return np.ones(len(recs), bool)
+    if not isinstance(ivals, IntervalSet):
+        ivals = IntervalSet(list(ivals))
     pos_a = (recs["packA"] >> 2).astype(np.int64)
     pos_b = (recs["packB"] >> 2).astype(np.int64)
     rid_a = recs["ridA"].astype(np.int64)
     rid_b = recs["ridB"].astype(np.int64)
-    m = np.zeros(len(recs), bool)
-    for iv in ivals:
+    m = ivals.contains(rid_a, pos_a) | ivals.contains(rid_b, pos_b)
+    for iv in ivals.linked_pairs:
         in_a = (rid_a == iv.rid) & (pos_a >= iv.start) & (pos_a <= iv.end)
         in_b = (rid_b == iv.rid) & (pos_b >= iv.start) & (pos_b <= iv.end)
-        if iv.linked is None:
-            m |= in_a | in_b
-        else:
-            lv = iv.linked
-            in_a2 = (rid_a == lv.rid) & (pos_a >= lv.start) & \
-                (pos_a <= lv.end)
-            in_b2 = (rid_b == lv.rid) & (pos_b >= lv.start) & \
-                (pos_b <= lv.end)
-            m |= (in_a & in_b2) | (in_a2 & in_b)
+        lv = iv.linked
+        in_a2 = (rid_a == lv.rid) & (pos_a >= lv.start) & \
+            (pos_a <= lv.end)
+        in_b2 = (rid_b == lv.rid) & (pos_b >= lv.start) & \
+            (pos_b <= lv.end)
+        m |= (in_a & in_b2) | (in_a2 & in_b)
     return m
 
 
 def blocks_for_intervals(reader, strings) -> List[int]:
-    """Block indices of a .twk archive overlapping any interval."""
+    """Block indices of a .twk archive overlapping any interval (one
+    vectorized range query over the block index)."""
     ivals = parse_intervals(strings, reader.header)
-    keep = []
-    for i, e in enumerate(reader.index.ent):
-        for iv in ivals:
-            # index positions are 1-based right-open (pos+1 convention)
-            if e.rid == iv.rid and e.minpos - 1 <= iv.end \
-                    and e.maxpos - 1 >= iv.start:
-                keep.append(i)
-                break
-    return keep
+    ents = reader.index.ent
+    if not ents:
+        return []
+    rid = np.array([e.rid for e in ents], np.int64)
+    # index positions are 1-based right-open (pos+1 convention)
+    lo = np.array([e.minpos - 1 for e in ents], np.int64)
+    hi = np.array([e.maxpos - 1 for e in ents], np.int64)
+    m = ivals.overlaps_range(rid, np.maximum(lo, 0), np.maximum(hi, 0))
+    # linked pairs also select their blocks on both sides
+    for iv in ivals.linked_pairs:
+        for v in (iv, iv.linked):
+            m |= (rid == v.rid) & (lo <= v.end) & (hi >= v.start)
+    return [int(i) for i in np.flatnonzero(m)]
