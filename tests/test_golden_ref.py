@@ -24,6 +24,7 @@ test here is SKIPPED with a loud reason — see tools/refbuild/.
 
 import os
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -479,3 +480,16 @@ def test_view_text_field_parity(pipelines, ref_bin):
         for vx, vy in zip(x[5], y[5]):
             # text is printed with limited precision; compare loosely
             assert abs(vx - vy) <= max(1e-4, 5e-5 * abs(vy)), (x[:5], vx, vy)
+
+
+def test_golden_soak_subset(ref_bin):
+    """A short randomized golden soak (tools/soak_golden.py) runs in
+    CI: 4 random configs imported + calc'd by both implementations and
+    compared record-by-record (with the documented knife-edge rules)."""
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak_golden.py"),
+         "5", "4"], capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu",
+                 PALLAS_AXON_POOL_IPS=""))
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
