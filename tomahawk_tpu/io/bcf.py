@@ -164,13 +164,11 @@ class BcfReader:
         """raw=True defers simple diploid GT decoding to the fused
         native import step: such sites carry raw_gt = (gt_bytes,
         int_width) and codes=None."""
-        n_samples = self._n_samples
         scanner = None
         if raw and self._gt_key is not None:
             from ..native import BcfScanner, available
             if available():
                 scanner = BcfScanner(self._gt_key)
-        base_map = {65: "A", 67: "C", 71: "G", 84: "T"}
         while True:
             head = self._s.maybe_read(8)
             if len(head) == 0:
@@ -180,57 +178,56 @@ class BcfReader:
             l_shared, l_indiv = struct.unpack("<II", head)
             shared_b = self._s.read(l_shared)
             indiv_b = self._s.read(l_indiv)
-            if scanner is not None:
-                res = scanner.scan(shared_b, indiv_b)
-                if res is not None and res[7] == n_samples \
-                        and res[5] >= 0:
-                    rid, pos, n_allele = int(res[0]), int(res[1]), \
-                        int(res[2])
-                    ref = base_map.get(int(res[3]))
-                    alt = base_map.get(int(res[4]))
-                    is_snp = ref is not None and alt is not None
-                    go, gw = int(res[5]), int(res[6])
-                    gt = indiv_b[go:go + gw * 2 * n_samples]
-                    yield VcfSite(rid, pos, ref or "N", alt or ".",
-                                  None, None, n_allele, is_snp, True,
-                                  raw_gt=(gt, gw))
-                    continue
-            shared = memoryview(shared_b)
-            indiv = memoryview(indiv_b)
+            yield self.parse_record(shared_b, indiv_b, scanner=scanner)
 
-            (rid, pos, _rlen) = struct.unpack("<iii", shared[:12])
-            # qual f32 at 12:16
-            n_info = struct.unpack("<H", shared[16:18])[0]
-            n_allele = struct.unpack("<H", shared[18:20])[0]
-            n_sample = struct.unpack("<I", shared[20:24])[0] & 0xFFFFFF
-            n_fmt = shared[23]
-            off = 24
-            off = _skip_typed(shared, off)   # ID string (unused)
-            alleles = []
-            for _ in range(n_allele):
-                a, off = _read_typed_string(shared, off)
-                alleles.append(a)
-            ref = alleles[0] if alleles else "N"
-            alts = alleles[1:] if len(alleles) > 1 else ["."]
+    _BASE_OF = {65: "A", 67: "C", 71: "G", 84: "T"}
 
-            is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
-                ref in "ACGT" and alts[0] in "ACGT"
-            if raw and n_sample == n_samples:
-                found = self._find_gt(indiv, n_fmt, n_sample)
-                if found is not None:
-                    t, view = found
-                    yield VcfSite(rid, pos, ref, alts[0], None, None,
-                                  n_allele, is_snp, True,
-                                  raw_gt=(bytes(view), _TYPE_SIZE[t]))
-                    continue
-            codes, phase, ploidy_ok = self._parse_gt(
-                indiv, n_fmt, n_sample)
-            if n_sample != n_samples:
-                codes = np.zeros(0, np.uint8)
-                phase = np.zeros(0, np.uint8)
-                ploidy_ok = False
-            yield VcfSite(rid, pos, ref, alts[0], codes, phase,
-                          n_allele, is_snp, ploidy_ok)
+    def parse_record(self, shared_b: bytes, indiv_b: bytes,
+                     scanner=None) -> VcfSite:
+        """One framed BCF record (shared + indiv blocks) -> VcfSite."""
+        n_samples = self._n_samples
+        if scanner is not None:
+            res = scanner.scan(shared_b, indiv_b)
+            if res is not None and res[7] == n_samples \
+                    and res[5] >= 0:
+                rid, pos, n_allele = int(res[0]), int(res[1]), \
+                    int(res[2])
+                ref = self._BASE_OF.get(int(res[3]))
+                alt = self._BASE_OF.get(int(res[4]))
+                is_snp = ref is not None and alt is not None
+                go, gw = int(res[5]), int(res[6])
+                gt = indiv_b[go:go + gw * 2 * n_samples]
+                return VcfSite(rid, pos, ref or "N", alt or ".",
+                               None, None, n_allele, is_snp, True,
+                               raw_gt=(gt, gw))
+        shared = memoryview(shared_b)
+        indiv = memoryview(indiv_b)
+
+        (rid, pos, _rlen) = struct.unpack("<iii", shared[:12])
+        # qual f32 at 12:16
+        n_info = struct.unpack("<H", shared[16:18])[0]
+        n_allele = struct.unpack("<H", shared[18:20])[0]
+        n_sample = struct.unpack("<I", shared[20:24])[0] & 0xFFFFFF
+        n_fmt = shared[23]
+        off = 24
+        off = _skip_typed(shared, off)   # ID string (unused)
+        alleles = []
+        for _ in range(n_allele):
+            a, off = _read_typed_string(shared, off)
+            alleles.append(a)
+        ref = alleles[0] if alleles else "N"
+        alts = alleles[1:] if len(alleles) > 1 else ["."]
+
+        is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
+            ref in "ACGT" and alts[0] in "ACGT"
+        codes, phase, ploidy_ok = self._parse_gt(
+            indiv, n_fmt, n_sample)
+        if n_sample != n_samples:
+            codes = np.zeros(0, np.uint8)
+            phase = np.zeros(0, np.uint8)
+            ploidy_ok = False
+        return VcfSite(rid, pos, ref, alts[0], codes, phase,
+                       n_allele, is_snp, ploidy_ok)
 
     def _find_gt(self, indiv: memoryview, n_fmt: int, n_sample: int):
         """Locate a plain diploid int-typed GT vector; returns

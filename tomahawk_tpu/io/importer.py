@@ -9,6 +9,7 @@ change boundaries.
 """
 
 import datetime
+import struct
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -215,10 +216,15 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
             stats.n_dropped += 1
         state["prev"] = (site.rid, site.pos, dropped)
 
+    from .bcf import BcfReader as _BcfReader
     if encoder is not None and type(vcf) is VcfReader \
             and settings.input != "-":
         _import_body_chunked(vcf, settings, stats, n_samples,
                              keep, process_site, state)
+    elif encoder is not None and type(vcf) is _BcfReader \
+            and vcf._gt_key is not None:
+        _import_bcf_chunked(vcf, settings, stats, n_samples,
+                            keep, process_site, state)
     else:
         site_iter = (vcf.sites(raw=True) if encoder is not None
                      else vcf.sites())
@@ -244,27 +250,11 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
 _RUNS_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32}
 
 
-def _import_body_chunked(vcf, settings: ImportSettings,
-                         stats: ImportStats, n_samples: int,
-                         keep, process_site, state):
-    """Bulk import loop: the whole VCF body streams through
-    twk_import_chunk (one native call per ~4 MB of text does column
-    parsing, GT decode, stats, and RLE for every line), and Python only
-    applies filters and assembles records for kept sites. Lines the
-    native parser cannot classify (no GT FORMAT, unparsable genotypes,
-    malformed) are re-fed through the exact single-site path."""
-    import gzip
-
-    from ..native import ChunkImporter
-
-    path = settings.input
-    fh = (gzip.open(path, "rb") if path.endswith((".gz", ".bgz"))
-          else open(path, "rb"))
-    for line in fh:
-        if line.startswith(b"#CHROM"):
-            break
-
-    ci = ChunkImporter(n_samples)
+def _make_fast_site(vcf, settings: ImportSettings, stats: ImportStats,
+                    n_samples: int, keep, process_site, state):
+    """Shared fast-path site handler for the bulk (chunked) importers:
+    applies the dup/missingness/invariant filters from the native meta
+    row and assembles a Twk1Record for kept sites."""
     rid_cache = {}
     thresh_full = settings.threshold_miss * n_samples
     base_map = BASE_MAP
@@ -276,10 +266,11 @@ def _import_body_chunked(vcf, settings: ImportSettings,
             rid_cache[chrom_bytes] = rid
         return rid
 
-    def fast_site(mv, chunk, runs_buf):
+    def fast_site(mv, chunk, runs_buf, rid=None, flip_fallback=None):
         stats.n_total += 1
         m = mv.tolist()   # one conversion; numpy scalar reads are slow
-        rid = rid_of(chunk[m[1]:m[1] + m[2]])
+        if rid is None:
+            rid = rid_of(chunk[m[1]:m[1] + m[2]])
         pos = m[0]
         status = m[3]
         prev = state["prev"]
@@ -305,11 +296,14 @@ def _import_body_chunked(vcf, settings: ImportSettings,
                     or n_altref == n_full or n_altalt == n_full):
                 stats.filtered[0] += 1
             elif settings.flip_major_minor and n_alt > n_ref:
-                # rare path: re-run the line through the exact
+                # rare path: re-run the site through the exact
                 # single-site encoder (needs the parsed codes)
                 stats.n_total -= 1
-                line = _line_at(chunk, m[1])
-                process_site(vcf.parse_line(line.decode()))
+                if flip_fallback is not None:
+                    process_site(flip_fallback(m))
+                else:
+                    line = _line_at(chunk, m[1])
+                    process_site(vcf.parse_line(line.decode()))
                 return
             else:
                 width = m[6]
@@ -330,6 +324,33 @@ def _import_body_chunked(vcf, settings: ImportSettings,
         if dropped:
             stats.n_dropped += 1
         state["prev"] = (rid, pos, dropped)
+
+    return fast_site
+
+
+def _import_body_chunked(vcf, settings: ImportSettings,
+                         stats: ImportStats, n_samples: int,
+                         keep, process_site, state):
+    """Bulk import loop: the whole VCF body streams through
+    twk_import_chunk (one native call per ~4 MB of text does column
+    parsing, GT decode, stats, and RLE for every line), and Python only
+    applies filters and assembles records for kept sites. Lines the
+    native parser cannot classify (no GT FORMAT, unparsable genotypes,
+    malformed) are re-fed through the exact single-site path."""
+    import gzip
+
+    from ..native import ChunkImporter
+
+    path = settings.input
+    fh = (gzip.open(path, "rb") if path.endswith((".gz", ".bgz"))
+          else open(path, "rb"))
+    for line in fh:
+        if line.startswith(b"#CHROM"):
+            break
+
+    ci = ChunkImporter(n_samples)
+    fast_site = _make_fast_site(vcf, settings, stats, n_samples, keep,
+                                process_site, state)
 
     # Pipelined chunking: chunks are cut at newline boundaries so they
     # parse independently; while Python assembles chunk k (GIL-bound),
@@ -399,6 +420,65 @@ def _import_body_chunked(vcf, settings: ImportSettings,
     finally:
         pool.shutdown()
         fh.close()
+
+
+def _import_bcf_chunked(vcf, settings: ImportSettings,
+                        stats: ImportStats, n_samples: int,
+                        keep, process_site, state):
+    """Bulk BCF import loop: framed records stream through
+    twk_bcf_import_chunk; unsupported layouts re-feed through the exact
+    single-record path (BcfReader.parse_record)."""
+    from ..native import ChunkImporter
+
+    ci = ChunkImporter(n_samples)
+    fast_site = _make_fast_site(vcf, settings, stats, n_samples, keep,
+                                process_site, state)
+    gt_key = vcf._gt_key
+    fh = vcf._s._fh   # decompressed stream, positioned at the body
+
+    def record_site(chunk, m):
+        """Exact-path fallback from raw record bytes."""
+        off, neg_len = int(m[1]), int(m[2])
+        rec = chunk[off:off - neg_len]
+        l_shared, l_indiv = struct.unpack("<II", rec[:8])
+        return vcf.parse_record(rec[8:8 + l_shared], rec[8 + l_shared:])
+
+    def flip_fallback(m):
+        # m[2] <= -2 encodes the record offset for ok-status sites
+        off = -2 - int(m[2])
+        head = cur[off:off + 8]
+        l_shared, l_indiv = struct.unpack("<II", head)
+        rec = cur[off + 8:off + 8 + l_shared + l_indiv]
+        return vcf.parse_record(rec[:l_shared], rec[l_shared:])
+
+    cur = b""
+    while True:
+        data = fh.read(1 << 22)
+        chunk = cur + data
+        if not chunk:
+            break
+        res = ci.parse_bcf(chunk, gt_key)
+        n, meta, runs_buf, consumed = res
+        cur = chunk  # flip_fallback reads record bytes from `cur`
+        for i in range(n):
+            m = meta[i]
+            status = int(m[3])
+            if status in (2, 5):
+                site = record_site(chunk, m)
+                if site is not None:
+                    process_site(site)
+                continue
+            fast_site(m, chunk, runs_buf, rid=int(m[1]),
+                      flip_fallback=flip_fallback)
+        if not data:
+            if consumed == 0 and len(chunk) > 0:
+                raise ValueError(
+                    f"{settings.input}: truncated trailing BCF record")
+            if consumed == 0:
+                break
+        cur = chunk[consumed:]
+        if not data and not cur:
+            break
 
 
 def _line_at(chunk, start: int) -> bytes:

@@ -104,6 +104,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.twk_bcf_import_chunk.restype = ctypes.c_int64
+        lib.twk_bcf_import_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.twk_radix_sort_idx.restype = ctypes.c_int64
         lib.twk_radix_sort_idx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -445,6 +451,19 @@ class ChunkImporter:
         vp = ctypes.c_void_p
         n = self._lib.twk_import_chunk(
             chunk, len(chunk), self.n, self.max_sites,
+            vp(self.meta.ctypes.data), vp(self.runs.ctypes.data),
+            len(self.runs), vp(self.codes.ctypes.data),
+            vp(self.phase.ctypes.data),
+            vp(ctypes.addressof(self._consumed)))
+        return n, self.meta, self.runs, self._consumed.value
+
+    def parse_bcf(self, chunk: bytes, gt_key: int):
+        """BCF-record twin of parse() (twk_bcf_import_chunk)."""
+        if self._lib is None:
+            return None
+        vp = ctypes.c_void_p
+        n = self._lib.twk_bcf_import_chunk(
+            chunk, len(chunk), self.n, gt_key, self.max_sites,
             vp(self.meta.ctypes.data), vp(self.runs.ctypes.data),
             len(self.runs), vp(self.codes.ctypes.data),
             vp(self.phase.ctypes.data),

@@ -678,6 +678,99 @@ int64_t twk_encode_codes(const uint8_t* codes, const uint8_t* phase,
 
 static const int TWK_META_N = 19;
 
+static int64_t twk_run_scan(const uint8_t* codes, int64_t n,
+                            uint8_t* syms, int32_t* lens);
+
+// Shared per-site finish for the bulk importers: stats from the code
+// histogram, RLE width from a SIMD run scan (predictable-branch loops
+// over ~n_runs entries), RLE encode from the run list, and a
+// branchless phase-uniformity sweep. Writes m[6..18] and advances
+// *runs_off. Returns 0, or -1 when the runs buffer is out of space
+// (caller re-feeds the site later).
+static int twk_finish_site(const uint8_t* codes, const uint8_t* phase,
+                           int32_t n_samples, const int64_t* hist,
+                           uint8_t* rsyms, int32_t* rlens, int64_t* m,
+                           uint8_t* runs_out, int64_t runs_cap,
+                           int64_t* runs_off_p) {
+    int64_t runs_off = *runs_off_p;
+    {
+        // stats from the histogram (same fields as twk_code_stats)
+        int64_t missc = 0, altc = 0, refc = 0, fullc = 0;
+        for (int c = 0; c < 16; ++c) {
+            const int64_t ca = c >> 2, cb = c & 3;
+            if (!hist[c]) continue;
+            missc += hist[c] * ((ca == 2) + (cb == 2));
+            altc += hist[c] * ((ca == 1) + (cb == 1));
+            refc += hist[c] * ((ca == 0) + (cb == 0));
+            if (ca != 2 && cb != 2) fullc += hist[c];
+        }
+        m[11] = hist[0]; m[12] = hist[1]; m[13] = hist[4];
+        m[14] = hist[5];
+        m[15] = missc; m[16] = altc; m[17] = refc; m[18] = fullc;
+    }
+    const int32_t miss = m[15] > 0 ? 1 : 0;
+
+    const int64_t nr = twk_run_scan(codes, n_samples, rsyms, rlens);
+    const int64_t lim1 = miss ? 15 : 63;
+    const int64_t lim2 = miss ? 4095 : 16383;
+    int64_t c1 = nr, c2 = nr;
+    for (int64_t r = 0; r < nr; ++r) {
+        const int64_t len = rlens[r];
+        if (len > lim1) c1 += (len + lim1 - 1) / lim1 - 1;
+        if (len > lim2) c2 += (len + lim2 - 1) / lim2 - 1;
+    }
+    const int64_t b1 = c1, b2 = 2 * c2, b4 = 4 * nr;
+    const int32_t width = (b1 <= b2 && b1 <= b4) ? 1
+                          : (b2 <= b4 ? 2 : 4);
+
+    runs_off = (runs_off + 3) & ~(int64_t)3;   // 4-byte aligned
+    const int shift = 2 + 2 * miss;
+    const uint64_t limit = (1ull << (8 * width - shift)) - 1ull;
+    void* wout = runs_out + runs_off;
+    int64_t n_words = 0;
+    const int64_t wcap = (runs_cap - runs_off) / width;
+    for (int64_t r = 0; r < nr; ++r) {
+        const uint32_t sym = miss
+            ? rsyms[r]
+            : (((rsyms[r] >> 2) << 1) | (rsyms[r] & 1u));
+        uint64_t run = (uint64_t)rlens[r];
+        while (run > 0) {
+            const uint64_t take = run > limit ? limit : run;
+            if (n_words >= wcap) return -1;
+            const uint64_t w = (take << shift) | sym;
+            switch (width) {
+                case 1: ((uint8_t*)wout)[n_words] = (uint8_t)w; break;
+                case 2: ((uint16_t*)wout)[n_words] = (uint16_t)w;
+                        break;
+                default: ((uint32_t*)wout)[n_words] = (uint32_t)w;
+                        break;
+            }
+            ++n_words;
+            run -= take;
+        }
+    }
+
+    // phase uniformity without early exit (branchless sweep;
+    // "called" matches twk_encode_codes: allele B not missing)
+    uint32_t any_called = 0, all_phased = 1, any_phased = 0;
+    for (int32_t s = 0; s < n_samples; ++s) {
+        const uint32_t called = (codes[s] & 3u) != 2u;
+        any_called |= called;
+        any_phased |= called & phase[s];
+        all_phased &= (~called | phase[s]) & 1u;
+    }
+    const int32_t state = !any_called ? -1
+                          : (any_phased != all_phased ? 2
+                             : (int32_t)any_phased);
+    m[6] = width;
+    m[7] = state;
+    m[8] = miss;
+    m[9] = n_words;
+    m[10] = runs_off;
+    *runs_off_p = runs_off + n_words * width;
+    return 0;
+}
+
 // Decompose codes into (symbol, length) runs. The naive per-byte walk
 // mispredicts on every boundary (~1 per 1.3 samples on common
 // variants); this scan finds each boundary with one 32-byte
@@ -927,87 +1020,105 @@ extern "C" int64_t twk_import_chunk(
             for (int32_t s = 0; s < n_samples; ++s) ++hist[codes[s] & 15u];
         }
 
-        {
-            // stats from the histogram (same fields as twk_code_stats)
-            int64_t missc = 0, altc = 0, refc = 0, fullc = 0;
-            for (int c = 0; c < 16; ++c) {
-                const int64_t ca = c >> 2, cb = c & 3;
-                if (!hist[c]) continue;
-                missc += hist[c] * ((ca == 2) + (cb == 2));
-                altc += hist[c] * ((ca == 1) + (cb == 1));
-                refc += hist[c] * ((ca == 0) + (cb == 0));
-                if (ca != 2 && cb != 2) fullc += hist[c];
-            }
-            m[11] = hist[0]; m[12] = hist[1]; m[13] = hist[4];
-            m[14] = hist[5];
-            m[15] = missc; m[16] = altc; m[17] = refc; m[18] = fullc;
-        }
-        const int32_t miss = m[15] > 0 ? 1 : 0;
-
-        // one SIMD run scan feeds both the width choice and the RLE
-        // encode with predictable-branch loops over ~n_runs entries
-        const int64_t nr = twk_run_scan(codes, n_samples, rsyms, rlens);
-        const int64_t lim1 = miss ? 15 : 63;
-        const int64_t lim2 = miss ? 4095 : 16383;
-        int64_t c1 = nr, c2 = nr;
-        for (int64_t r = 0; r < nr; ++r) {
-            const int64_t len = rlens[r];
-            if (len > lim1) c1 += (len + lim1 - 1) / lim1 - 1;
-            if (len > lim2) c2 += (len + lim2 - 1) / lim2 - 1;
-        }
-        const int64_t b1 = c1, b2 = 2 * c2, b4 = 4 * nr;
-        const int32_t width = (b1 <= b2 && b1 <= b4) ? 1
-                              : (b2 <= b4 ? 2 : 4);
-
-        runs_off = (runs_off + 3) & ~(int64_t)3;   // 4-byte aligned
-        const int shift = 2 + 2 * miss;
-        const uint64_t limit = (1ull << (8 * width - shift)) - 1ull;
-        void* wout = runs_out + runs_off;
-        int64_t n_words = 0;
-        const int64_t wcap = (runs_cap - runs_off) / width;
-        bool overflow = false;
-        for (int64_t r = 0; r < nr && !overflow; ++r) {
-            const uint32_t sym = miss
-                ? rsyms[r]
-                : (((rsyms[r] >> 2) << 1) | (rsyms[r] & 1u));
-            uint64_t run = (uint64_t)rlens[r];
-            while (run > 0) {
-                const uint64_t take = run > limit ? limit : run;
-                if (n_words >= wcap) { overflow = true; break; }
-                const uint64_t w = (take << shift) | sym;
-                switch (width) {
-                    case 1: ((uint8_t*)wout)[n_words] = (uint8_t)w;
-                            break;
-                    case 2: ((uint16_t*)wout)[n_words] = (uint16_t)w;
-                            break;
-                    default: ((uint32_t*)wout)[n_words] = (uint32_t)w;
-                            break;
-                }
-                ++n_words;
-                run -= take;
-            }
-        }
-        if (overflow) break;   // no space: re-feed this line later
-
-        // phase uniformity without early exit (branchless sweep;
-        // "called" matches twk_encode_codes: allele B not missing)
-        uint32_t any_called = 0, all_phased = 1, any_phased = 0;
-        for (int32_t s = 0; s < n_samples; ++s) {
-            const uint32_t called = (codes[s] & 3u) != 2u;
-            any_called |= called;
-            any_phased |= called & phase[s];
-            all_phased &= (~called | phase[s]) & 1u;
-        }
-        const int32_t state = !any_called ? -1
-                              : (any_phased != all_phased ? 2
-                                 : (int32_t)any_phased);
-        m[6] = width;
-        m[7] = state;
-        m[8] = miss;
-        m[9] = n_words;
-        m[10] = runs_off;
-        runs_off += n_words * width;
+        if (twk_finish_site(codes, phase, n_samples, hist, rsyms, rlens,
+                            m, runs_out, runs_cap, &runs_off) < 0)
+            break;   // no runs space: re-feed this line later
         off += line_len + 1;
+        ++n_sites;
+        *consumed = off;
+    }
+    free(rsyms);
+    free(rlens);
+    return n_sites;
+}
+
+// Bulk BCF body import: the binary-record twin of twk_import_chunk.
+// Walks (l_shared, l_indiv)-framed records in a decompressed chunk,
+// scans each with the twk_bcf_scan walk, converts the diploid GT
+// vector, and runs the shared stats/width/RLE finish. Meta layout as
+// twk_import_chunk except m[1] = rid directly and m[2] = -1 (no chrom
+// string); for fallback statuses m[1] = the record's byte offset and
+// m[2] = its total length so the caller can re-feed those bytes
+// through the exact single-record path.
+extern "C" int64_t twk_bcf_import_chunk(
+        const uint8_t* buf, int64_t size, int32_t n_samples,
+        int64_t gt_key, int64_t max_sites, int64_t* meta,
+        uint8_t* runs_out, int64_t runs_cap, uint8_t* codes,
+        uint8_t* phase, int64_t* consumed) {
+    int64_t off = 0;
+    int64_t n_sites = 0;
+    int64_t runs_off = 0;
+    const int64_t max_site_runs = ((int64_t)2 * n_samples + 16) * 4;
+    *consumed = 0;
+    uint8_t* rsyms = (uint8_t*)malloc((size_t)n_samples + 1);
+    int32_t* rlens = (int32_t*)malloc(
+        sizeof(int32_t) * ((size_t)n_samples + 1));
+    int64_t scan[8];
+    while (off + 8 <= size && n_sites < max_sites) {
+        uint32_t l_shared, l_indiv;
+        memcpy(&l_shared, buf + off, 4);
+        memcpy(&l_indiv, buf + off + 4, 4);
+        const int64_t rec_len = 8 + (int64_t)l_shared + l_indiv;
+        if (off + rec_len > size) break;           // partial record
+        if (runs_off + max_site_runs > runs_cap) break;
+        const uint8_t* shared = buf + off + 8;
+        const uint8_t* indiv = shared + l_shared;
+        int64_t* m = meta + n_sites * TWK_META_N;
+        for (int k = 0; k < TWK_META_N; ++k) m[k] = 0;
+        m[0] = -1;
+        m[1] = off;
+        m[2] = -rec_len;   // negative length marks "raw record bytes"
+
+        const int32_t r = twk_bcf_scan(shared, l_shared, indiv, l_indiv,
+                                       gt_key, scan);
+        if (r < 0) {
+            m[3] = 5;                  // unsupported layout: fall back
+            off += rec_len;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+        m[0] = scan[1];
+        m[4] = scan[3];
+        m[5] = scan[4];
+        auto acgt = [](int64_t c) {
+            return c == 'A' || c == 'C' || c == 'G' || c == 'T';
+        };
+        int status = 0;
+        if (scan[7] != n_samples) status = 5;      // sample-count odd
+        else if (scan[2] != 2) status = 3;         // not biallelic
+        else if (!acgt(scan[3]) || !acgt(scan[4])) status = 4;
+        else if (scan[5] < 0) status = 5;          // no plain GT vector
+        if (status == 3 || status == 4) {
+            m[1] = scan[0];                        // rid for dup filter
+            m[2] = -1;
+        }
+        if (status) {
+            m[3] = status;
+            off += rec_len;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+        const int32_t vw = (int32_t)scan[6];
+        if (twk_bcf_gt(indiv + scan[5], vw, n_samples, codes,
+                       phase) != 0) {
+            // haploid-in-diploid: keep the raw-record form so the
+            // caller's exact fallback can classify it
+            m[3] = 2;
+            off += rec_len;
+            ++n_sites;
+            *consumed = off;
+            continue;
+        }
+        m[1] = scan[0];
+        m[2] = -2 - off;   // <= -2 encodes the record's byte offset
+        int64_t hist[16] = {0};
+        for (int32_t s = 0; s < n_samples; ++s) ++hist[codes[s] & 15u];
+        if (twk_finish_site(codes, phase, n_samples, hist, rsyms, rlens,
+                            m, runs_out, runs_cap, &runs_off) < 0)
+            break;
+        off += rec_len;
         ++n_sites;
         *consumed = off;
     }
