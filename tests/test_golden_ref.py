@@ -448,6 +448,158 @@ def test_scalc_parity(scalc_files, ref_bin, ranged):
                 err_msg=(k, f))
 
 
+def test_aggregate_parity(pipelines, ref_bin):
+    """Both implementations rasterize the same .two; our .twa reader
+    parses the reference's output and the matrices match to 1e-9."""
+    from tomahawk_tpu.post.aggregate import Twa, aggregate_two
+    p = pipelines["phased_clean"]
+    d = p["dir"]
+    ref_twa = str(d / "ref.twa")
+    run_ref(ref_bin, "aggregate", "-i", p["ref_two"], "-o", ref_twa,
+            "-f", "r2", "-r", "mean", "-x", "60", "-y", "60",
+            "-c", "5", "-t", "1")
+    ours_twa = str(d / "ours.twa")
+    aggregate_two(p["ours_two"], ours_twa, agg="r2", reduce="mean",
+                  xbins=60, ybins=60, min_count=5)
+    a, b = Twa.open(ours_twa), Twa.open(ref_twa)
+    assert (a.x, a.y) == (b.x, b.y)
+    np.testing.assert_allclose(a.data, b.data, atol=1e-9)
+
+
+def test_concat_parity(pipelines, ref_bin):
+    """concat of two .two files: both implementations produce the same
+    record stream, and each reads the other's concatenation."""
+    from tomahawk_tpu.post.concat import concat_two
+    p = pipelines["phased_clean"]
+    q = pipelines["phased_missing"]
+    d = p["dir"]
+    # reference concat needs identical sample sets; concat a file with
+    # itself instead
+    ref_cat = str(d / "ref_cat.two")
+    run_ref(ref_bin, "concat", "-i", p["ref_two"], "-i", p["ref_two"],
+            "-o", ref_cat)
+    ours_cat = str(d / "ours_cat.two")
+    concat_two([p["ref_two"], p["ref_two"]], ours_cat)
+    a, b = load_two(ours_cat), load_two(ref_cat)
+    assert len(a) == len(b) == 2 * len(load_two(p["ref_two"]))
+    for f in a.dtype.names:
+        assert np.array_equal(a[f], b[f]), f
+
+
+def test_haplotype_parity(scalc_files, ref_bin):
+    """FASTA haplotype extraction vs the reference. Two reference
+    quirks bound what can be compared:
+
+      * no per-record interval check — it emits every record of every
+        index block overlapping the interval (haplotype.h:144-168), so
+        the interval here covers the whole (single-block) archive;
+      * its RLE walk indexes `GetRefA(p)` with the WITHIN-RUN offset
+        instead of the run index (haplotype.h:164-165), so only sample
+        0 (always offset 0 of run 0) gets correct alleles — every
+        other sample's sequence replays the run-symbol prefix.
+
+    Contract: identical name set and sequence lengths, exact agreement
+    on sample 0's two haplotypes (the reference's correct subset), and
+    OUR sequences verified against the archive's decoded genotypes."""
+    import io as _io
+    from tomahawk_tpu.io.constants import BASE_MAP_INV
+    from tomahawk_tpu.post.haplotype import haplotype
+    sf = scalc_files
+    lo1 = sf["positions"][0] + 1
+    hi1 = sf["positions"][-1] + 1
+    interval = f"{sf['contig']}:{lo1}-{hi1}"
+    proc = run_ref(ref_bin, "haplotype", "-i", sf["twk"], "-I", interval)
+
+    def parse_fasta(txt):
+        seqs = {}
+        name = None
+        for ln in txt.splitlines():
+            if ln.startswith(">"):
+                name = ln[1:]
+                seqs[name] = ""
+            elif name:
+                seqs[name] += ln.strip()
+        return seqs
+
+    buf = _io.StringIO()
+    haplotype(sf["twk"], "-", interval, fmt="fasta", out_stream=buf)
+    ours, ref = parse_fasta(buf.getvalue()), parse_fasta(proc.stdout)
+    assert len(ref) > 0 and set(ours) == set(ref)
+    for name in ref:
+        assert len(ours[name]) == len(ref[name]), name
+    assert ours["S0_0"] == ref["S0_0"]
+    assert ours["S0_1"] == ref["S0_1"]
+
+    # oracle: our sequences equal the decoded genotype matrix
+    with TwkReader(sf["twk"]) as r:
+        recs = list(r.records())
+    for s in (0, 1, 7):
+        for hap in (0, 1):
+            want = []
+            for rec in recs:
+                code = rec.decode_codes()[s]
+                allele = (code >> 2) if hap == 0 else (code & 3)
+                if allele == 2:
+                    want.append("N")
+                else:
+                    idx = (rec.alleles >> 4) if allele == 0 \
+                        else (rec.alleles & 15)
+                    want.append(BASE_MAP_INV[idx])
+            assert ours[f"S{s}_{hap}"] == "".join(want), (s, hap)
+
+
+def test_decay_parity(pipelines, ref_bin):
+    """Positional decay (the variant the reference CLI runs,
+    decay.h:108). The reference implementation is broken in three
+    documented ways (two_reader.cpp:477-541, core.h:957-960):
+
+      * its "mean partner offset" column calls GetMean() with the
+        default min=0, which ALWAYS returns 0 — so the column is
+        constantly -pos;
+      * the first record of the file starts a group but its partner is
+        never accumulated;
+      * every later group's count is initialized to 1 before any
+        partner is added (an off-by-one).
+
+    We emit the documented statistic; this test pins the structural
+    agreement (same consecutive (rid, pos) groups) and asserts the
+    reference's quirks hold EXACTLY as described, so any change in
+    either implementation is caught."""
+    import io as _io
+    from tomahawk_tpu.post.decay import positional_decay
+    p = pipelines["phased_clean"]
+    # the reference decay demands an interval; give it the full contig
+    proc = run_ref(ref_bin, "decay", "-i", p["ref_two"],
+                   "-I", "20:1-99999999")
+
+    def parse(txt):
+        rows = []
+        for ln in txt.splitlines():
+            t = ln.split("\t")
+            if len(t) == 4 and not ln.startswith("#"):
+                try:
+                    rows.append((int(t[0]), int(t[1]), int(t[2]),
+                                 float(t[3])))
+                except ValueError:
+                    continue
+        return rows
+
+    buf = _io.StringIO()
+    positional_decay(p["ours_two"], out=buf)
+    ours, ref = parse(buf.getvalue()), parse(proc.stdout)
+    assert len(ref) > 0
+    assert len(ours) == len(ref), (len(ours), len(ref))
+    for i, (x, y) in enumerate(zip(ours, ref)):
+        assert x[:2] == y[:2], (x, y)              # same (rid, pos) runs
+        if i == 0:
+            # first record dropped by the reference
+            assert y[2] == x[2] - 1, (x, y)
+        else:
+            # count pre-initialized to 1 by the reference
+            assert y[2] == x[2] + 1, (x, y)
+        assert y[3] == -float(y[1]), (x, y)        # GetMean() quirk
+
+
 def test_view_text_field_parity(pipelines, ref_bin):
     """Parse both implementations' `view` text output and compare every
     column numerically."""

@@ -137,12 +137,17 @@ def test_haplotype(pipeline, tmp_path):
     assert n_var == 11
     lines = buf.getvalue().splitlines()
     assert len(lines) == 2 * 2 * n_samples
-    assert lines[0].startswith(">S0_1")
+    assert lines[0].startswith(">S0_0")
     assert len(lines[1]) == n_var
-    # verify first variant's alleles across haplotypes
-    codes = recs[0].decode_codes()
+    # verify first variant's alleles across haplotypes: FASTA emits the
+    # variant's ref/alt base (reference fasta_lookup semantics)
+    from tomahawk_tpu.io.constants import BASE_MAP_INV
+    rec0 = recs[0]
+    base = {0: BASE_MAP_INV[rec0.alleles >> 4],
+            1: BASE_MAP_INV[rec0.alleles & 15], 2: "N"}
+    codes = rec0.decode_codes()
     ca = codes >> 2
-    assert lines[1][0] == str(ca[0])
+    assert lines[1][0] == base[int(ca[0])]
 
 
 def test_relationship(pipeline):
@@ -216,22 +221,21 @@ def test_haplotype_matches_vcf_strings(tmp_path):
 
     buf = io.StringIO()
     n_var = haplotype(twk, "-", f"{contig}:{lo}-{hi}", fmt="tsv",
-                      out_stream=buf)
+                      numeric=True, out_stream=buf)
     assert n_var == len(sub)
     lines = [ln.split("\t") for ln in buf.getvalue().splitlines()]
     header, rows = lines[0], lines[1:]
     assert [int(p) for p in header[1:]] == [x.pos + 1 for x in sub]
 
-    # rebuild expected codes per variant from the archive
+    # rebuild expected codes per variant from the archive (numeric
+    # mode: '0'/'1'/'2' with 2 = missing, reference -n semantics)
     by_row = {row[0]: row[1:] for row in rows}
     for v, rec in enumerate(sub):
         codes = rec.decode_codes()
         ca, cb = codes >> 2, codes & 3
         for s in range(12):
-            wa = "." if ca[s] == 2 else str(ca[s])
-            wb = "." if cb[s] == 2 else str(cb[s])
-            assert by_row[f"S{s}_1"][v] == wa, (v, s)
-            assert by_row[f"S{s}_2"][v] == wb, (v, s)
+            assert by_row[f">S{s}_0"][v] == str(ca[s]), (v, s)
+            assert by_row[f">S{s}_1"][v] == str(cb[s]), (v, s)
 
 
 def test_decay_matches_direct_computation(pipeline):

@@ -314,13 +314,16 @@ def _add_haplotype(sub):
     p.add_argument("--format", default="fasta", choices=["fasta", "tsv"])
     p.add_argument("-m", "--matrix", action="store_true",
                    help="tab-separated matrix output (same as --format tsv)")
+    p.add_argument("-n", "--numeric", action="store_true",
+                   help="emit 0/1/2 instead of ref/alt/N bases")
 
 
 def _cmd_haplotype(args):
     from .post.haplotype import haplotype
     if args.matrix:
         args.format = "tsv"
-    haplotype(args.input, args.output, args.interval, fmt=args.format)
+    haplotype(args.input, args.output, args.interval, fmt=args.format,
+              numeric=args.numeric)
     return 0
 
 

@@ -69,7 +69,12 @@ class Twa:
             w.u32(self.n).u32(self.x).u32(self.y)
             w.u32(self.bpx).u32(self.bpy).u32(self.n_original)
             w.u64(self.range)
-            w.string(self.filename)
+            # the reference .twa writer uses the OSTREAM SerializeString
+            # (length is size_t = u64, utility.cpp:210-214), unlike the
+            # u32-length buffer variant used inside archives
+            fb = self.filename.encode()
+            w.u64(len(fb))
+            w.raw(fb)
             w.u32(len(self.rid_offsets))
             for mn, mx, rng in self.rid_offsets:
                 w.u32(mn).u32(mx).u64(rng)
@@ -94,7 +99,7 @@ class Twa:
             n = r.u32()
             obj = cls(x=r.u32(), y=r.u32(), bpx=r.u32(), bpy=r.u32(),
                       n_original=r.u32(), range=r.u64(),
-                      filename=r.string())
+                      filename=r.raw(r.u64()).decode())
             n_rid = r.u32()
             obj.rid_offsets = [(r.u32(), r.u32(), r.u64())
                                for _ in range(n_rid)]
@@ -145,6 +150,7 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
     def _pass1(lo, hi):
         mn = np.full(n_contigs, np.iinfo(np.uint32).max, np.int64)
         mx = np.zeros(n_contigs, np.int64)
+        seen = np.zeros(n_contigs, bool)
         n_orig = 0
         rd = TwoReader(input_path)
         for i in range(lo, hi):
@@ -161,8 +167,9 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
                     sel = pos[rid == c]
                     mn[c] = min(mn[c], int(sel.min()))
                     mx[c] = max(mx[c], int(sel.max()))
+                    seen[c] = True
         rd.close()
-        return mn, mx, n_orig
+        return mn, mx, n_orig, seen
 
     bounds = np.linspace(0, n_blocks, n_workers + 1).astype(int)
     spans = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])
@@ -174,33 +181,55 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
         parts = [_pass1(0, n_blocks)]
     mn = np.min([p[0] for p in parts], axis=0)
     mx = np.max([p[1] for p in parts], axis=0)
-    n_original = sum(p[2] for p in parts)
-    used = mx > 0
+    # the reference stamps the TOTAL index record count (aggregate.h
+    # n_recs), not the filtered count
+    n_original = sum(e.n for e in reader.index.ent)
+    used = np.any([p[3] for p in parts], axis=0)
 
     # ---- flattened genome coordinates ---------------------------------
-    # single used contig: tight [min, max]; else whole contigs from 0
-    # (reference: two_reader.cpp:734-789)
-    offsets = np.zeros(n_contigs + 1, np.int64)
-    starts = np.zeros(n_contigs, np.int64)
-    if used.sum() == 1:
-        c = int(np.flatnonzero(used)[0])
-        starts[c] = mn[c]
-        offsets[c + 1:] = mx[c] - mn[c] + 1
-    else:
-        acc = 0
-        for c in range(n_contigs):
-            length = int(mx[c]) + 1 if used[c] else 0
-            offsets[c + 1] = acc + length
-            acc += length
-    total_range = int(offsets[-1])
+    # Replicates the reference CLI exactly (aggregate.h:296-370 — note
+    # the CLI carries its own copy of this logic; the library method
+    # two_reader.cpp:725 double-counts contig 0 and is unused): one
+    # used contig -> tight [min, max] landscape; several -> whole
+    # contigs at their declared header lengths. flat coordinates then
+    # follow BuildMatrix (aggregation.h:168):
+    # cum_range - (max - min) + (pos - min).
+    contig_len = np.zeros(n_contigs, np.int64)
+    for c in reader.header.contigs:
+        if 0 <= c.idx < n_contigs:
+            contig_len[c.idx] = c.n_bases
+    n_chrom_set = int(used.sum())
+    mnr = np.zeros(n_contigs, np.int64)
+    mxr = np.zeros(n_contigs, np.int64)
+    cum = np.zeros(n_contigs, np.int64)
+    total_range = 0
+    acc = 0
+    for c in range(n_contigs):
+        if n_chrom_set == 1:
+            span = int(mx[c] - mn[c] + 1) if used[c] else 0
+            mnr[c] = int(mn[c]) if used[c] else np.iinfo(np.uint32).max
+            mxr[c] = int(mx[c]) if used[c] else 0
+        else:
+            span = int(contig_len[c]) if used[c] else 0
+            mnr[c] = 0
+            mxr[c] = int(contig_len[c])
+        acc += span
+        total_range += span
+        cum[c] = acc
     if total_range == 0:
         raise ValueError("no records to aggregate")
 
     rid_offsets = []
     for c in range(n_contigs):
-        rid_offsets.append((int(mn[c]) if used[c] else 0,
-                            int(mx[c]) if used[c] else 0,
-                            int(offsets[c + 1])))
+        # writer-side clamping mirrors core.cpp:663-665
+        w_min = 0 if mnr[c] == np.iinfo(np.uint32).max else int(mnr[c])
+        w_max = 0 if mxr[c] < w_min else int(mxr[c])
+        rid_offsets.append((w_min, w_max, int(cum[c])))
+
+    # bp-per-bin, float32 ceil exactly as the reference
+    # (two_reader.cpp:801-802)
+    xrange = int(np.ceil(np.float32(total_range) / np.float32(xbins)))
+    yrange = int(np.ceil(np.float32(total_range) / np.float32(ybins)))
 
     # ---- pass 2: scatter-add into bins (threaded BuildMatrix slaves
     # with per-thread partial matrices + reduce, the reference's
@@ -240,10 +269,12 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
             rid_b = recs["ridB"].astype(np.int64)
             pos_a = (recs["packA"] >> 2).astype(np.int64)
             pos_b = (recs["packB"] >> 2).astype(np.int64)
-            fa = offsets[rid_a] + (pos_a - starts[rid_a])
-            fb = offsets[rid_b] + (pos_b - starts[rid_b])
-            xb = np.clip(fa * xbins // total_range, 0, xbins - 1)
-            yb = np.clip(fb * ybins // total_range, 0, ybins - 1)
+            fa = cum[rid_a] - (mxr[rid_a] - mnr[rid_a]) \
+                + (pos_a - mnr[rid_a])
+            fb = cum[rid_b] - (mxr[rid_b] - mnr[rid_b]) \
+                + (pos_b - mnr[rid_b])
+            xb = np.clip(fa // xrange, 0, xbins - 1)
+            yb = np.clip(fb // yrange, 0, ybins - 1)
             v = value_of(recs).astype(np.float64)
             flats.append(xb * ybins + yb)
             vals.append(v)
@@ -289,8 +320,7 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
         data = np.where(ok & (cnt >= 2), np.sqrt(var), 0.0)
 
     twa = Twa(x=xbins, y=ybins,
-              bpx=max(total_range // xbins, 1),
-              bpy=max(total_range // ybins, 1),
+              bpx=xrange, bpy=yrange,
               n_original=n_original, range=total_range,
               filename=input_path, rid_offsets=rid_offsets, data=data)
     if output_path:
