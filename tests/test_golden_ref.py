@@ -600,6 +600,99 @@ def test_decay_parity(pipelines, ref_bin):
         assert y[3] == -float(y[1]), (x, y)        # GetMean() quirk
 
 
+def test_stats_parity(pipelines, ref_bin):
+    """stats: r2 histogram, flag tallies, haplotype-count histograms
+    and the contig matrix match the reference numerically."""
+    import io as _io
+    from tomahawk_tpu.post.stats import stats_two
+    p = pipelines["phased_clean"]
+    ref_txt = run_ref(ref_bin, "stats", "-i", p["ref_two"]).stdout
+    buf = _io.StringIO()
+    stats_two(p["ours_two"], out=buf)
+
+    def numbers(txt):
+        out = []
+        for ln in txt.splitlines():
+            t = ln.split("\t")
+            row = []
+            for x in t:
+                try:
+                    row.append(float(x))
+                except ValueError:
+                    row.append(None)
+            out.append(row)
+        return out
+
+    ra, rb = numbers(buf.getvalue()), numbers(ref_txt)
+    # compare the numeric multiline payloads loosely: all numeric cells
+    # of the reference must appear in ours in the same order
+    flat_a = [x for row in ra for x in row if x is not None]
+    flat_b = [x for row in rb for x in row if x is not None]
+    assert len(flat_a) == len(flat_b), (len(flat_a), len(flat_b))
+    np.testing.assert_allclose(flat_a, flat_b, atol=1e-4)
+
+
+def test_relationship_reference_semantics(scalc_files, ref_bin):
+    """The reference's kinship loop has accidental semantics we do NOT
+    replicate (relationship.h:180-203): within-run pairs always score
+    +2 (even heterozygote or missing runs), and the cross-run inner
+    loop starts at z = 1, silently skipping the FIRST sample of every
+    later run for every pair. This test pins those semantics with a
+    bug-faithful simulation over the stored RLE runs — the reference's
+    matrix must equal the simulation exactly — documenting precisely
+    how our (documented-scoring, single-GEMM) output differs."""
+    import jax
+    sf = scalc_files
+    proc = run_ref(ref_bin, "relationship", "-i", sf["twk"],
+                   "-I", f"{sf['contig']}:1-99999999")
+    ref = np.array([[float(x) for x in ln.split("\t") if x.strip()]
+                    for ln in proc.stdout.strip().splitlines()])
+
+    with TwkReader(sf["twk"]) as r:
+        recs = list(r.records())
+        n = r.header.n_samples
+    kin = np.zeros((n, n))
+    V = 0
+    for rec in recs:
+        V += 1
+        shift = 2 + 2 * int(rec.gt_missing)
+        words = rec.gt_runs.astype(np.int64)
+        lens = (words >> shift).astype(int)
+        syms = (words & ((1 << shift) - 1)).astype(int)
+        if not rec.gt_missing:   # widen 2-bit (a<<1|b) to (a<<2|b)
+            syms = ((syms >> 1) << 2) | (syms & 1)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        m = len(lens)
+        for k in range(m):
+            s0, L0 = starts[k], lens[k]
+            # within-run pairs: always +2
+            for c in range(L0):
+                kin[s0 + c, s0 + c + 1:s0 + L0] += 2
+            for l in range(k + 1, m):
+                s1, L1 = starts[l], lens[l]
+                a, b = syms[k], syms[l]
+                if (a == 0 and b == 5) or (a == 5 and b == 0):
+                    continue
+                score = 2 if (a == b and a in (0, 5)) else 1
+                if L1 > 1:   # z starts at 1: first sample skipped
+                    kin[s0:s0 + L0, s1 + 1:s1 + L1] += score
+    np.fill_diagonal(kin, 2 * V)
+    kin = np.maximum(kin, kin.T)
+    kin /= 2.0 * V
+    np.testing.assert_allclose(ref, kin, atol=1e-6)
+
+    # and our documented scoring differs exactly by the intended rule
+    import io as _io
+    from tomahawk_tpu.post.relationship import relationship
+    buf = _io.StringIO()
+    with jax.default_device(jax.devices("cpu")[0]):
+        ours = relationship(sf["twk"], out_stream=buf)
+    assert ours.shape == ref.shape
+    assert np.allclose(np.diag(ours), 1.0)
+    assert np.all(ours + 1e-9 >= ref - 1e-6), \
+        "reference (with its skipped samples) should never exceed ours"
+
+
 def test_view_text_field_parity(pipelines, ref_bin):
     """Parse both implementations' `view` text output and compare every
     column numerically."""

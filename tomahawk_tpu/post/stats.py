@@ -18,7 +18,11 @@ def stats_two(path: str, bins: int = 10, out=None):
     r2_sum = np.zeros(101)
     r2_cnt = np.zeros(101, np.int64)
     flag_cnt = np.zeros(16, np.int64)
-    hap_hist = np.zeros((4, two_n + 1), np.int64)
+    # sized 2N like the reference's h1..h4 (stats.h:106-109) — rows are
+    # counts 0 .. 2N-1; a cell count of exactly 2N cannot pass the
+    # minor-count filters, so the reference never indexes (or
+    # overflows) that last slot
+    hap_hist = np.zeros((4, two_n), np.int64)
     n_contigs = max(r.header.n_contigs, 1)
     cmatrix = np.zeros((n_contigs, n_contigs), np.int64)
 
@@ -30,7 +34,7 @@ def stats_two(path: str, bins: int = 10, out=None):
             flag_cnt[j] += int(((recs["controller"] &
                                  (1 << j)) != 0).sum())
         for c in range(4):
-            v = np.clip(recs["cnt"][:, c].astype(np.int64), 0, two_n)
+            v = np.clip(recs["cnt"][:, c].astype(np.int64), 0, two_n - 1)
             np.add.at(hap_hist[c], v, 1)
         np.add.at(cmatrix,
                   (np.clip(recs["ridA"], 0, n_contigs - 1).astype(int),
@@ -41,7 +45,7 @@ def stats_two(path: str, bins: int = 10, out=None):
         out.write(f"{i}\t{r2_sum[i]:.6g}\t{r2_cnt[i]}\n")
     for j in range(16):
         out.write(f"{j}\t{flag_cnt[j]}\n")
-    for v in range(two_n + 1):
+    for v in range(two_n):
         out.write(f"{v}\t{hap_hist[0][v]}\t{hap_hist[1][v]}\t"
                   f"{hap_hist[2][v]}\t{hap_hist[3][v]}\n")
     names = [c.name for c in r.header.contigs] or ["0"]
