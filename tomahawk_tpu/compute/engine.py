@@ -694,8 +694,8 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         # (SURVEY §7 "shard the flattened tile list round-robin")
         pairs = pairs[proc_id::n_procs]
         # only this process's supers need loading
-        touched = sorted({i for i, j, _ in pairs} | {j for _, j, _ in pairs})
-        super_ids = [s for s in super_ids if s in set(touched)]
+        touched = {i for i, j, _ in pairs} | {j for _, j, _ in pairs}
+        super_ids = [s for s in super_ids if s in touched]
         log("LOG", f"Process {proc_id}: {len(pairs)} tiles over "
             f"{len(super_ids)} super-blocks", sub="DIST")
 

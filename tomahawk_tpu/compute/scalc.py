@@ -78,10 +78,16 @@ def compute_single(settings: ScalcSettings) -> CalcResult:
 
     rid = targets[0].rid
     nb = settings.neighbour_block
-    B = max(nb, len(targets), 1)
-    blocks = [Twk1Block(rid=rid)]
-    for rec in targets:
-        blocks[0].add(rec)
+    B = max(nb, 1)
+    # targets split into nb-sized blocks too (a single huge target
+    # block would pad every neighbour block up to its row count)
+    blocks = []
+    for s in range(0, len(targets), nb):
+        b = Twk1Block(rid=rid)
+        for rec in targets[s:s + nb]:
+            b.add(rec)
+        blocks.append(b)
+    n_target_blocks = len(blocks)
     for s in range(0, len(neighbours), nb):
         b = Twk1Block(rid=rid)
         for rec in neighbours[s:s + nb]:
@@ -126,9 +132,12 @@ def compute_single(settings: ScalcSettings) -> CalcResult:
         writer.add(_reverse_records(fwd))
         result.n_records += 2 * len(fwd)
 
-    # target x target (diagonal) plus target x each neighbour block
-    # (reference BuildSingleSite covers (0, 0..n), ld_balancing.h:91-101)
-    pairs = [(0, 0, True)] + [(0, j, False) for j in range(1, len(blocks))]
+    # target x target (upper triangle over target blocks) plus
+    # target x each neighbour block (reference BuildSingleSite covers
+    # (0, 0..n), ld_balancing.h:91-101)
+    pairs = [(i, j, i == j)
+             for i in range(n_target_blocks)
+             for j in range(i, len(blocks))]
     result.n_pairs = dispatch_pairs(engine, pairs, "mixed", filt, emit,
                                     stacked)
     writer.close()

@@ -451,14 +451,9 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
         rec = cur[off + 8:off + 8 + l_shared + l_indiv]
         return vcf.parse_record(rec[:l_shared], rec[l_shared:])
 
-    cur = b""
-    while True:
-        data = fh.read(1 << 22)
-        chunk = cur + data
-        if not chunk:
-            break
-        res = ci.parse_bcf(chunk, gt_key)
-        n, meta, runs_buf, consumed = res
+    def handle(chunk):
+        nonlocal cur
+        n, meta, runs_buf, consumed = ci.parse_bcf(chunk, gt_key)
         cur = chunk  # flip_fallback reads record bytes from `cur`
         for i in range(n):
             m = meta[i]
@@ -470,14 +465,32 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
                 continue
             fast_site(m, chunk, runs_buf, rid=int(m[1]),
                       flip_fallback=flip_fallback)
-        if not data:
-            if consumed == 0 and len(chunk) > 0:
-                raise ValueError(
-                    f"{settings.input}: truncated trailing BCF record")
-            if consumed == 0:
+        return consumed
+
+    cur = b""
+    carry = b""
+    while True:
+        data = fh.read(1 << 22)
+        chunk = carry + data
+        if not chunk:
+            break
+        consumed = handle(chunk)
+        # drain the backlog before reading more (small records can pack
+        # far more than max_sites into one read; without this the carry
+        # grows toward the whole file with quadratic copying)
+        while consumed < len(chunk) and consumed > 0:
+            chunk = chunk[consumed:]
+            consumed = handle(chunk)
+        if consumed == 0:
+            if not data:
+                if chunk:
+                    raise ValueError(f"{settings.input}: truncated "
+                                     "trailing BCF record")
                 break
-        cur = chunk[consumed:]
-        if not data and not cur:
+            carry = chunk          # partial record: need more bytes
+            continue
+        carry = b""
+        if not data:
             break
 
 

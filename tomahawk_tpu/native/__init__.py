@@ -377,10 +377,11 @@ def format_ld(recs: np.ndarray, contig_names, json: bool = False):
     max_name = max((len(b) for b in blobs), default=0)
     out = bytearray()
     start = 0
+    per_row = 440 + 2 * max_name
     vp = ctypes.c_void_p
     while start < n:
         chunk = min(n - start, 65536)
-        cap = chunk * (440 + 2 * max_name)
+        cap = chunk * per_row
         buf = ctypes.create_string_buffer(cap)
         sl = slice(start, start + chunk)
         nb = lib.twk_format_ld(
@@ -394,7 +395,11 @@ def format_ld(recs: np.ndarray, contig_names, json: bool = False):
             vp(ctypes.addressof(rows_done)))
         done = rows_done.value
         if done <= 0:
-            return None  # should not happen with the cap above
+            # a pathological row (e.g. out-of-range rid rendered as an
+            # integer) outgrew the estimate: widen and retry rather
+            # than dropping output
+            per_row *= 2
+            continue
         out += buf.raw[:nb]
         start += done
     return bytes(out)

@@ -151,13 +151,11 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
         mn = np.full(n_contigs, np.iinfo(np.uint32).max, np.int64)
         mx = np.zeros(n_contigs, np.int64)
         seen = np.zeros(n_contigs, bool)
-        n_orig = 0
         rd = TwoReader(input_path)
         for i in range(lo, hi):
             recs = _filtered(rd.read_block(i))
             if not len(recs):
                 continue
-            n_orig += len(recs)
             for rid_f, pos_f in (("ridA", "packA"), ("ridB", "packB")):
                 rid = recs[rid_f].astype(np.int64)
                 pos = (recs[pos_f] >> 2).astype(np.int64)
@@ -169,7 +167,7 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
                     mx[c] = max(mx[c], int(sel.max()))
                     seen[c] = True
         rd.close()
-        return mn, mx, n_orig, seen
+        return mn, mx, seen
 
     bounds = np.linspace(0, n_blocks, n_workers + 1).astype(int)
     spans = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])
@@ -184,7 +182,7 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
     # the reference stamps the TOTAL index record count (aggregate.h
     # n_recs), not the filtered count
     n_original = sum(e.n for e in reader.index.ent)
-    used = np.any([p[3] for p in parts], axis=0)
+    used = np.any([p[2] for p in parts], axis=0)
 
     # ---- flattened genome coordinates ---------------------------------
     # Replicates the reference CLI exactly (aggregate.h:296-370 — note

@@ -121,8 +121,11 @@ def view(path: str, output: Optional[str] = None,
 
     if use_native:
         # the native formatter releases the GIL: filter+format blocks in
-        # a thread pool, write in order
+        # a thread pool with a BOUNDED in-flight window (Executor.map
+        # would submit every block eagerly and hold the whole
+        # decompressed archive in memory), write in order
         import os as _os
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         def fmt(recs):
@@ -131,8 +134,17 @@ def view(path: str, output: Optional[str] = None,
                                               json=json_out)
         n_workers = min(8, _os.cpu_count() or 1)
         if n_workers > 1:
+            inflight = deque()
             with ThreadPoolExecutor(n_workers) as pool:
-                for n_sel, blob in pool.map(fmt, reader.blocks()):
+                for recs in reader.blocks():
+                    inflight.append(pool.submit(fmt, recs))
+                    if len(inflight) >= 2 * n_workers:
+                        n_sel, blob = inflight.popleft().result()
+                        n_out += n_sel
+                        if blob:
+                            emit(blob)
+                while inflight:
+                    n_sel, blob = inflight.popleft().result()
                     n_out += n_sel
                     if blob:
                         emit(blob)
