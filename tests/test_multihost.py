@@ -9,6 +9,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -87,20 +89,17 @@ def test_two_process_distributed_calc(tmp_path):
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
 
 
-def test_two_process_sharded_count_sweep():
+@pytest.mark.parametrize("mesh", ["4x1", "2x2"])
+def test_two_process_sharded_count_sweep(mesh):
+    """mesh 4x1: 'pairs' spans both processes. mesh 2x2: the 'samples'
+    word axis spans both processes, so the count psum crosses the
+    process boundary (the very-large-N sharding story over DCN)."""
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     port = str(_free_port())
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    # keep the workers off the axon TPU tunnel: concurrent interpreter
-    # startups contend for the single tunneled device and can hang at
-    # plugin registration; the test is CPU-only by design
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), port],
+        [sys.executable, worker, str(pid), port, mesh],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env) for pid in (0, 1)]
+        env=_worker_env()) for pid in (0, 1)]
     outs = []
     try:
         for p in procs:
