@@ -248,6 +248,7 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
 
 
 _RUNS_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+_CHUNK_BYTES = 1 << 22   # bulk-import read size (patched in tests)
 
 
 def _make_fast_site(vcf, settings: ImportSettings, stats: ImportStats,
@@ -366,7 +367,7 @@ def _import_body_chunked(vcf, settings: ImportSettings,
     def next_chunk():
         nonlocal tail, eof
         while not eof:
-            data = fh.read(1 << 22)
+            data = fh.read(_CHUNK_BYTES)
             if not data:
                 eof = True
                 break
@@ -470,7 +471,7 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
     cur = b""
     carry = b""
     while True:
-        data = fh.read(1 << 22)
+        data = fh.read(_CHUNK_BYTES)
         chunk = carry + data
         if not chunk:
             break

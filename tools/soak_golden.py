@@ -55,7 +55,66 @@ def canonical(recs):
     return recs[order]
 
 
-def compare(ours, ref, cfg, two_n):
+def _discriminant_knife_edge(T):
+    """True when the unphased cubic's discriminant sits at the 3-case
+    boundary within f64 noise — the root SET then depends on rounding
+    in both implementations, and a keep/drop disagreement is expected
+    (see tools/soak.py knife-edge notes)."""
+    import math
+    T = np.asarray(T, np.float64)
+    n = T.sum()
+    if n < 5 or T[1, 1] == 0:
+        return False
+    p = (2 * T[0].sum() + T[1].sum()) / (2 * n)
+    q = (2 * T[:, 0].sum() + T[:, 1].sum()) / (2 * n)
+    n11 = 2 * T[0, 0] + T[0, 1] + T[1, 0]
+    a = 4 * n
+    b = 2 * n * (1 - 2 * p - 2 * q) - 2 * n11 - T[1, 1]
+    c = -n11 * (1 - 2 * p - 2 * q) - T[1, 1] * (1 - p - q) + 2 * n * p * q
+    dee = -n11 * p * q
+    xN = -b / (3 * a)
+    d2 = (b * b - 3 * a * c) / (9 * a * a)
+    yN = a * xN ** 3 + b * xN ** 2 + c * xN + dee
+    yN2, h2 = yN * yN, 4 * a * a * d2 ** 3
+    scale = max(abs(yN2), abs(h2), 1e-300)
+    return abs(yN2 - h2) / scale < 1e-9
+
+
+def _drop_knife_edge_pairs(ours, ref, codes, cfg):
+    """Remove records for pairs present in only one output, asserting
+    each such pair is a discriminant knife edge."""
+    from oracles import counts_from_codes
+
+    def keyset(arr):
+        return {(int(r["ridA"]), int(r["packA"]) >> 2,
+                 int(r["ridB"]), int(r["packB"]) >> 2) for r in arr}
+
+    ka, kb = keyset(ours), keyset(ref)
+    diff = ka ^ kb
+    if not diff:
+        return ours, ref
+    for k in diff:
+        fk = min((k[0], k[1], k[2], k[3]),
+                 (k[2], k[3], k[0], k[1]))
+        _, T = counts_from_codes(codes[(fk[0], fk[1])],
+                                 codes[(fk[2], fk[3])])
+        assert _discriminant_knife_edge(T), \
+            (cfg, "keep/drop disagreement on a non-knife-edge pair",
+             k, T.ravel())
+
+    def mask(arr, keep):
+        m = np.array([(int(r["ridA"]), int(r["packA"]) >> 2,
+                       int(r["ridB"]), int(r["packB"]) >> 2) in keep
+                      for r in arr])
+        return arr[m]
+
+    common = ka & kb
+    return mask(ours, common), mask(ref, common)
+
+
+def compare(ours, ref, cfg, two_n, codes=None):
+    if len(ours) != len(ref) and codes is not None:
+        ours, ref = _drop_knife_edge_pairs(ours, ref, codes, cfg)
     assert len(ours) == len(ref), \
         (cfg, "record count", len(ours), len(ref))
     a, b = canonical(ours), canonical(ref)
@@ -171,6 +230,7 @@ def main():
             # .twk parity first
             with TwkReader(twk) as A, TwkReader(ref_twk) as B:
                 ra, rb = list(A.records()), list(B.records())
+            codes = {(x.rid, x.pos): x.decode_codes() for x in ra}
             assert len(ra) == len(rb), (cfg, "twk count")
             for x, y in zip(ra, rb):
                 assert (x.pos, x.rid, x.ac, x.an, x.alleles,
@@ -192,7 +252,8 @@ def main():
                     forced_unphased=mode == "unphased",
                     window=window is not None,
                     l_window=window or 1_000_000, mesh="off"))
-            compare(load(two), load(ref_two), cfg, 2 * n_samples)
+            compare(load(two), load(ref_two), cfg, 2 * n_samples,
+                    codes=codes)
             print(f"trial {trial}: OK {cfg}", flush=True)
         except AssertionError as e:
             n_fail += 1
