@@ -134,3 +134,56 @@ def test_error_carries_path_and_offset(files):
     assert ei.value.path == tmp
     assert ei.value.offset == foff
     assert "marker" in str(ei.value)
+
+
+def test_bcf_input_corruption_is_clean(files, tmp_path):
+    """Corrupt/truncated BCF inputs fail with clean errors through the
+    whole import pipeline (typed errors, ValueError, or gzip's own
+    BadGzipFile — never struct.error/IndexError/segfault)."""
+    import gzip as _gz
+    import numpy as np
+    from tomahawk_tpu.io.bcf import write_bcf
+
+    n = 8
+    rng = np.random.default_rng(3)
+    sites = []
+    pos = 50
+    for _ in range(12):
+        pos += int(rng.integers(5, 50))
+        alt = rng.integers(0, 2, (n, 2))
+        gt = (alt + 1) << 1 | 1
+        sites.append((0, pos, "A", "C", gt))
+    hdr = ("##fileformat=VCFv4.2\n##contig=<ID=1,length=100000>\n"
+           '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+           + "\t".join(f"s{i}" for i in range(n)))
+    bcf = str(tmp_path / "c.bcf")
+    write_bcf(bcf, hdr, sites, n, gt_key=1)
+
+    # sanity: clean import works
+    import_vcf(ImportSettings(input=bcf,
+                              output=str(tmp_path / "ok.twk")))
+
+    raw = _gz.open(bcf, "rb").read()    # decompressed BCF payload
+    ok_errors = CLEAN + (OSError,)      # gzip.BadGzipFile is OSError
+    tmp = str(tmp_path / "fuzz.bcf")
+    n_clean = 0
+    for pos_b in corrupt_positions(len(raw)):
+        mutated = bytearray(raw)
+        mutated[pos_b] ^= 0xFF
+        with _gz.open(tmp, "wb") as fh:
+            fh.write(bytes(mutated))
+        try:
+            import_vcf(ImportSettings(
+                input=tmp, output=str(tmp_path / "fuzz.twk")))
+        except ok_errors:
+            n_clean += 1
+    for cut in range(0, len(raw), max(1, len(raw) // 32)):
+        with _gz.open(tmp, "wb") as fh:
+            fh.write(bytes(raw[:cut]))
+        try:
+            import_vcf(ImportSettings(
+                input=tmp, output=str(tmp_path / "fuzz.twk")))
+        except ok_errors:
+            n_clean += 1
+    assert n_clean > 0

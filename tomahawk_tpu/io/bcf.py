@@ -63,36 +63,59 @@ _MISSING = {1: -128, 2: -32768, 4: -2147483648}
 _EOV = {1: -127, 2: -32767, 4: -2147483647}
 
 
-def _read_typed_desc(buf: memoryview, off: int):
+def _type_size(t: int) -> int:
+    size = _TYPE_SIZE.get(t)
+    if size is None:
+        raise ValueError(f"invalid BCF typed-value code {t}")
+    return size
+
+
+def _read_typed_desc(buf: memoryview, off: int, _nested=False):
     """Decode one type descriptor. Returns (type, n_elems, new_off)."""
+    if off >= len(buf):
+        raise ValueError("truncated BCF typed value")
     b = buf[off]
     off += 1
     t = b & 0x0F
     n = b >> 4
     if n == 15:
-        t2, n2, off = _read_typed_desc(buf, off)
-        size = _TYPE_SIZE[t2]
+        if _nested:
+            raise ValueError("malformed BCF typed-value count")
+        t2, n2, off = _read_typed_desc(buf, off, _nested=True)
+        if t2 not in (1, 2, 3) or n2 < 1:
+            raise ValueError("malformed BCF typed-value count")
+        size = _type_size(t2)
         raw = bytes(buf[off:off + size * n2])
+        if len(raw) != size * n2:
+            raise ValueError("truncated BCF typed value")
         off += size * n2
         n = int(np.frombuffer(raw, _TYPE_DTYPE[t2])[0])
+        if n < 0:
+            raise ValueError("malformed BCF typed-value count")
     return t, n, off
 
 
 def _skip_typed(buf: memoryview, off: int) -> int:
     t, n, off = _read_typed_desc(buf, off)
-    return off + _TYPE_SIZE[t] * n
+    return off + _type_size(t) * n
 
 
 def _read_typed_int(buf: memoryview, off: int):
     t, n, off = _read_typed_desc(buf, off)
-    size = _TYPE_SIZE[t]
-    vals = np.frombuffer(bytes(buf[off:off + size * n]), _TYPE_DTYPE[t])
+    if t not in (1, 2, 3):
+        raise ValueError(f"expected BCF int vector, got type {t}")
+    size = _type_size(t)
+    raw = bytes(buf[off:off + size * n])
+    if len(raw) != size * n:
+        raise ValueError("truncated BCF typed value")
+    vals = np.frombuffer(raw, _TYPE_DTYPE[t])
     return int(vals[0]) if n else 0, off + size * n
 
 
 def _read_typed_string(buf: memoryview, off: int):
     t, n, off = _read_typed_desc(buf, off)
-    assert t == 7, f"expected char vector, got type {t}"
+    if t != 7:
+        raise ValueError(f"expected BCF char vector, got type {t}")
     s = bytes(buf[off:off + n]).decode("latin-1")
     return s, off + n
 
@@ -204,6 +227,10 @@ class BcfReader:
         indiv = memoryview(indiv_b)
 
         (rid, pos, _rlen) = struct.unpack("<iii", shared[:12])
+        if pos < 0 or rid < 0:
+            raise ValueError(
+                f"{self.path}: malformed BCF record (rid={rid}, "
+                f"pos={pos})")
         # qual f32 at 12:16
         n_info = struct.unpack("<H", shared[16:18])[0]
         n_allele = struct.unpack("<H", shared[18:20])[0]
@@ -237,7 +264,7 @@ class BcfReader:
         for _ in range(n_fmt):
             key, off = _read_typed_int(indiv, off)
             t, per_sample, off = _read_typed_desc(indiv, off)
-            size = _TYPE_SIZE[t] * per_sample * n_sample
+            size = _type_size(t) * per_sample * n_sample
             if key != self._gt_key:
                 off += size
                 continue
@@ -252,7 +279,7 @@ class BcfReader:
         for _ in range(n_fmt):
             key, off = _read_typed_int(indiv, off)
             t, per_sample, off = _read_typed_desc(indiv, off)
-            size = _TYPE_SIZE[t] * per_sample * n_sample
+            size = _type_size(t) * per_sample * n_sample
             if key != self._gt_key:
                 off += size
                 continue

@@ -438,11 +438,16 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
     fh = vcf._s._fh   # decompressed stream, positioned at the body
 
     def record_site(chunk, m):
-        """Exact-path fallback from raw record bytes."""
-        off, neg_len = int(m[1]), int(m[2])
-        rec = chunk[off:off - neg_len]
-        l_shared, l_indiv = struct.unpack("<II", rec[:8])
-        return vcf.parse_record(rec[8:8 + l_shared], rec[8 + l_shared:])
+        """Exact-path fallback from raw record bytes. Status 2/5 rows
+        carry (offset, -length) in m[1:3]; ok-status rows store the
+        offset as m[2] = -2 - off."""
+        if int(m[3]) == 0 and int(m[2]) <= -2:
+            off = -2 - int(m[2])
+        else:
+            off = int(m[1])
+        l_shared, l_indiv = struct.unpack("<II", chunk[off:off + 8])
+        rec = chunk[off + 8:off + 8 + l_shared + l_indiv]
+        return vcf.parse_record(rec[:l_shared], rec[l_shared:])
 
     def flip_fallback(m):
         # m[2] <= -2 encodes the record offset for ok-status sites
@@ -459,7 +464,7 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
         for i in range(n):
             m = meta[i]
             status = int(m[3])
-            if status in (2, 5):
+            if status in (2, 5) or int(m[0]) < 0 or int(m[1]) < 0:
                 site = record_site(chunk, m)
                 if site is not None:
                     process_site(site)
