@@ -261,15 +261,29 @@ def _add_aggregate(sub):
     p.add_argument("-x", "--xbins", type=int, default=1000)
     p.add_argument("-y", "--ybins", type=int, default=1000)
     p.add_argument("-c", "--min-count", type=int, default=5)
+    p.add_argument("-O", "--output-type", default="b", choices=["b", "u"],
+                   help="b: binary .twa; u: uncompressed text matrix "
+                        "(reference PrintMatrix)")
     p.add_argument("-I", "--interval", action="append", default=[])
 
 
 def _cmd_aggregate(args):
     from .post.aggregate import aggregate_two
-    aggregate_two(args.input, args.output, agg=args.aggregate_function,
-                  reduce=args.reduce_function, xbins=args.xbins,
-                  ybins=args.ybins, min_count=args.min_count,
-                  intervals=args.interval)
+    twa = aggregate_two(
+        args.input,
+        args.output if args.output_type == "b" else "-",
+        agg=args.aggregate_function, reduce=args.reduce_function,
+        xbins=args.xbins, ybins=args.ybins, min_count=args.min_count,
+        intervals=args.interval, write=args.output_type == "b")
+    if args.output_type == "u":
+        # reference PrintMatrix: one tab-separated row per x bin
+        stream = (sys.stdout if args.output in ("-", "")
+                  else open(args.output, "w"))
+        for i in range(twa.x):
+            stream.write("\t".join(f"{v:.6g}" for v in twa.data[i])
+                         + "\n")
+        if stream is not sys.stdout:
+            stream.close()
     return 0
 
 

@@ -120,7 +120,7 @@ class Twa:
 def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
                   reduce: str = "mean", xbins: int = 1000,
                   ybins: int = 1000, min_count: int = 5,
-                  intervals=None) -> Twa:
+                  intervals=None, write: bool = True) -> Twa:
     if agg not in AGG_FIELDS:
         raise ValueError(f"unknown aggregation function: {agg}")
     if reduce not in REDUCERS:
@@ -321,7 +321,7 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
               bpx=xrange, bpy=yrange,
               n_original=n_original, range=total_range,
               filename=input_path, rid_offsets=rid_offsets, data=data)
-    if output_path:
+    if output_path and write:
         if not output_path.endswith(".twa"):
             output_path += ".twa"
         twa.write(output_path)
