@@ -600,6 +600,110 @@ def test_decay_parity(pipelines, ref_bin):
         assert y[3] == -float(y[1]), (x, y)        # GetMean() quirk
 
 
+def test_chunked_calc_parity(scalc_files, ref_bin):
+    """calc -c 3 -C k: the reference's triangular chunk partition and
+    ours cover the same grid with the same records (its multi-machine
+    scale-out contract, ld_balancing.h:23-80). Chunk outputs concat to
+    the unchunked result on both sides."""
+    import jax
+    sf = scalc_files
+    d = sf["dir"]
+    # block_size 500 import gives 1 super-block for us; use small
+    # blocks so the 3-chunk split is non-trivial for both
+    vcf = str(d / "chunk.vcf")
+    make_vcf(vcf, n_samples=24, n_sites=90, seed=41, miss_frac=0.0,
+             phased=True, contigs=("20",))
+    twk = str(d / "chunk.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=10))
+    run_ref(ref_bin, "import", "-i", vcf, "-o", str(d / "chunk_r"),
+            "-b", "10")
+
+    whole_ref = str(d / "whole_r.two")
+    run_ref(ref_bin, "calc", "-i", str(d / "chunk_r.twk"), "-o",
+            whole_ref, "-t", "1", "-r", "0.0", "-P", "1", "-p")
+    ref_parts = []
+    our_parts = []
+    with jax.default_device(jax.devices("cpu")[0]):
+        for c in range(3):
+            rp = str(d / f"ref_c{c}.two")
+            # reference -C is 1-based (calc.h:152-154 decrements)
+            run_ref(ref_bin, "calc", "-i", str(d / "chunk_r.twk"),
+                    "-o", rp, "-t", "1", "-r", "0.0", "-P", "1", "-p",
+                    "-c", "3", "-C", str(c + 1))
+            ref_parts.append(load_two(rp))
+            op = str(d / f"our_c{c}.two")
+            compute_ld(CalcSettings(
+                input=twk, output=op, min_r2=0.0, min_p=1.0,
+                force_phased=True, n_chunks=3, c_chunk=c, tile_rows=10,
+                mesh="off"))
+            our_parts.append(load_two(op))
+    whole = load_two(whole_ref)
+    our_all = np.concatenate(our_parts)
+    # our chunks tile the full grid exactly: union == ref whole run
+    assert_two_equal(our_all, whole)
+    # diagonal cell [0,chunk_size)^2 is identical on both sides
+    assert_two_equal(our_parts[0], ref_parts[0])
+
+    # Documented reference quirks — its own chunked run covers only
+    # ~74% of the whole-run pairs here, while our chunks tile exactly:
+    #
+    # (a) Truncated grid: Build() sets chunk_size = n/factor (integer
+    #     truncation) and anchors each LAST strip at [n-chunk_size, n)
+    #     (reference lib/ld/ld_balancing.h:60-66), so the block band
+    #     [chunk_size*(factor-1), n-chunk_size) is in no last
+    #     row/column strip.  Here: 9 blocks, factor 2, chunk_size 4
+    #     -> block 4 is absent from chunks 2 and 3.
+    # (b) Row-advance substitution: in an off-diagonal cell,
+    #     GetBlockPair's j==tR branch emits (i_new, fR) with type=1
+    #     (ld_balancing.h:214-232), and the type=1 path computes the
+    #     within-block-i triangle on blocks[0] ONLY
+    #     (ld_engine.cpp:1913-1933).  So the (i, fR) cross pairs are
+    #     never computed, and the within-block records DUPLICATE the
+    #     diagonal chunk's output.
+    assert sum(len(p) for p in ref_parts) < len(whole)
+    with TwkReader(twk) as r:
+        assert r.index.n == 9
+        starts = np.array([e.minpos - 1 for e in r.index.ent])
+
+    def blk_of(pos):
+        return np.searchsorted(starts, pos, side="right") - 1
+
+    def key(recs):
+        return (recs["packA"].astype(np.uint64) << np.uint64(32)) \
+            | recs["packB"].astype(np.uint64)
+
+    # chunk 1 = off-diagonal cell.  ref = [0,4)x[5,9) minus the
+    # substituted column, plus duplicated within-1..3 triangles;
+    # ours = [0,4)x[4,9) exactly.
+    ko, kr = key(our_parts[1]), key(ref_parts[1])
+    in_ours = np.isin(kr, ko)
+    assert_two_equal(our_parts[1][np.isin(ko, kr)], ref_parts[1][in_ours])
+    dup = ref_parts[1][~in_ours]        # quirk (b): duplicated records
+    assert len(dup) > 0
+    da, db = blk_of(dup["packA"] >> 2), blk_of(dup["packB"] >> 2)
+    assert (da == db).all() and set(da) <= {1, 2, 3}
+    k0 = key(ref_parts[0])              # ... all also in the diag chunk
+    order = np.argsort(k0)
+    at = np.searchsorted(k0, key(dup), sorter=order)
+    assert np.array_equal(k0[order][at], key(dup))
+    assert_two_equal(dup, ref_parts[0][order][at])
+    miss = our_parts[1][~np.isin(ko, kr)]   # pairs the reference lost
+    ma, mb = blk_of(miss["packA"] >> 2), blk_of(miss["packB"] >> 2)
+    lost = set(map(tuple, np.sort(np.stack([ma, mb], 1), axis=1)))
+    assert lost == {(0, 4), (1, 4), (2, 4), (3, 4),     # quirk (a)
+                    (1, 5), (2, 5), (3, 5)}             # quirk (b)
+
+    # chunk 2 = last diagonal cell: pure field-exact subset; the only
+    # records missing are those touching skipped block 4 (quirk (a)).
+    ko, kr = key(our_parts[2]), key(ref_parts[2])
+    in_ref = np.isin(ko, kr)
+    assert in_ref.sum() == len(kr)
+    assert_two_equal(our_parts[2][in_ref], ref_parts[2])
+    dropped = our_parts[2][~in_ref]
+    da, db = blk_of(dropped["packA"] >> 2), blk_of(dropped["packB"] >> 2)
+    assert ((da == 4) | (db == 4)).all() and len(dropped) > 0
+
+
 def test_stats_parity(pipelines, ref_bin):
     """stats: r2 histogram, flag tallies, haplotype-count histograms
     and the contig matrix match the reference numerically."""
