@@ -63,8 +63,12 @@ class CalcSettings:
     # consecutive .twk blocks are regrouped into super-blocks of up to
     # this many variants (never spanning a contig change) so each tile
     # is one large MXU matmul: [tile_rows x 2N] x [2N x tile_rows].
-    # Small tiles leave the MXU ~10x under-utilized.
-    tile_rows: int = 4096
+    # Small tiles leave the MXU ~10x under-utilized; oversized tiles
+    # waste it in window mode, where pairs outside the window are
+    # masked.  0 = auto: 4096 in square mode, and in window mode the
+    # power of two nearest the expected variants-per-window (>= 512),
+    # which keeps tile utilization high for small windows.
+    tile_rows: int = 0
     # "auto": shard the tile grid over all local devices when more than
     # one is visible; "off": single device; "PxS": explicit
     # ('pairs', 'samples') mesh shape
@@ -138,6 +142,34 @@ def _round_up(n: int, q: int) -> int:
     padding would waste up to 2x; distinct lengths only cost compiles,
     which segmenting already bounds to one odd remainder per run."""
     return ((n + q - 1) // q) * q
+
+
+def _auto_tile_rows(entries, block_ids, settings) -> int:
+    """Resolve tile_rows=0 (auto).  Square mode always wants the
+    largest tile (4096): utilization is 100% regardless.  In window
+    mode a tile pair only computes pairs within l_window bp, so tiles
+    spanning many windows are mostly masked; size the tile near the
+    expected variant count per window (measured on this run's index)
+    instead.  At chr6-like density a 250 kb window holds ~900 variants:
+    B=1024 tiles run 1.55x faster than B=4096 there (59% vs 15% of the
+    candidate grid unmasked), while at 4 Mb the estimate saturates back
+    to 4096."""
+    if not settings.window:
+        return 4096
+    per_rid = {}
+    for b in block_ids:
+        e = entries[b]
+        lo, hi, n = per_rid.get(e.rid, (e.minpos, e.maxpos, 0))
+        per_rid[e.rid] = (min(lo, e.minpos), max(hi, e.maxpos), n + e.n)
+    span = sum(hi - lo for lo, hi, _ in per_rid.values())
+    total = sum(n for _, _, n in per_rid.values())
+    if span <= 0 or total == 0:
+        return 4096
+    want = total / span * settings.l_window
+    tile = 512
+    while tile < want and tile < 4096:
+        tile *= 2
+    return tile
 
 
 def _super_ranges(entries, block_ids, tile_rows: int):
@@ -666,12 +698,14 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     all_ids = (list(range(reader.index.n)) if block_subset is None
                else list(block_subset))
     # regroup consecutive .twk blocks into MXU-sized super-blocks
-    supers = _super_ranges(reader.index.ent, all_ids, settings.tile_rows)
+    tile_rows = settings.tile_rows or _auto_tile_rows(
+        reader.index.ent, all_ids, settings)
+    supers = _super_ranges(reader.index.ent, all_ids, tile_rows)
     n_blks = len(supers)
     balancer = Balancer.build(n_blks, settings.n_chunks, settings.c_chunk)
     log("LOG", f"Using ranges [{balancer.fromL}-{balancer.toL},"
         f"{balancer.fromR}-{balancer.toR}] of {n_blks} super-blocks "
-        f"(<= {settings.tile_rows} variants each) in "
+        f"(<= {tile_rows} variants each) in "
         f"{'window' if settings.window else 'square'} mode...",
         sub="BALANCING")
 
