@@ -130,19 +130,19 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
         out = out + ".twk"
 
     stats = ImportStats()
-    block = Twk1Block()
     pending: List[Twk1Record] = []   # records awaiting batched HWE
     pending_het: List[int] = []
     pending_hom: List[List[int]] = []
 
     writer = TwkWriter(out, vcf.header, settings.c_level)
+    sink = _BlockSink(writer, settings.block_size)
 
     prev = (-1, -1, False)  # rid, pos, dropped
 
-    def flush_pending(force_rid: Optional[int] = None):
+    def flush_pending():
         """Compute HWE for queued records, apply the HWE filter, and emit
         them into blocks."""
-        nonlocal block, pending, pending_het, pending_hom
+        nonlocal pending, pending_het, pending_hom
         if not pending:
             return
         het = np.array(pending_het, np.int64)
@@ -154,13 +154,7 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
                 stats.filtered[8] += 1
                 stats.n_dropped += 1
                 continue
-            if block.n and (block.rid != rec.rid
-                            or block.n == settings.block_size):
-                writer.write_block(block)
-                block = Twk1Block()
-            if block.n == 0:
-                block.rid = rec.rid
-            block.add(rec)
+            sink.add_record(rec)
             stats.n_kept += 1
         pending, pending_het, pending_hom = [], [], []
 
@@ -220,11 +214,13 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
     if encoder is not None and type(vcf) is VcfReader \
             and settings.input != "-":
         _import_body_chunked(vcf, settings, stats, n_samples,
-                             keep, process_site, state)
+                             keep, process_site, state,
+                             sink, flush_pending)
     elif encoder is not None and type(vcf) is _BcfReader \
             and vcf._gt_key is not None:
         _import_bcf_chunked(vcf, settings, stats, n_samples,
-                            keep, process_site, state)
+                            keep, process_site, state,
+                            sink, flush_pending)
     else:
         site_iter = (vcf.sites(raw=True) if encoder is not None
                      else vcf.sites())
@@ -232,8 +228,7 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
             process_site(site)
 
     flush_pending()
-    if block.n:
-        writer.write_block(block)
+    sink.flush_block()
     writer.close()
     vcf.close()
 
@@ -251,87 +246,183 @@ _RUNS_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32}
 _CHUNK_BYTES = 1 << 22   # bulk-import read size (patched in tests)
 
 
-def _make_fast_site(vcf, settings: ImportSettings, stats: ImportStats,
-                    n_samples: int, keep, process_site, state):
-    """Shared fast-path site handler for the bulk (chunked) importers:
-    applies the dup/missingness/invariant filters from the native meta
-    row and assembles a Twk1Record for kept sites."""
+class _BlockSink:
+    """Accumulates serialized record bytes into .twk blocks, applying
+    the reference's block-cut rules: flush at block_size records or at
+    a contig change, minpos/maxpos from the first/last record
+    (reference: lib/importer.cpp:227-260). Accepts either one
+    Twk1Record (slow path) or a pre-packed span of records (bulk
+    native path) — both paths share one partial-block state so output
+    order is exactly input order."""
+
+    def __init__(self, writer: TwkWriter, block_size: int):
+        self.writer = writer
+        self.block_size = block_size
+        self.parts: List[bytes] = []
+        self.n = 0
+        self.rid = -1
+        self.minpos = 0
+        self.maxpos = 0
+
+    def room(self, rid: int) -> int:
+        """Records that still fit the current block for this rid."""
+        if self.n and self.rid == rid and self.n < self.block_size:
+            return self.block_size - self.n
+        return self.block_size
+
+    def add_bytes(self, rid: int, first_pos: int, last_pos: int,
+                  n: int, data: bytes):
+        if self.n and (rid != self.rid or self.n >= self.block_size):
+            self.flush_block()
+        if self.n == 0:
+            self.rid = rid
+            self.minpos = first_pos + 1
+        self.maxpos = last_pos + 1  # right non-inclusive
+        self.parts.append(data)
+        self.n += n
+
+    def add_record(self, rec: Twk1Record):
+        from .buffer import BufferWriter
+        w = BufferWriter()
+        rec.write(w)
+        self.add_bytes(rec.rid, rec.pos, rec.pos, 1, w.getvalue())
+
+    def flush_block(self):
+        if self.n == 0:
+            return
+        payload = struct.pack("<III", self.n, max(self.n, 1),
+                              self.rid) + b"".join(self.parts)
+        self.writer.write_payload(self.rid, self.n, self.minpos,
+                                  self.maxpos, payload)
+        self.parts, self.n = [], 0
+
+
+def _make_batch_sites(vcf, settings: ImportSettings, stats: ImportStats,
+                      n_samples: int, state, sink: _BlockSink,
+                      flush_pending):
+    """Vectorized fast path for the bulk importers: one call filters,
+    HWE-tests, natively serializes, and block-emits a whole span of
+    parsed sites from the native meta matrix. The per-site semantics
+    are exactly _make_fast_site's (dup > biallelic > SNP > missingness
+    > sample count > invariant, then HWE; reference
+    lib/importer.cpp:104-190), but as numpy masks plus one
+    twk_pack_records call per block span instead of a Python loop."""
+    from ..native import pack_records
+
     rid_cache = {}
     thresh_full = settings.threshold_miss * n_samples
-    base_map = BASE_MAP
 
-    def rid_of(chrom_bytes):
-        rid = rid_cache.get(chrom_bytes)
-        if rid is None:
-            rid = vcf._rid_for(chrom_bytes.decode())
-            rid_cache[chrom_bytes] = rid
-        return rid
+    def rids_for(mm, chunk):
+        """Contig id per row from the chrom column bytes: rows are
+        compared to their predecessor with one vectorized byte-matrix
+        diff, so name lookups run once per contig change."""
+        n = len(mm)
+        offs, lens = mm[:, 1], mm[:, 2]
+        mx = int(lens.max())
+        arr = np.frombuffer(chunk, np.uint8)
+        idx = offs[:, None] + np.arange(mx)
+        np.minimum(idx, len(chunk) - 1, out=idx)
+        g = np.where(np.arange(mx) < lens[:, None], arr[idx], 0)
+        change = np.empty(n, bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = (lens[1:] != lens[:-1]) \
+                | (g[1:] != g[:-1]).any(axis=1)
+        rids = np.empty(n, np.int64)
+        cuts = np.flatnonzero(change).tolist() + [n]
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            name = bytes(chunk[int(offs[s]):int(offs[s]) + int(lens[s])])
+            rid = rid_cache.get(name)
+            if rid is None:
+                rid = vcf._rid_for(name.decode())
+                rid_cache[name] = rid
+            rids[s:e] = rid
+        return rids
 
-    def fast_site(mv, chunk, runs_buf, rid=None, flip_fallback=None):
-        stats.n_total += 1
-        m = mv.tolist()   # one conversion; numpy scalar reads are slow
-        if rid is None:
-            rid = rid_of(chunk[m[1]:m[1] + m[2]])
-        pos = m[0]
-        status = m[3]
-        prev = state["prev"]
-        if rid == prev[0] and pos == prev[1] and not prev[2]:
-            state["prev"] = (rid, pos, True)
-            stats.filtered[9] += 1
-            stats.n_dropped += 1
+    def batch(meta, lo, hi, chunk, runs_buf, rids=None):
+        """Process meta rows [lo, hi) — all pre-screened as native-ok
+        (status 0/3/4, no flip re-feeds)."""
+        n = hi - lo
+        if n <= 0:
             return
-        dropped = True
-        if status == 3:
-            stats.filtered[6] += 1
-        elif status == 4:
-            stats.filtered[7] += 1
-        else:
-            (n_refref, n_refalt, n_altref, n_altalt, n_missing, n_alt,
-             n_ref, n_full) = m[11:19]
-            if n_full < thresh_full:
-                stats.filtered[1] += 1
-            elif n_full < 5:
-                stats.filtered[2] += 1
-            elif settings.remove_univariate and (
-                    n_refref == n_full or n_refalt == n_full
-                    or n_altref == n_full or n_altalt == n_full):
-                stats.filtered[0] += 1
-            elif settings.flip_major_minor and n_alt > n_ref:
-                # rare path: re-run the site through the exact
-                # single-site encoder (needs the parsed codes)
-                stats.n_total -= 1
-                if flip_fallback is not None:
-                    process_site(flip_fallback(m))
-                else:
-                    line = _line_at(chunk, m[1])
-                    process_site(vcf.parse_line(line.decode()))
-                return
-            else:
-                width = m[6]
-                runs = np.frombuffer(
-                    runs_buf, _RUNS_DT[width], count=m[9],
-                    offset=m[10]).copy()
-                rec = Twk1Record(
-                    pos=pos, rid=rid, ac=n_alt, an=n_missing,
-                    n_het=n_refalt + n_altref, n_hom=n_altalt,
-                    alleles=(base_map.get(chr(m[4]), 0) << 4)
-                    | base_map.get(chr(m[5]), 0),
-                    gt_ptype=width, gt_flipped=False,
-                    gt_phase=m[7] == 1, gt_missing=bool(m[8]),
-                    gt_runs=runs)
-                rec.n_hom_ref = n_refref
-                keep(rec)
-                dropped = False
-        if dropped:
-            stats.n_dropped += 1
-        state["prev"] = (rid, pos, dropped)
+        flush_pending()   # keep global record order with the slow path
+        stats.n_total += n
+        rows = np.arange(lo, hi)
+        mm = meta[lo:hi]
+        pos, status, n_full = mm[:, 0], mm[:, 3], mm[:, 18]
+        if rids is None:
+            rids = rids_for(mm, chunk)
 
-    return fast_site
+        # per-site drop reasons, in fast_site's precedence order
+        s3, s4 = status == 3, status == 4
+        miss_m = ~s3 & ~s4 & (n_full < thresh_full)
+        lt5 = ~s3 & ~s4 & ~miss_m & (n_full < 5)
+        univ = np.zeros(n, bool)
+        if settings.remove_univariate:
+            univ = ~s3 & ~s4 & ~miss_m & ~lt5 & (
+                (mm[:, 11] == n_full) | (mm[:, 12] == n_full)
+                | (mm[:, 13] == n_full) | (mm[:, 14] == n_full))
+        own_drop = s3 | s4 | miss_m | lt5 | univ
+
+        # duplicate-consecutive-position filter: drop iff same (rid,
+        # pos) as the previous site AND that site was not dropped --
+        # sequential, but only rows with a position-equal predecessor
+        # need the scalar resolution (rare)
+        prid, ppos, pdrop = state["prev"]
+        eq = np.empty(n, bool)
+        eq[0] = (int(rids[0]) == prid) and (int(pos[0]) == ppos)
+        eq[1:] = (rids[1:] == rids[:-1]) & (pos[1:] == pos[:-1])
+        dropped = own_drop.copy()
+        dup = np.zeros(n, bool)
+        for i in np.flatnonzero(eq):
+            if not (pdrop if i == 0 else dropped[i - 1]):
+                dup[i] = True
+                dropped[i] = True
+        state["prev"] = (int(rids[-1]), int(pos[-1]), bool(dropped[-1]))
+
+        stats.filtered[9] += int(dup.sum())
+        rem = ~dup
+        for f_idx, mask in ((6, s3), (7, s4), (1, miss_m), (2, lt5),
+                            (0, univ)):
+            stats.filtered[f_idx] += int((rem & mask).sum())
+        kept = rem & ~own_drop
+        kidx = np.flatnonzero(kept)
+        stats.n_dropped += n - len(kidx)
+        if not len(kidx):
+            return
+
+        pv = hwe_exact(mm[kidx, 12] + mm[kidx, 13], mm[kidx, 11],
+                       mm[kidx, 14])
+        if settings.hwe > 0:
+            ok = pv >= settings.hwe
+            n_bad = len(kidx) - int(ok.sum())
+            stats.filtered[8] += n_bad
+            stats.n_dropped += n_bad
+            kidx, pv = kidx[ok], pv[ok]
+            if not len(kidx):
+                return
+        stats.n_kept += len(kidx)
+
+        krids, kpos = rids[kidx], pos[kidx]
+        cuts = (np.flatnonzero(np.diff(krids)) + 1).tolist()
+        for s, e in zip([0] + cuts, cuts + [len(kidx)]):
+            rid0 = int(krids[s])
+            i = s
+            while i < e:
+                j = min(e, i + sink.room(rid0))
+                data = pack_records(meta, rows[kidx[i:j]],
+                                    krids[i:j], pv[i:j], runs_buf)
+                sink.add_bytes(rid0, int(kpos[i]), int(kpos[j - 1]),
+                               j - i, data)
+                i = j
+
+    return batch
 
 
 def _import_body_chunked(vcf, settings: ImportSettings,
                          stats: ImportStats, n_samples: int,
-                         keep, process_site, state):
+                         keep, process_site, state,
+                         sink=None, flush_pending=None):
     """Bulk import loop: the whole VCF body streams through
     twk_import_chunk (one native call per ~4 MB of text does column
     parsing, GT decode, stats, and RLE for every line), and Python only
@@ -350,8 +441,8 @@ def _import_body_chunked(vcf, settings: ImportSettings,
             break
 
     ci = ChunkImporter(n_samples)
-    fast_site = _make_fast_site(vcf, settings, stats, n_samples, keep,
-                                process_site, state)
+    batch = _make_batch_sites(vcf, settings, stats, n_samples, state,
+                              sink, flush_pending)
 
     # Pipelined chunking: chunks are cut at newline boundaries so they
     # parse independently; while Python assembles chunk k (GIL-bound),
@@ -385,18 +476,26 @@ def _import_body_chunked(vcf, settings: ImportSettings,
     def handle(chunk, parsed):
         nonlocal lineno
         n, meta, runs_buf, consumed = parsed
-        for i in range(n):
-            lineno += 1
-            m = meta[i]
-            status = int(m[3])
-            if status in (1, 2, 5) or int(m[0]) < 0:
-                # exact-path fallback (raises on truly malformed input)
-                line = _line_at(chunk, int(m[1]))
-                site = vcf.parse_line(line.decode(), lineno, raw=False)
-                if site is not None:
-                    process_site(site)
-                continue
-            fast_site(m, chunk, runs_buf)
+        if n == 0:
+            return consumed
+        st = meta[:n, 3]
+        # rows the vectorized path cannot take: parser fallbacks
+        # (status 1/2/5, bad position) and major/minor flip re-feeds
+        bad = (st == 1) | (st == 2) | (st == 5) | (meta[:n, 0] < 0)
+        if settings.flip_major_minor:
+            bad |= (st == 0) & (meta[:n, 16] > meta[:n, 17])
+        prev_end = 0
+        for b in np.flatnonzero(bad).tolist():
+            batch(meta, prev_end, b, chunk, runs_buf)
+            # exact-path fallback (raises on truly malformed input)
+            line = _line_at(chunk, int(meta[b, 1]))
+            site = vcf.parse_line(line.decode(), lineno + b + 1,
+                                  raw=False)
+            if site is not None:
+                process_site(site)
+            prev_end = b + 1
+        batch(meta, prev_end, n, chunk, runs_buf)
+        lineno += n
         return consumed
 
     lineno = 0
@@ -425,15 +524,16 @@ def _import_body_chunked(vcf, settings: ImportSettings,
 
 def _import_bcf_chunked(vcf, settings: ImportSettings,
                         stats: ImportStats, n_samples: int,
-                        keep, process_site, state):
+                        keep, process_site, state,
+                        sink=None, flush_pending=None):
     """Bulk BCF import loop: framed records stream through
     twk_bcf_import_chunk; unsupported layouts re-feed through the exact
     single-record path (BcfReader.parse_record)."""
     from ..native import ChunkImporter
 
     ci = ChunkImporter(n_samples)
-    fast_site = _make_fast_site(vcf, settings, stats, n_samples, keep,
-                                process_site, state)
+    batch = _make_batch_sites(vcf, settings, stats, n_samples, state,
+                              sink, flush_pending)
     gt_key = vcf._gt_key
     fh = vcf._s._fh   # decompressed stream, positioned at the body
 
@@ -449,31 +549,27 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
         rec = chunk[off + 8:off + 8 + l_shared + l_indiv]
         return vcf.parse_record(rec[:l_shared], rec[l_shared:])
 
-    def flip_fallback(m):
-        # m[2] <= -2 encodes the record offset for ok-status sites
-        off = -2 - int(m[2])
-        head = cur[off:off + 8]
-        l_shared, l_indiv = struct.unpack("<II", head)
-        rec = cur[off + 8:off + 8 + l_shared + l_indiv]
-        return vcf.parse_record(rec[:l_shared], rec[l_shared:])
-
     def handle(chunk):
-        nonlocal cur
         n, meta, runs_buf, consumed = ci.parse_bcf(chunk, gt_key)
-        cur = chunk  # flip_fallback reads record bytes from `cur`
-        for i in range(n):
-            m = meta[i]
-            status = int(m[3])
-            if status in (2, 5) or int(m[0]) < 0 or int(m[1]) < 0:
-                site = record_site(chunk, m)
-                if site is not None:
-                    process_site(site)
-                continue
-            fast_site(m, chunk, runs_buf, rid=int(m[1]),
-                      flip_fallback=flip_fallback)
+        if n == 0:
+            return consumed
+        st = meta[:n, 3]
+        bad = (st == 2) | (st == 5) | (meta[:n, 0] < 0) \
+            | (meta[:n, 1] < 0)
+        if settings.flip_major_minor:
+            bad |= (st == 0) & (meta[:n, 16] > meta[:n, 17])
+        prev_end = 0
+        for b in np.flatnonzero(bad).tolist():
+            batch(meta, prev_end, b, chunk, runs_buf,
+                  rids=meta[prev_end:b, 1])
+            site = record_site(chunk, meta[b])
+            if site is not None:
+                process_site(site)
+            prev_end = b + 1
+        batch(meta, prev_end, n, chunk, runs_buf,
+              rids=meta[prev_end:n, 1])
         return consumed
 
-    cur = b""
     carry = b""
     while True:
         data = fh.read(_CHUNK_BYTES)

@@ -168,10 +168,17 @@ class TwkWriter:
     def write_block(self, blk: Twk1Block):
         if blk.n == 0:
             return
-        payload = blk.serialize()
+        self.write_payload(blk.rid, blk.n, blk.minpos, blk.maxpos,
+                           blk.serialize())
+
+    def write_payload(self, rid: int, n: int, minpos: int, maxpos: int,
+                      payload: bytes):
+        """Write one block whose record bytes are already serialized
+        (the bulk importer packs records natively; see
+        native.pack_records)."""
         comp = self._cctx.compress(payload)
-        ent = IndexEntry(rid=blk.rid, n=blk.n, minpos=blk.minpos,
-                         maxpos=blk.maxpos, b_unc=len(payload),
+        ent = IndexEntry(rid=rid, n=n, minpos=minpos,
+                         maxpos=maxpos, b_unc=len(payload),
                          b_cmp=len(comp), foff=self._fh.tell())
         self._fh.write(struct.pack("<BII", 1, len(payload), len(comp)))
         self._fh.write(comp)

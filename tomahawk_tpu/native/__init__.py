@@ -120,6 +120,11 @@ def get_lib():
             [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
              ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
              ctypes.c_void_p])
+        lib.twk_pack_records.restype = ctypes.c_int64
+        lib.twk_pack_records.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -423,6 +428,33 @@ def radix_sort_idx(k1: np.ndarray, k2: np.ndarray):
         idx.ctypes.data_as(ctypes.c_void_p),
         tmp.ctypes.data_as(ctypes.c_void_p))
     return idx
+
+
+def pack_records(meta: np.ndarray, rows: np.ndarray, rids: np.ndarray,
+                 hwe: np.ndarray, runs_buf: np.ndarray) -> bytes:
+    """Serialize kept import sites (meta rows selected by `rows`, with
+    per-row rid and HWE p-value) into .twk record bytes in one native
+    call (twk_pack_records). Returns None if the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    rids = np.ascontiguousarray(rids, np.int64)
+    hwe = np.ascontiguousarray(hwe, np.float64)
+    cap = int(38 * len(rows)
+              + (meta[rows, 9] * meta[rows, 6]).sum())
+    out = np.empty(max(cap, 1), np.uint8)
+    n = lib.twk_pack_records(
+        meta.ctypes.data_as(ctypes.c_void_p),
+        rows.ctypes.data_as(ctypes.c_void_p), len(rows),
+        rids.ctypes.data_as(ctypes.c_void_p),
+        hwe.ctypes.data_as(ctypes.c_void_p),
+        runs_buf.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n != cap:
+        raise RuntimeError(f"pack_records size mismatch: {n} != {cap}")
+    return out[:cap].tobytes()
 
 
 META_N = 19   # int64 fields per site in twk_import_chunk's meta table

@@ -1270,4 +1270,49 @@ extern "C" int64_t twk_format_ld(
     return p - out;
 }
 
+// Serialize kept import records straight from the bulk-import meta
+// matrix into .twk block payload bytes: 38-byte little-endian header
+// (pack, alleles, pos, ac, an, rid, n_het, n_hom, hwe, n_runs-word)
+// followed by the RLE words copied from the parse-time runs buffer.
+// Replaces the per-site Python record construction + struct packing
+// that dominated import wall time (the analogue of the reference's
+// twk1_t serialization in its block flush, importer.cpp:227-260).
+// `rows` selects kept meta rows; `rids`/`hwe` run parallel to `rows`.
+// Returns bytes written, or -1 if `out_cap` would be exceeded.
+int64_t twk_pack_records(const int64_t* meta, const int64_t* rows,
+                         int64_t n, const int64_t* rids,
+                         const double* hwe, const uint8_t* runs_buf,
+                         uint8_t* out, int64_t out_cap) {
+    // matches io/constants.py BASE_MAP (unknown bases encode as 0)
+    uint8_t base[256] = {0};
+    base['A'] = 0; base['T'] = 1; base['G'] = 2; base['C'] = 3;
+    base['N'] = 4;
+    uint8_t* p = out;
+    uint8_t* const end = out + out_cap;
+    for (int64_t k = 0; k < n; ++k) {
+        const int64_t* m = meta + rows[k] * TWK_META_N;
+        const int64_t nw = m[9];
+        const int32_t width = (int32_t)m[6];
+        const int64_t nbytes = 38 + nw * width;
+        if (p + nbytes > end) return -1;
+        const uint8_t miss = m[8] ? 1 : 0;
+        p[0] = (uint8_t)(((uint32_t)width << 3)
+                         | ((m[7] == 1 ? 1u : 0u) << 1) | miss);
+        p[1] = (uint8_t)((base[(uint8_t)m[4]] << 4)
+                         | base[(uint8_t)m[5]]);
+        uint32_t u;
+        u = (uint32_t)m[0];  memcpy(p + 2, &u, 4);          // pos
+        u = (uint32_t)m[16]; memcpy(p + 6, &u, 4);          // ac
+        u = (uint32_t)m[15]; memcpy(p + 10, &u, 4);         // an
+        u = (uint32_t)rids[k]; memcpy(p + 14, &u, 4);       // rid
+        u = (uint32_t)(m[12] + m[13]); memcpy(p + 18, &u, 4);  // n_het
+        u = (uint32_t)m[14]; memcpy(p + 22, &u, 4);         // n_hom
+        memcpy(p + 26, hwe + k, 8);                         // hwe
+        u = (uint32_t)((nw << 1) | miss); memcpy(p + 34, &u, 4);
+        memcpy(p + 38, runs_buf + m[10], (size_t)(nw * width));
+        p += nbytes;
+    }
+    return p - out;
+}
+
 }  // extern "C"
