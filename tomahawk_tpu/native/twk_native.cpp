@@ -198,7 +198,9 @@ void twk_hwe_exact(const int64_t* n_het, const int64_t* n_hom1,
             cap = rare + 1 < 1024 ? 1024 : rare + 1;
             probs = new double[cap];
         }
-        for (int64_t h = 0; h <= rare; ++h) probs[h] = 0.0;
+        // no zero-fill needed: the two recurrences below write every
+        // parity-matched entry in [rare&1, rare], which is exactly the
+        // stride the tail sum reads
         // start at the distribution mode (parity-matched)
         int64_t mid = rare * (2 * genot - rare) / (2 * genot);
         if (((mid ^ rare) & 1) != 0) ++mid;
