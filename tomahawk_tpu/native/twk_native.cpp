@@ -1272,6 +1272,23 @@ extern "C" int64_t twk_format_ld(
     return p - out;
 }
 
+// Permutation gather of fixed-size rows: out[k] = base[idx[k]].  The
+// external sort permutes 106-byte .two records by the sort order;
+// numpy's fancy indexing on structured dtypes walks field descriptors
+// per element, while this is a straight memcpy per row (memory-bound).
+int64_t twk_gather_rows(const uint8_t* base, int64_t itemsize,
+                        const int64_t* idx, int64_t n, uint8_t* out) {
+    if (itemsize == 106) {        // .two record fast path
+        for (int64_t k = 0; k < n; ++k)
+            memcpy(out + k * 106, base + idx[k] * 106, 106);
+    } else {
+        for (int64_t k = 0; k < n; ++k)
+            memcpy(out + k * itemsize, base + idx[k] * itemsize,
+                   (size_t)itemsize);
+    }
+    return n;
+}
+
 // Serialize kept import records straight from the bulk-import meta
 // matrix into .twk block payload bytes: 38-byte little-endian header
 // (pack, alleles, pos, ac, an, rid, n_het, n_hom, hwe, n_runs-word)

@@ -87,13 +87,16 @@ def sort_two(input_path: str, output_path: str,
         def _sort_and_compress(parts):
             """Runs in the pool: numpy sorts and zstd both release the
             GIL, so whole runs pipeline against the reader."""
+            from ..native import gather_rows
             recs = np.concatenate(parts)
-            recs = recs[_sort_indices(recs)]
+            order = _sort_indices(recs)
+            gathered = gather_rows(recs, order)
+            recs = gathered if gathered is not None else recs[order]
             c = zstandard.ZstdCompressor(level=c_level) if pool else cctx
             out = []
             for s in range(0, len(recs), run_chunk):
                 part = recs[s:s + run_chunk]
-                out.append((len(part), c.compress(part.tobytes())))
+                out.append((len(part), c.compress(part.data)))
             return len(recs), out
 
         def _write_run(n_recs, chunks):
