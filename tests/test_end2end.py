@@ -162,6 +162,23 @@ def test_cli_import_calc_view(tmp_path, capsys):
     assert cols[1] == "20"  # contig name resolved
 
 
+def test_cli_calc_performance_report(tmp_path, capsys, caplog):
+    """--performance prints the per-kernel-config dispatch report
+    (the reference's ComputePerformance analogue)."""
+    import logging
+    from tomahawk_tpu.cli import main
+    vcf_path = str(tmp_path / "p.vcf")
+    make_vcf(vcf_path, n_samples=24, n_sites=30, miss_frac=0.02, seed=4)
+    twk = str(tmp_path / "p.twk")
+    assert main(["import", "-i", vcf_path, "-o", twk]) == 0
+    with caplog.at_level(logging.INFO):
+        assert main(["calc", "-i", twk, "-o", str(tmp_path / "p.two"),
+                     "-r", "0.0", "--performance"]) == 0
+    txt = caplog.text + capsys.readouterr().err
+    assert "config" in txt and "cand pairs" in txt
+    assert "count-sweep rate" in txt
+
+
 def test_calc_banded_streaming_matches_full(tmp_path):
     """Low-memory band-pair streaming must reproduce the in-memory run."""
     vcf_path = str(tmp_path / "m.vcf")
