@@ -170,6 +170,23 @@ def compare(ours, ref, cfg, two_n, codes=None):
             boundary = (np.abs(a["cnt"]).min(axis=1) < 1e-2) & \
                 ((a["controller"] & 1) == 0)
             mask = np.where(boundary, ~np.uint16(32), np.uint16(0xFFFF))
+            if codes is not None:
+                # knife edge: bit 5 also flips when the cubic
+                # discriminant sits at the 1-root/3-root case boundary
+                # within f64 noise -- the root COUNT is then
+                # rounding-dependent even though the chosen root (and
+                # every emitted statistic) agrees to 1e-10
+                from oracles import counts_from_codes
+                for i in np.flatnonzero((va & mask) != (vb & mask)):
+                    if (int(va[i]) ^ int(vb[i])) & ~32 or va[i] & 1:
+                        continue    # only pure bit-5 unphased diffs
+                    _, T = counts_from_codes(
+                        codes[(int(a["ridA"][i]),
+                               int(a["packA"][i]) >> 2)],
+                        codes[(int(a["ridB"][i]),
+                               int(a["packB"][i]) >> 2)])
+                    if _discriminant_knife_edge(T):
+                        mask[i] &= ~np.uint16(32)
             assert np.array_equal(va & mask, vb & mask), (cfg, f)
         else:
             assert np.array_equal(va, vb), (cfg, f)
