@@ -13,13 +13,16 @@ def _add_import(sub):
     p = sub.add_parser("import", help="import VCF into .twk")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("-c", "--c-level", type=int, default=1)
+    # reference letters (-n missingness, -r keep-univariate, -L level;
+    # import.h:26-129) are accepted alongside our long spellings
+    p.add_argument("-c", "-L", "--c-level", type=int, default=1)
     p.add_argument("-b", "--block-size", type=int, default=500)
-    p.add_argument("-m", "--threshold-miss", type=float, default=0.9,
+    p.add_argument("-n", "-m", "--threshold-miss", type=float,
+                   default=0.9,
                    help="minimum fraction of fully-called samples")
     p.add_argument("-H", "--hwe", type=float, default=0.0,
                    help="minimum HWE p-value")
-    p.add_argument("-n", "--keep-univariate", action="store_true",
+    p.add_argument("-r", "--keep-univariate", action="store_true",
                    help="retain invariant sites")
     p.add_argument("-f", "--flip-major-minor", action="store_true")
 
@@ -54,7 +57,11 @@ def _add_calc(sub):
     p.add_argument("-C", "--c-chunk", type=int, default=0)
     p.add_argument("-I", "--interval", action="append", default=[])
     p.add_argument("-b", "--b-size", type=int, default=10000)
-    p.add_argument("-l", "--c-level", type=int, default=1)
+    p.add_argument("-l", "-k", "--c-level", type=int, default=1)
+    p.add_argument("-m", "--low-memory", action="store_true",
+                   help="accepted for reference compatibility; banded "
+                   "streaming (the low-memory path) engages "
+                   "automatically whenever planes exceed --memory-gb")
     p.add_argument("--performance", action="store_true",
                    help="print per-kernel dispatch/timing report "
                    "(reference ComputePerformance analogue)")
