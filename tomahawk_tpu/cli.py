@@ -144,25 +144,30 @@ def _add_view(sub):
                         "(reference view -h)")
     p.add_argument("-J", "--json", action="store_true",
                    help="print records as JSON arrays (PrintLDJson)")
-    p.add_argument("-b", "--binary", action="store_true",
-                   help="write filtered binary .two instead of text")
+    p.add_argument("-O", "--output-mode", choices=["b", "u"],
+                   default="u",
+                   help="b: compressed TWO, u: text LD (reference -O)")
+    p.add_argument("--binary", action="store_true",
+                   help="write filtered binary .two (same as -O b)")
     p.add_argument("-I", "--interval", action="append", default=[])
+    # filter letters follow the reference exactly (view.h:44-59):
+    # -d/-D bound D, -b/-B bound D'
     p.add_argument("-r", "--min-r2", type=float, default=None)
     p.add_argument("-R", "--max-r2", type=float, default=None)
     p.add_argument("-p", "--min-p", type=float, default=None)
     p.add_argument("-P", "--max-p", type=float, default=None)
-    p.add_argument("-d", "--min-dprime", type=float, default=None)
-    p.add_argument("-D", "--max-dprime", type=float, default=None)
+    p.add_argument("-d", "--min-d", type=float, default=None)
+    p.add_argument("-D", "--max-d", type=float, default=None)
+    p.add_argument("-b", "--min-dprime", type=float, default=None)
+    p.add_argument("-B", "--max-dprime", type=float, default=None)
     p.add_argument("-z", "--min-r", type=float, default=None)
     p.add_argument("-Z", "--max-r", type=float, default=None)
-    p.add_argument("--min-d", type=float, default=None)
-    p.add_argument("--max-d", type=float, default=None)
-    p.add_argument("--min-chi", type=float, default=None,
+    p.add_argument("-x", "--min-chi", type=float, default=None,
                    help="min ChiSqFisher (contingency chi-squared)")
-    p.add_argument("--max-chi", type=float, default=None)
-    p.add_argument("--min-mcv", type=float, default=None,
+    p.add_argument("-X", "--max-chi", type=float, default=None)
+    p.add_argument("-m", "--min-mcv", type=float, default=None,
                    help="min ChiSqModel (unphased model chi-squared)")
-    p.add_argument("--max-mcv", type=float, default=None)
+    p.add_argument("-M", "--max-mcv", type=float, default=None)
     for cell, desc in (("p1", "REF_REF"), ("p2", "REF_ALT"),
                        ("q1", "ALT_REF"), ("q2", "ALT_ALT")):
         p.add_argument(f"--min-{cell}", type=float, default=None,
@@ -176,8 +181,8 @@ def _add_view(sub):
     p.add_argument("-A", "--max-mhc", type=float, default=None)
     p.add_argument("-f", "--flag-include", type=int, default=0)
     p.add_argument("-F", "--flag-exclude", type=int, default=0)
-    p.add_argument("-U", "--upper-only", action="store_true")
-    p.add_argument("-L", "--lower-only", action="store_true")
+    p.add_argument("-u", "-U", "--upper-only", action="store_true")
+    p.add_argument("-l", "-L", "--lower-only", action="store_true")
 
 
 def _rng(lo, hi):
@@ -204,7 +209,7 @@ def _cmd_view(args):
         flag_include=args.flag_include, flag_exclude=args.flag_exclude,
         upper_only=args.upper_only, lower_only=args.lower_only)
     out = None if args.output in ("-", "") else args.output
-    if args.binary:
+    if args.binary or args.output_mode == "b":
         view(args.input, output=out or "-", filt=filt,
              intervals=args.interval, binary=True)
     else:
