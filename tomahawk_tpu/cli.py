@@ -120,6 +120,9 @@ def _add_scalc(sub):
     p.add_argument("-R", "--max-r2", type=float, default=100.0)
     p.add_argument("-d", "--min-dprime", type=float, default=0.0)
     p.add_argument("-D", "--max-dprime", type=float, default=100.0)
+    p.add_argument("-k", "--c-level", type=int, default=1)
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="accepted for reference compatibility")
 
 
 def _cmd_scalc(args):
@@ -129,7 +132,7 @@ def _cmd_scalc(args):
                       l_surrounding=int(args.l_surrounding),
                       min_p=args.min_p, min_r2=args.min_r2,
                       max_r2=args.max_r2, min_dprime=args.min_dprime,
-                      max_dprime=args.max_dprime)
+                      max_dprime=args.max_dprime, c_level=args.c_level)
     compute_single(s)
     return 0
 
@@ -319,12 +322,19 @@ def _add_decay(sub):
     p.add_argument("-b", "--bins", type=int, default=1000)
     p.add_argument("-I", "--interval", action="append", default=[])
     p.add_argument("--positional", action="store_true",
-                   help="per-variant positional decay")
+                   help="per-variant positional decay (the reference's "
+                   "decay; default when -I is given)")
+    p.add_argument("--binned", action="store_true",
+                   help="binned mean-r2 vs distance (the reference's "
+                   "commented-out Decay variant; default without -I)")
 
 
 def _cmd_decay(args):
     from .post.decay import decay, positional_decay
-    if args.positional:
+    # the reference decay CLI runs PositionalDecay and requires an
+    # interval (decay.h:95-108); mirror that dispatch when -I is given
+    positional = args.positional or (args.interval and not args.binned)
+    if positional:
         positional_decay(args.input, intervals=args.interval)
     else:
         decay(args.input, max_range=int(args.range), n_bins=args.bins,
