@@ -280,6 +280,8 @@ def _add_aggregate(sub):
                    help="b: binary .twa; u: uncompressed text matrix "
                         "(reference PrintMatrix)")
     p.add_argument("-I", "--interval", action="append", default=[])
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="threads for the two passes (0 = all cores)")
 
 
 def _cmd_aggregate(args):
@@ -289,7 +291,8 @@ def _cmd_aggregate(args):
         args.output if args.output_type == "b" else "-",
         agg=args.aggregate_function, reduce=args.reduce_function,
         xbins=args.xbins, ybins=args.ybins, min_count=args.min_count,
-        intervals=args.interval, write=args.output_type == "b")
+        intervals=args.interval, write=args.output_type == "b",
+        threads=args.threads)
     if args.output_type == "u":
         # reference PrintMatrix: one tab-separated row per x bin
         stream = (sys.stdout if args.output in ("-", "")

@@ -120,7 +120,8 @@ class Twa:
 def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
                   reduce: str = "mean", xbins: int = 1000,
                   ybins: int = 1000, min_count: int = 5,
-                  intervals=None, write: bool = True) -> Twa:
+                  intervals=None, write: bool = True,
+                  threads: int = 0) -> Twa:
     if agg not in AGG_FIELDS:
         raise ValueError(f"unknown aggregation function: {agg}")
     if reduce not in REDUCERS:
@@ -144,7 +145,7 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
     # the reference's FindRangesUnsorted slaves, aggregation.h:127-154) --
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
-    n_workers = min(8, _os.cpu_count() or 1)
+    n_workers = threads if threads > 0 else min(8, _os.cpu_count() or 1)
     n_blocks = reader.index.n
 
     def _pass1(lo, hi):
