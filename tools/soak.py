@@ -34,7 +34,7 @@ for trial in range(int(sys.argv[2]) if len(sys.argv) > 2 else 10):
     miss = rng.choice([0.0, 0.03, 0.12])
     mode = rng.choice(["phased", "unphased", "mixed"])
     min_r2 = rng.choice([0.0, 0.05, 0.3])
-    tile_rows = rng.choice([7, 16, 4096])
+    tile_rows = rng.choice([0, 7, 16, 4096])   # 0 = auto sizing
     window = rng.choice([None, 1500, 4000])
     mesh = rng.choice(["off", "auto"])
     memory_gb = rng.choice([12.0, 1e-6])
