@@ -125,6 +125,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.twk_format_g6_matrix.restype = ctypes.c_int64
+        lib.twk_format_g6_matrix.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
         lib.twk_gather_rows.restype = ctypes.c_int64
         lib.twk_gather_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -461,6 +465,26 @@ def pack_records(meta: np.ndarray, rows: np.ndarray, rids: np.ndarray,
     if n != cap:
         raise RuntimeError(f"pack_records size mismatch: {n} != {cap}")
     return out[:cap].tobytes()
+
+
+def format_g6_matrix(mat: np.ndarray) -> str:
+    """%.6g tab-separated text of a 2-D f64 matrix, one line per row
+    (twk_format_g6_matrix). Returns None if the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.float64)
+    R, C = mat.shape
+    cap = R * C * 16 + R + 64
+    while True:
+        out = np.empty(cap, np.uint8)
+        nb = lib.twk_format_g6_matrix(
+            mat.ctypes.data_as(ctypes.c_void_p), R, C,
+            out.ctypes.data_as(ctypes.c_void_p), cap)
+        if nb >= 0:
+            return out[:nb].tobytes().decode()
+        cap *= 2
 
 
 def gather_rows(arr: np.ndarray, idx: np.ndarray):

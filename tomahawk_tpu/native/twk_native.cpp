@@ -1272,6 +1272,24 @@ extern "C" int64_t twk_format_ld(
     return p - out;
 }
 
+// %.6g TSV rendering of an [R, C] f64 matrix (kinship / IBS output,
+// reference lib/relationship.h prints cell-by-cell via ostream).
+// Returns bytes written, or -1 if out_cap is insufficient.
+int64_t twk_format_g6_matrix(const double* m, int64_t R, int64_t C,
+                             uint8_t* out, int64_t out_cap) {
+    char* p = (char*)out;
+    char* const end = (char*)out + out_cap;
+    for (int64_t i = 0; i < R; ++i) {
+        const double* row = m + i * C;
+        for (int64_t j = 0; j < C; ++j) {
+            if (p + 80 > end) return -1;
+            p = fmt_g6(p, row[j]);
+            *p++ = (j + 1 == C) ? '\n' : '\t';
+        }
+    }
+    return p - (char*)out;
+}
+
 // Permutation gather of fixed-size rows: out[k] = base[idx[k]].  The
 // external sort permutes 106-byte .two records by the sort order;
 // numpy's fancy indexing on structured dtypes walks field descriptors

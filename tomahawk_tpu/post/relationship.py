@@ -31,21 +31,43 @@ from ..utils import Timer, log, pretty_int
 
 
 def relationship(input_path: str, output: str = "-", block_rows: int = 512,
-                 out_stream=None, intervals=None):
-    import jax
-    import jax.numpy as jnp
-    from ..utils.jaxcache import enable_compilation_cache
-    enable_compilation_cache()
-
+                 out_stream=None, intervals=None, backend: str = "auto"):
     timer = Timer()
     reader = TwkReader(input_path)
     n_samples = reader.header.n_samples
 
-    @jax.jit
-    def accum(kin, g):   # g: [V, N] int8 in {-1, 0, +1}
-        return kin + jax.lax.dot_general(
-            g, g, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+    # backend "auto": below ~32k variants the GEMM is seconds of host
+    # BLAS, while the device path pays a [N, N] int32 result transfer
+    # (25 MB at N=2504) -- ruinous over a tunneled link, and never a
+    # win for small V even on local hardware.  sgemm accumulation of
+    # +-1 entries stays integer-exact up to 2^24 variants.
+    total_rows = sum(e.n for e in reader.index.ent)
+    use_device = backend == "device" or (
+        backend == "auto" and total_rows > 32768)
+
+    if use_device:
+        import jax
+        import jax.numpy as jnp
+        from ..utils.jaxcache import enable_compilation_cache
+        enable_compilation_cache()
+
+        @jax.jit
+        def accum(kin, g):   # g: [V, N] int8 in {-1, 0, +1}
+            return kin + jax.lax.dot_general(
+                g, g, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        kin = jnp.zeros((n_samples, n_samples), jnp.int32)
+
+        def to_dev(b):
+            return jnp.asarray(b)
+    else:
+        def accum(kin, g):
+            gf = g.astype(np.float32)
+            return kin + gf.T @ gf
+        kin = np.zeros((n_samples, n_samples), np.float32)
+
+        def to_dev(b):
+            return b
 
     ivals = None
     if intervals:
@@ -58,7 +80,6 @@ def relationship(input_path: str, output: str = "-", block_rows: int = 512,
         return any(iv.rid == rec.rid and iv.start <= rec.pos <= iv.end
                    for iv in ivals)
 
-    kin = jnp.zeros((n_samples, n_samples), jnp.int32)
     n_variants = 0
     buf = np.zeros((block_rows, n_samples), np.int8)
     fill = 0
@@ -75,11 +96,11 @@ def relationship(input_path: str, output: str = "-", block_rows: int = 512,
             fill += 1
             n_variants += 1
             if fill == block_rows:
-                kin = accum(kin, jnp.asarray(buf))
+                kin = accum(kin, to_dev(buf))
                 fill = 0
     if fill:
         buf[fill:] = 0
-        kin = accum(kin, jnp.asarray(buf))
+        kin = accum(kin, to_dev(buf))
     reader.close()
 
     kin = np.asarray(kin).astype(np.float64)
@@ -95,9 +116,16 @@ def relationship(input_path: str, output: str = "-", block_rows: int = 512,
         else:
             stream = open(output, "w")
             close = True
-    for i in range(n_samples):
-        stream.write("\t".join(f"{kin[i, j]:.6g}"
-                               for j in range(n_samples)) + "\n")
+    # one %.6g format per cell in Python costs minutes at 2,504^2
+    # cells; the native LD row formatter's fmt_g6 is the same %.6g
+    from ..native import format_g6_matrix
+    rows = format_g6_matrix(kin)
+    if rows is not None:
+        stream.write(rows)
+    else:
+        for i in range(n_samples):
+            stream.write("\t".join(f"{kin[i, j]:.6g}"
+                                   for j in range(n_samples)) + "\n")
     if close:
         stream.close()
     log("LOG", f"Kinship over {pretty_int(n_variants)} sites x "
