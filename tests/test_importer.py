@@ -132,3 +132,37 @@ def test_import_unphased_and_gz(tmp_path):
     with TwkReader(out) as r:
         rec = next(r.records())
         assert not rec.gt_phase
+
+
+def test_undeclared_contig_archive_is_consistent(tmp_path):
+    """Body lines on a contig the VCF header never declared: the
+    importer appends an implicit contig, and the written archive's
+    header must resolve the records' rids (the header is written before
+    the blocks, so the writer rebuilds it at close when it grew)."""
+    vcf = str(tmp_path / "u.vcf")
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n"
+                 "##contig=<ID=1,length=1000000>\n"
+                 '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(f"s{i}" for i in range(8)) + "\n")
+        for contig, base in (("1", 100), ("chrX", 500)):
+            for k in range(6):
+                gts = "\t".join("0|1" if (k + j) % 3 else "1|1"
+                                for j in range(8))
+                fh.write(f"{contig}\t{base + 40 * k}\t.\tA\tC\t9\tPASS"
+                         f"\t.\tGT\t{gts}\n")
+    twk = str(tmp_path / "u.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=4))
+    with TwkReader(twk) as r:
+        names = [c.name for c in r.header.contigs]
+        assert "chrX" in names
+        recs = list(r.records())
+        assert len(recs) == 12
+        rids = sorted({x.rid for x in recs})
+        for rid in rids:
+            assert 0 <= rid < len(names)
+        assert names[recs[-1].rid] == "chrX"
+        # per-contig rollups cover the implicit contig too
+        metas = [m for m in r.index.ent_meta if m.nn > 0]
+        assert len(metas) == 2

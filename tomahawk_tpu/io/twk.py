@@ -160,10 +160,11 @@ class TwkWriter:
         self._fh = open(path, "wb")
         self._cctx = zstandard.ZstdCompressor(level=c_level)
         self._fh.write(TWK_MAGIC)
-        hdr_buf = header.serialize()
-        comp = self._cctx.compress(hdr_buf)
-        self._fh.write(struct.pack("<QQ", len(hdr_buf), len(comp)))
+        self._hdr_unc = header.serialize()
+        comp = self._cctx.compress(self._hdr_unc)
+        self._fh.write(struct.pack("<QQ", len(self._hdr_unc), len(comp)))
         self._fh.write(comp)
+        self._data_start = self._fh.tell()
 
     def write_block(self, blk: Twk1Block):
         if blk.n == 0:
@@ -186,6 +187,13 @@ class TwkWriter:
         self.index.add(ent)
 
     def close(self):
+        # The header was serialized at open (the reference's layout puts
+        # it before the blocks, importer.cpp:83-98); if the import
+        # appended implicit contigs since (body lines on contigs the VCF
+        # header never declared), the stored header could not resolve
+        # the records' rids -- rewrite the file around the grown header.
+        if self.header.serialize() != self._hdr_unc:
+            self._rewrite_header()
         idx_buf = self.index.serialize()
         comp = self._cctx.compress(idx_buf)
         index_offset = self._fh.tell()
@@ -195,6 +203,42 @@ class TwkWriter:
         self._fh.write(struct.pack("<Q", index_offset))
         self._fh.write(FILE_EOF)
         self._fh.close()
+
+    def _rewrite_header(self):
+        import os
+        tmp = self.path + ".hdrfix"
+        self._fh.flush()
+        with open(self.path, "rb") as src, open(tmp, "wb") as dst:
+            dst.write(TWK_MAGIC)
+            hdr_buf = self.header.serialize()
+            comp = zstandard.ZstdCompressor(
+                level=self.c_level).compress(hdr_buf)
+            dst.write(struct.pack("<QQ", len(hdr_buf), len(comp)))
+            dst.write(comp)
+            new_start = dst.tell()
+            src.seek(self._data_start)
+            while True:
+                chunk = src.read(1 << 22)
+                if not chunk:
+                    break
+                dst.write(chunk)
+        delta = new_start - self._data_start
+        for ent in self.index.ent:
+            ent.foff += delta
+            ent.fend += delta
+        # rebuild the per-contig rollups: they were sized for the
+        # original contig count, so implicit-contig blocks were skipped
+        from .index import IndexEntryMeta
+        self.index.ent_meta = [IndexEntryMeta()
+                               for _ in range(self.header.n_contigs)]
+        for ent in self.index.ent:
+            if 0 <= ent.rid < len(self.index.ent_meta):
+                self.index.ent_meta[ent.rid].add(ent)
+        self._fh.close()
+        os.replace(tmp, self.path)
+        self._fh = open(self.path, "ab")
+        self._hdr_unc = self.header.serialize()
+        self._data_start = new_start
 
     def __enter__(self):
         return self

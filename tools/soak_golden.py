@@ -135,6 +135,8 @@ def compare(ours, ref, cfg, two_n, codes=None):
     drop = tie | halfway
     if drop.any():
         a, b = a[~drop], b[~drop]
+    if not len(a):
+        return          # every record was a pinned knife edge
     for f in a.dtype.names:
         va, vb = a[f], b[f]
         if f == "ChiSqModel":
