@@ -143,6 +143,8 @@ def compare(ours, ref, cfg, two_n, codes=None):
             unphased = (b["controller"] & 1) == 0
             assert (np.atleast_1d(vb)[unphased] == 0).all()
             va, vb = va[~unphased], vb[~unphased]
+        if len(np.atleast_1d(va)) == 0:
+            continue        # e.g. ChiSqModel on an all-unphased trial
         if va.dtype.kind == "f":
             # cnt carries 2n-scaled haplotype frequencies, and the
             # reference itself accepts EM roots within +-1e-5 in
