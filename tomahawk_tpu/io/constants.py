@@ -30,6 +30,9 @@ FLAG_LONG_RANGE = 1 << 2
 FLAG_COMPLETE_LD = 1 << 3
 FLAG_PERFECT_LD = 1 << 4
 FLAG_MULTIPLE_ROOTS = 1 << 5
+# bits 6-7 are vestigial in the reference too: nothing ever sets them
+# (its -S sampling / fast mode is disabled at include/core.h:777-779);
+# defined here so flag masks round-trip, never produced
 FLAG_FAST_MODE = 1 << 6
 FLAG_SAMPLED = 1 << 7
 FLAG_MISSING_A = 1 << 8
