@@ -27,18 +27,23 @@ def stats_two(path: str, bins: int = 10, out=None):
     cmatrix = np.zeros((n_contigs, n_contigs), np.int64)
 
     for recs in r.blocks():
+        # bincount, not np.add.at: ufunc.at is an order of magnitude
+        # slower for dense histogram accumulation
         b = np.clip((recs["R2"] * 100).astype(np.int64), 0, 100)
-        np.add.at(r2_sum, b, recs["R2"])
-        np.add.at(r2_cnt, b, 1)
+        r2_sum += np.bincount(b, weights=recs["R2"], minlength=101)
+        r2_cnt += np.bincount(b, minlength=101)
         for j in range(16):
             flag_cnt[j] += int(((recs["controller"] &
                                  (1 << j)) != 0).sum())
         for c in range(4):
             v = np.clip(recs["cnt"][:, c].astype(np.int64), 0, two_n - 1)
-            np.add.at(hap_hist[c], v, 1)
-        np.add.at(cmatrix,
-                  (np.clip(recs["ridA"], 0, n_contigs - 1).astype(int),
-                   np.clip(recs["ridB"], 0, n_contigs - 1).astype(int)), 1)
+            hap_hist[c] += np.bincount(v, minlength=two_n)
+        flat = (np.clip(recs["ridA"], 0, n_contigs - 1).astype(np.int64)
+                * n_contigs
+                + np.clip(recs["ridB"], 0, n_contigs - 1))
+        cmatrix += np.bincount(
+            flat, minlength=n_contigs * n_contigs
+        ).reshape(n_contigs, n_contigs)
     r.close()
 
     for i in range(101):
