@@ -129,6 +129,11 @@ def get_lib():
         lib.twk_format_g6_matrix.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.twk_format_decay.restype = ctypes.c_int64
+        lib.twk_format_decay.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.twk_gather_rows.restype = ctypes.c_int64
         lib.twk_gather_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -485,6 +490,30 @@ def format_g6_matrix(mat: np.ndarray) -> str:
         if nb >= 0:
             return out[:nb].tobytes().decode()
         cap *= 2
+
+
+def format_decay_rows(rid: np.ndarray, pos: np.ndarray, n: np.ndarray,
+                      mean: np.ndarray) -> str:
+    """positional-decay text rows "rid\tpos\tn\tmean" with %.6f means
+    (twk_format_decay). Returns None if the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rid = np.ascontiguousarray(rid, np.int64)
+    pos = np.ascontiguousarray(pos, np.int64)
+    n = np.ascontiguousarray(n, np.int64)
+    mean = np.ascontiguousarray(mean, np.float64)
+    cap = len(rid) * 96 + 64
+    out = np.empty(cap, np.uint8)
+    nb = lib.twk_format_decay(
+        rid.ctypes.data_as(ctypes.c_void_p),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        n.ctypes.data_as(ctypes.c_void_p),
+        mean.ctypes.data_as(ctypes.c_void_p), len(rid),
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if nb < 0:
+        return None
+    return out[:nb].tobytes().decode()
 
 
 def gather_rows(arr: np.ndarray, idx: np.ndarray):

@@ -1290,6 +1290,27 @@ int64_t twk_format_g6_matrix(const double* m, int64_t R, int64_t C,
     return p - (char*)out;
 }
 
+// Positional-decay row rendering: "rid\tpos\tn\tmean(%.6f)\n" per
+// row (the reference prints these cell-by-cell via ostream,
+// lib/two_reader.cpp:477-541).  Returns bytes or -1 on overflow.
+int64_t twk_format_decay(const int64_t* rid, const int64_t* pos,
+                         const int64_t* n, const double* mean,
+                         int64_t rows, uint8_t* out, int64_t out_cap) {
+    char* p = (char*)out;
+    char* const end = (char*)out + out_cap;
+    for (int64_t i = 0; i < rows; ++i) {
+        if (p + 96 > end) return -1;
+        p = fmt_u64(p, (uint64_t)rid[i]); *p++ = '\t';
+        p = fmt_u64(p, (uint64_t)pos[i]); *p++ = '\t';
+        p = fmt_u64(p, (uint64_t)n[i]);   *p++ = '\t';
+        auto r = std::to_chars(p, p + 64, mean[i],
+                               std::chars_format::fixed, 6);
+        p = r.ptr;
+        *p++ = '\n';
+    }
+    return p - (char*)out;
+}
+
 // Permutation gather of fixed-size rows: out[k] = base[idx[k]].  The
 // external sort permutes 106-byte .two records by the sort order;
 // numpy's fancy indexing on structured dtypes walks field descriptors

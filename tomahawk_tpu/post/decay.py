@@ -74,31 +74,51 @@ def positional_decay(path: str, out=None, intervals=None):
         tot = np.bincount(run_id[use], weights=pos_b[use],
                           minlength=n_runs)
 
+        g_rid = rid[starts]
+        g_pos = pos_a[starts]
         first = 0
         if carry is not None:
-            if (carry[0], carry[1]) == (int(rid[0]), int(pos_a[0])):
+            if (carry[0], carry[1]) == (int(g_rid[0]), int(g_pos[0])):
                 # block starts inside the carried run: fold run 0 in
                 carry[2] += int(cnt[0])
                 carry[3] += float(tot[0])
                 first = 1
                 if n_runs == 1:
                     continue   # whole block is one run; keep carrying
-            groups.append(carry)
-        for k in range(first, n_runs - 1):
-            groups.append([int(rid[starts[k]]), int(pos_a[starts[k]]),
-                           int(cnt[k]), float(tot[k])])
+            groups.append(np.array([[carry[0], carry[1], carry[2],
+                                     carry[3]]], np.float64))
+            carry = None
+        # all complete runs of this block as one [K, 4] chunk; the last
+        # run stays open in `carry` (it may continue into the next block)
         k = n_runs - 1
-        carry = [int(rid[starts[k]]), int(pos_a[starts[k]]),
-                 int(cnt[k]), float(tot[k])]
+        carry = [int(g_rid[k]), int(g_pos[k]), int(cnt[k]),
+                 float(tot[k])]
+        if k > first:
+            groups.append(np.stack(
+                [g_rid[first:k], g_pos[first:k], cnt[first:k],
+                 tot[first:k]], axis=1).astype(np.float64))
     if carry is not None:
-        groups.append(carry)
+        groups.append(np.array([[carry[0], carry[1], carry[2],
+                                 carry[3]]], np.float64))
     r.close()
-    lines = []
-    for rid, pos, n, tot in groups:
-        mean_off = (tot / n - pos) if n else -float(pos)
-        lines.append(f"{rid}\t{pos}\t{n}\t{mean_off:.6f}\n")
-        if len(lines) >= 65536:
-            out.write("".join(lines))
-            lines = []
-    out.write("".join(lines))
-    return groups
+    g = (np.concatenate(groups) if groups
+         else np.zeros((0, 4), np.float64))
+    rid_c, pos_c, n_c, tot_c = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+    mean_off = np.where(n_c > 0, tot_c / np.maximum(n_c, 1) - pos_c,
+                        -pos_c)
+    from ..native import format_decay_rows
+    txt = format_decay_rows(rid_c.astype(np.int64),
+                            pos_c.astype(np.int64),
+                            n_c.astype(np.int64), mean_off)
+    if txt is not None:
+        out.write(txt)
+    else:
+        lines = []
+        for i in range(len(g)):
+            lines.append(f"{int(rid_c[i])}\t{int(pos_c[i])}\t"
+                         f"{int(n_c[i])}\t{mean_off[i]:.6f}\n")
+            if len(lines) >= 65536:
+                out.write("".join(lines))
+                lines = []
+        out.write("".join(lines))
+    return g          # [K, 4] float64: rid, pos, n, sum_bpos per group
