@@ -141,3 +141,78 @@ def test_gzip_input_chunked(tmp_path):
     a, _ = _records(vcf, tmp_path, "plain", threshold_miss=0.5)
     b, _ = _records(gz, tmp_path, "gz", threshold_miss=0.5)
     _eq(a, b)
+
+
+def test_randomized_irregular_lines(tmp_path):
+    """Randomized soak of the batch importer: body lines drawn from a
+    mix of clean, subfield, missing, multiallelic, non-SNP, haploid,
+    duplicate-position and no-GT shapes must produce exactly the plain
+    single-site path's records, for several seeds."""
+    import tomahawk_tpu.io.importer as imp
+    from tomahawk_tpu.io.vcf import VcfReader
+
+    rng = np.random.default_rng(2026)
+    n = 9
+
+    def line(contig, pos, kind):
+        if kind == "clean":
+            gts = "\t".join(f"{rng.integers(0, 2)}|{rng.integers(0, 2)}"
+                            for _ in range(n))
+            return f"{contig}\t{pos}\t.\tA\tC\t9\tPASS\t.\tGT\t{gts}"
+        if kind == "subfield":
+            gts = "\t".join(
+                f"{rng.integers(0, 2)}/{rng.integers(0, 2)}:"
+                f"{rng.integers(0, 99)}" for _ in range(n))
+            return f"{contig}\t{pos}\t.\tG\tT\t9\tPASS\t.\tGT:DP\t{gts}"
+        if kind == "missing":
+            gts = "\t".join("./." if rng.random() < 0.4 else
+                            f"{rng.integers(0, 2)}|{rng.integers(0, 2)}"
+                            for _ in range(n))
+            return f"{contig}\t{pos}\t.\tT\tG\t9\tPASS\t.\tGT\t{gts}"
+        if kind == "multi":
+            gts = "\t".join(f"{rng.integers(0, 3)}|{rng.integers(0, 3)}"
+                            for _ in range(n))
+            return f"{contig}\t{pos}\t.\tA\tC,G\t9\tPASS\t.\tGT\t{gts}"
+        if kind == "nonsnp":
+            gts = "\t".join(f"{rng.integers(0, 2)}|{rng.integers(0, 2)}"
+                            for _ in range(n))
+            return f"{contig}\t{pos}\t.\tAT\tG\t9\tPASS\t.\tGT\t{gts}"
+        if kind == "haploid":
+            gts = "\t".join(str(rng.integers(0, 2)) if j == 0 else
+                            f"{rng.integers(0, 2)}|{rng.integers(0, 2)}"
+                            for j in range(n))
+            return f"{contig}\t{pos}\t.\tA\tG\t9\tPASS\t.\tGT\t{gts}"
+        return f"{contig}\t{pos}\t.\tA\tG\t9\tPASS\t.\tDP\t" + \
+            "\t".join(str(rng.integers(0, 60)) for _ in range(n))
+
+    kinds = ["clean", "clean", "clean", "subfield", "missing", "multi",
+             "nonsnp", "haploid", "nogt"]
+    for trial in range(4):
+        lines = []
+        pos = 50
+        for contig in ("1", "2"):
+            for _ in range(40):
+                pos += int(rng.integers(1, 60))
+                k = kinds[rng.integers(0, len(kinds))]
+                lines.append(line(contig, pos, k))
+                if rng.random() < 0.15:     # duplicate position
+                    lines.append(line(contig, pos, "clean"))
+        vcf = str(tmp_path / f"r{trial}.vcf")
+        _vcf(vcf, lines, n)
+
+        chunked, st1 = _records(vcf, tmp_path, f"c{trial}",
+                                threshold_miss=0.5)
+
+        class PlainReader(VcfReader):
+            pass
+
+        orig = imp.VcfReader
+        imp.VcfReader = lambda path: PlainReader(path)
+        try:
+            plain, st2 = _records(vcf, tmp_path, f"p{trial}",
+                                  threshold_miss=0.5)
+        finally:
+            imp.VcfReader = orig
+        _eq(chunked, plain)
+        assert st1.filtered == st2.filtered, trial
+        assert st1.n_total == st2.n_total and st1.n_kept == st2.n_kept
