@@ -137,6 +137,42 @@ def test_auto_tile_rows():
         SimpleNamespace(window=True, l_window=10_000)) == 4096
 
 
+def test_calc_interval_slicing(tmp_path):
+    """calc -I loads only the index blocks overlapping the interval
+    (reference block granularity); with the interval aligned to block
+    boundaries the output equals the full run filtered to pairs whose
+    BOTH sides lie in the region."""
+    from tomahawk_tpu.io.two import TwoReader
+    vcf_path = str(tmp_path / "iv.vcf")
+    make_vcf(vcf_path, n_samples=26, n_sites=50, miss_frac=0.0, seed=6,
+             contigs=("20",))
+    twk = str(tmp_path / "iv.twk")
+    import_vcf(ImportSettings(input=vcf_path, output=twk, block_size=10))
+    with TwkReader(twk) as r:
+        ents = r.index.ent
+        lo = ents[1].minpos - 1        # blocks 1..3 exactly
+        hi = ents[3].maxpos - 1        # maxpos is right-non-inclusive
+    full = str(tmp_path / "full.two")
+    compute_ld(CalcSettings(input=twk, output=full, min_r2=0.0,
+                            min_p=1.0, force_phased=True, mesh="off"))
+    sub = str(tmp_path / "sub.two")
+    compute_ld(CalcSettings(input=twk, output=sub, min_r2=0.0,
+                            min_p=1.0, force_phased=True, mesh="off",
+                            intervals=[f"20:{lo + 1}-{hi + 1}"]))
+    with TwoReader(full) as r:
+        f = r.records()
+    with TwoReader(sub) as r:
+        s = r.records()
+    pa, pb = f["packA"] >> 2, f["packB"] >> 2
+    want = f[(pa >= lo) & (pa <= hi) & (pb >= lo) & (pb <= hi)]
+    assert len(s) == len(want) > 0
+
+    def key(x):
+        return np.sort((x["packA"].astype(np.uint64) << np.uint64(32))
+                       | x["packB"])
+    assert np.array_equal(key(s), key(want))
+
+
 def test_calc_chunking_covers_grid(tmp_path):
     """3 chunks must jointly produce exactly the full run's records."""
     vcf_path = str(tmp_path / "c.vcf")
