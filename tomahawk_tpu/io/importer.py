@@ -19,7 +19,7 @@ from .. import __version__
 from ..ops.hwe import hwe_exact
 from ..utils import log, pretty_int, Timer
 from .constants import BASE_MAP
-from .twk import Twk1Block, Twk1Record, TwkWriter
+from .twk import Twk1Record, TwkWriter
 from .vcf import VcfReader
 
 FILTER_NAMES = ["Invariant", "Missing threshold", "Insufficient samples",
