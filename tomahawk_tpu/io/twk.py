@@ -22,7 +22,7 @@ without missing is 2 bits (alleleA<<1 | alleleB); with missing it is
 
 import struct
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 import zstandard
