@@ -34,8 +34,8 @@ def decay(path: str, max_range: int = 10_000_000, n_bins: int = 1000,
         m = (recs["ridA"] == recs["ridB"]) & (pos_a < pos_b)
         d = pos_b[m] - pos_a[m]
         b = np.minimum(d // bin_w, n_bins - 1)
-        np.add.at(sums, b, recs["R2"][m])
-        np.add.at(cnts, b, 1)
+        sums += np.bincount(b, weights=recs["R2"][m], minlength=n_bins)
+        cnts += np.bincount(b, minlength=n_bins)
     r.close()
     out.write("From\tTo\tMean\tFrequency\n")
     for i in range(n_bins):
