@@ -680,8 +680,65 @@ int64_t twk_encode_codes(const uint8_t* codes, const uint8_t* phase,
 
 static const int TWK_META_N = 19;
 
-static int64_t twk_run_scan(const uint8_t* codes, int64_t n,
-                            uint8_t* syms, int32_t* lens);
+}  // templates below need C++ linkage
+// Single-pass run walker: invokes f(symbol, length) per run without
+// materializing a run list. Boundaries come from one cmpeq+movemask
+// per 32 samples between codes[i] and codes[i+1], so dense short runs
+// (common at 1000G-like MAF spectra: ~0.75 runs/sample) cost ~2 ops
+// per boundary instead of an overlapping vector load per run.
+template <class F>
+static inline void twk_walk_runs(const uint8_t* codes, int64_t n,
+                                 F&& f) {
+    if (n <= 0) return;
+    int64_t start = 0;
+    int64_t i = 0;
+#if defined(__AVX2__)
+    while (i + 33 <= n) {
+        const __m256i a = _mm256_loadu_si256(
+            (const __m256i*)(codes + i));
+        const __m256i b = _mm256_loadu_si256(
+            (const __m256i*)(codes + i + 1));
+        uint32_t neq = ~(uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(a, b));
+        while (neq) {
+            const int t = __builtin_ctz(neq);
+            const int64_t end = i + t + 1;
+            f(codes[start], end - start);
+            start = end;
+            neq &= neq - 1;
+        }
+        i += 32;
+    }
+#endif
+    for (int64_t j = i; j < n - 1; ++j) {
+        if (codes[j] != codes[j + 1]) {
+            f(codes[start], j + 1 - start);
+            start = j + 1;
+        }
+    }
+    f(codes[start], n - start);
+}
+
+// Emit pass of the fused RLE encoder (word type fixed at compile time
+// so the store is branch-free inside the run loop).
+template <class W>
+static inline int64_t twk_emit_runs(const uint8_t* codes, int64_t n,
+                                    int shift, uint64_t limit,
+                                    int miss, W* out) {
+    int64_t w = 0;
+    twk_walk_runs(codes, n, [&](uint8_t s, int64_t len) {
+        const uint64_t sym = miss ? s : (((uint64_t)(s >> 2) << 1)
+                                         | (s & 1u));
+        uint64_t run = (uint64_t)len;
+        while (run > 0) {
+            const uint64_t take = run > limit ? limit : run;
+            out[w++] = (W)((take << shift) | sym);
+            run -= take;
+        }
+    });
+    return w;
+}
+extern "C" {
 
 // Shared per-site finish for the bulk importers: stats from the code
 // histogram, RLE width from a SIMD run scan (predictable-branch loops
@@ -712,45 +769,38 @@ static int twk_finish_site(const uint8_t* codes, const uint8_t* phase,
     }
     const int32_t miss = m[15] > 0 ? 1 : 0;
 
-    const int64_t nr = twk_run_scan(codes, n_samples, rsyms, rlens);
+    // fused scan+assess: one boundary pass counts runs and the word
+    // totals each width would need, with no run list materialized
+    // (rsyms/rlens are unused; kept in the signature for callers)
+    (void)rsyms; (void)rlens;
     const int64_t lim1 = miss ? 15 : 63;
     const int64_t lim2 = miss ? 4095 : 16383;
-    int64_t c1 = nr, c2 = nr;
-    for (int64_t r = 0; r < nr; ++r) {
-        const int64_t len = rlens[r];
-        if (len > lim1) c1 += (len + lim1 - 1) / lim1 - 1;
-        if (len > lim2) c2 += (len + lim2 - 1) / lim2 - 1;
-    }
+    int64_t nr = 0, c1 = 0, c2 = 0;
+    twk_walk_runs(codes, n_samples, [&](uint8_t, int64_t len) {
+        ++nr;
+        c1 += len > lim1 ? (len + lim1 - 1) / lim1 : 1;
+        c2 += len > lim2 ? (len + lim2 - 1) / lim2 : 1;
+    });
     const int64_t b1 = c1, b2 = 2 * c2, b4 = 4 * nr;
     const int32_t width = (b1 <= b2 && b1 <= b4) ? 1
                           : (b2 <= b4 ? 2 : 4);
+    const int64_t want_words = width == 1 ? c1 : (width == 2 ? c2 : nr);
 
     runs_off = (runs_off + 3) & ~(int64_t)3;   // 4-byte aligned
+    if (want_words > (runs_cap - runs_off) / width) return -1;
     const int shift = 2 + 2 * miss;
     const uint64_t limit = (1ull << (8 * width - shift)) - 1ull;
     void* wout = runs_out + runs_off;
-    int64_t n_words = 0;
-    const int64_t wcap = (runs_cap - runs_off) / width;
-    for (int64_t r = 0; r < nr; ++r) {
-        const uint32_t sym = miss
-            ? rsyms[r]
-            : (((rsyms[r] >> 2) << 1) | (rsyms[r] & 1u));
-        uint64_t run = (uint64_t)rlens[r];
-        while (run > 0) {
-            const uint64_t take = run > limit ? limit : run;
-            if (n_words >= wcap) return -1;
-            const uint64_t w = (take << shift) | sym;
-            switch (width) {
-                case 1: ((uint8_t*)wout)[n_words] = (uint8_t)w; break;
-                case 2: ((uint16_t*)wout)[n_words] = (uint16_t)w;
-                        break;
-                default: ((uint32_t*)wout)[n_words] = (uint32_t)w;
-                        break;
-            }
-            ++n_words;
-            run -= take;
-        }
-    }
+    int64_t n_words;
+    if (width == 1)
+        n_words = twk_emit_runs(codes, n_samples, shift, limit, miss,
+                                (uint8_t*)wout);
+    else if (width == 2)
+        n_words = twk_emit_runs(codes, n_samples, shift, limit, miss,
+                                (uint16_t*)wout);
+    else
+        n_words = twk_emit_runs(codes, n_samples, shift, limit, miss,
+                                (uint32_t*)wout);
 
     // phase uniformity without early exit (branchless sweep;
     // "called" matches twk_encode_codes: allele B not missing)
@@ -771,42 +821,6 @@ static int twk_finish_site(const uint8_t* codes, const uint8_t* phase,
     m[10] = runs_off;
     *runs_off_p = runs_off + n_words * width;
     return 0;
-}
-
-// Decompose codes into (symbol, length) runs. The naive per-byte walk
-// mispredicts on every boundary (~1 per 1.3 samples on common
-// variants); this scan finds each boundary with one 32-byte
-// compare+movemask, so long runs skip 32 at a time and short runs cost
-// a handful of predictable ops.
-static int64_t twk_run_scan(const uint8_t* codes, int64_t n,
-                            uint8_t* syms, int32_t* lens) {
-    int64_t i = 0, nr = 0;
-    while (i < n) {
-        const uint8_t c = codes[i];
-        int64_t j = i + 1;
-#if defined(__AVX2__)
-        const __m256i vc = _mm256_set1_epi8((char)c);
-        while (j + 32 <= n) {
-            const uint32_t eq = (uint32_t)_mm256_movemask_epi8(
-                _mm256_cmpeq_epi8(
-                    _mm256_loadu_si256((const __m256i*)(codes + j)), vc));
-            const uint32_t neq = ~eq;
-            if (neq) { j += __builtin_ctz(neq); break; }
-            j += 32;
-        }
-        if (j < n && codes[j] == c) {
-            // ran into the < 32-byte tail without finding a boundary
-            while (j < n && codes[j] == c) ++j;
-        }
-#else
-        while (j < n && codes[j] == c) ++j;
-#endif
-        syms[nr] = c;
-        lens[nr] = (int32_t)(j - i);
-        ++nr;
-        i = j;
-    }
-    return nr;
 }
 
 extern "C" int64_t twk_import_chunk(
