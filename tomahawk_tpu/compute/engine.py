@@ -90,6 +90,12 @@ class CalcSettings:
     coordinator: str = ""        # host:port; "" = jax auto-detect
     num_processes: int = -1      # -1 = auto
     process_id: int = -1         # -1 = auto
+    # per-tile kernel backend: "pallas" fuses unpack + MXU contractions
+    # + prefilter epilogue in one VMEM pass (ops/pallas_tiles.py);
+    # "xla" is the dot+fused-elementwise path (ops/ld_kernels.py).
+    # "auto" = pallas on TPU, xla elsewhere (pallas does not lower on
+    # CPU, and the samples-sharded mesh needs the XLA psum path).
+    tile_backend: str = "auto"
 
 
 @dataclass
@@ -344,10 +350,21 @@ class LdEngine:
             n_tiles=0, n_cand=0, n_pass=0, n_records=0,
             count_s=0.0, extract_s=0.0, math_s=0.0))
 
+    def _resolve_backend(self) -> str:
+        b = getattr(self.settings, "tile_backend", "auto")
+        if b != "auto":
+            return b
+        if self.mesh is not None and "samples" in self.mesh.shape \
+                and self.mesh.shape["samples"] > 1:
+            return "xla"          # prefilter needs psum-global counts
+        plat = list(self._jnp.zeros(0).devices())[0].platform
+        return "pallas" if plat == "tpu" else "xla"
+
     def _cfg(self, table, has_missing, cls):
         return self.sweeps.make_cfg(
             table, has_missing, cls, self.B, self.n_samples, self.window,
-            self.settings.min_r2, self.settings.max_r2)
+            self.settings.min_r2, self.settings.max_r2,
+            backend=self._resolve_backend())
 
     def _extract_fn(self, table, has_missing, cls, cap, outcap):
         key = (table, has_missing, cls, cap, outcap)

@@ -87,7 +87,16 @@ def tile_prefilter(dev, i, j, diag, cfg):
     """(prefilter_mask, candidate_mask, parts) for one tile. parts are
     the raw [I, J] contractions; counts/tables are formed only as fused
     elementwise expressions (a materialized [I, J, 4] tensor would be
-    268 MB of HBM churn per 4096-row tile)."""
+    268 MB of HBM churn per 4096-row tile).
+
+    backend "pallas" routes the whole tile through the fused VMEM
+    kernel (ops/pallas_tiles.py) -- same outputs, ~half the HBM
+    traffic; "xla" (default) is the portable dot + fused-epilogue
+    path below."""
+    if cfg.get("backend") == "pallas" and cfg["psum_axis"] is None:
+        from ..ops import pallas_tiles as PT
+        if PT.supported(cfg, dev):
+            return PT.tile_prefilter_pallas(dev, i, j, diag, cfg)
     m = tile_mask(dev, i, j, diag, cfg["B"], cfg["window"], cfg["cls"])
     miss = cfg["has_missing"]
     if cfg["table"] == "phased":
@@ -196,10 +205,10 @@ def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
 
 def make_cfg(table: str, has_missing: bool, cls: str, B: int,
              n_samples: int, window: int, min_r2: float, max_r2: float,
-             psum_axis: str = None) -> dict:
+             psum_axis: str = None, backend: str = "xla") -> dict:
     return dict(table=table, has_missing=has_missing, cls=cls, B=B,
                 n_samples=n_samples, window=window, min_r2=min_r2,
-                max_r2=max_r2, psum_axis=psum_axis)
+                max_r2=max_r2, psum_axis=psum_axis, backend=backend)
 
 
 def jit_count_sweep(cfg):
