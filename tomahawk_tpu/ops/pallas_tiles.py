@@ -187,41 +187,39 @@ def _cells_2d(table, has_missing, parts, mi, mj, n_samples):
     return (T00, T01, T02, T10, T11, T12, T20, T21, T22)
 
 
-def _pair_mask_2d(mi, mj, diag, BM, BN, gi, gj, window, cls):
-    """In-kernel candidate mask; mirrors sweeps.tile_mask. Boolean
-    operands are explicitly broadcast to [BM, BN] first: Mosaic's
-    vector 'and' crashes on mixed ([BM,1] & [1,BN]) broadcast shapes
-    when the block is not lane-aligned."""
-    def bc(x):
-        return jnp.broadcast_to(x, (BM, BN))
+def _pair_mask_2d(mi, mj, BM, BN, window, cls):
+    """In-kernel candidate mask; mirrors sweeps.tile_mask EXCEPT the
+    diagonal upper-triangle rule, which the XLA wrapper applies to the
+    returned masks ('&' commutes): the diag flag is traced per tile and
+    any SMEM-scalar participation in vector ops crashes Mosaic's v5e
+    lowering. Metadata is broadcast to [BM, BN] as int32 BEFORE any
+    comparison -- int32 broadcasts and same-shape i1 logic are solid."""
+    def col(name):
+        c = _C[name]
+        return jnp.broadcast_to(mi[:, c:c + 1], (BM, BN))
 
-    m = bc(mi[:, _C["valid"]:_C["valid"] + 1] > 0) \
-        & bc(mj[_C["valid"]:_C["valid"] + 1, :] > 0)
-    m &= (mi[:, _C["ac"]:_C["ac"] + 1]
-          + mj[_C["ac"]:_C["ac"] + 1, :]) > 2
-    ii = gi * BM + jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0)
-    jj = gj * BN + jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1)
-    m &= jnp.where(diag > 0, ii < jj, True)
+    def row(name):
+        c = _C[name]
+        return jnp.broadcast_to(mj[c:c + 1, :], (BM, BN))
+
+    m = (col("valid") > 0) & (row("valid") > 0)
+    m &= (col("ac") + row("ac")) > 2
     if window > 0:
-        same = bc(mi[:, _C["rid"]:_C["rid"] + 1]
-                  == mj[_C["rid"]:_C["rid"] + 1, :])
-        dist = jnp.abs(mi[:, _C["pos"]:_C["pos"] + 1]
-                       - mj[_C["pos"]:_C["pos"] + 1, :])
-        m &= same & (dist <= window)
+        m &= (col("rid") == row("rid")) \
+            & (jnp.abs(col("pos") - row("pos")) <= window)
     if cls != "all":
-        clean = bc(mi[:, _C["an"]:_C["an"] + 1] == 0) \
-            & bc(mj[_C["an"]:_C["an"] + 1, :] == 0)
+        clean = (col("an") == 0) & (row("an") == 0)
         m &= clean if cls == "clean" else ~clean
     return m
 
 
 def _make_kernel(table, has_missing, cls, window, n_samples,
-                 min_r2, max_r2, BM, nb, nk, n_row_planes, interpret):
+                 min_r2, max_r2, BM, nk, n_row_planes, interpret):
     import jax.experimental.pallas as pl
 
     P = n_parts(table, has_missing)
 
-    def kernel(diag_ref, mi_ref, mj_ref, *refs):
+    def kernel(mi_ref, mj_ref, *refs):
         plane_refs, (mask_ref, parts_ref) = refs[:-2], refs[-2:]
         row_planes = [r[:] for r in plane_refs[:n_row_planes]]
         col_planes = [r[:] for r in plane_refs[n_row_planes:]]
@@ -246,10 +244,7 @@ def _make_kernel(table, has_missing, cls, window, n_samples,
             parts = [parts_ref[p] for p in range(P)]
             mi = mi_ref[:]
             mj = mj_ref[:]
-            gi = pl.program_id(0) if nb > 1 else jnp.int32(0)
-            gj = pl.program_id(1) if nb > 1 else jnp.int32(0)
-            m = _pair_mask_2d(mi, mj, diag_ref[0, 0], BM, BM, gi, gj,
-                              window, cls)
+            m = _pair_mask_2d(mi, mj, BM, BM, window, cls)
             cells = _cells_2d(table, has_missing, parts, mi, mj,
                               n_samples)
             if table == "phased":
@@ -279,8 +274,7 @@ def _build_call(table, has_missing, cls, window, n_samples, min_r2,
         raise ValueError(f"tile rows {B} not blockable")
 
     kernel = _make_kernel(table, has_missing, cls, window, n_samples,
-                          min_r2, max_r2, BM, B // BM, nk, nrp,
-                          interpret)
+                          min_r2, max_r2, BM, nk, nrp, interpret)
 
     grid = (B // BM, B // BM, nk)
     row_spec = pl.BlockSpec((BM, wk), lambda gi, gj, k: (gi, k),
@@ -291,8 +285,6 @@ def _build_call(table, has_missing, cls, window, n_samples, min_r2,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda gi, gj, k: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((BM, 8), lambda gi, gj, k: (gi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, BM), lambda gi, gj, k: (0, gj),
@@ -311,7 +303,7 @@ def _build_call(table, has_missing, cls, window, n_samples, min_r2,
         interpret=interpret,
     )
 
-    def run(diag, mi, mj, *planes):
+    def run(mi, mj, *planes):
         padded = []
         for key, pl_arr in zip(
                 list(plane_keys(table, has_missing)) * 2, planes):
@@ -320,7 +312,7 @@ def _build_call(table, has_missing, cls, window, n_samples, min_r2,
                 pl_arr = jnp.pad(pl_arr, ((0, 0), (0, wpad - W)),
                                  constant_values=np.uint32(fill))
             padded.append(pl_arr)
-        return call(diag, mi, mj, *padded)
+        return call(mi, mj, *padded)
 
     return run
 
@@ -365,8 +357,14 @@ def tile_prefilter_pallas(dev, i, j, diag, cfg, interpret=False):
     mj = jnp.pad(mj, ((0, 8 - mj.shape[0]), (0, 0)))
 
     planes = [dev[k][i] for k in keys] + [dev[k][j] for k in keys]
-    dg = jnp.asarray(diag, jnp.int32).reshape(1, 1)
-    mask, parts = call(dg, mi, mj, *planes)
-    m = mask >= 1
-    pf = mask >= 2
+    mask, parts = call(mi, mj, *planes)
+    # the diagonal upper-triangle rule is applied here, outside the
+    # kernel ('&' commutes past the prefilter): the traced diag scalar
+    # cannot participate in Mosaic vector ops (v5e lowering crash)
+    B = cfg["B"]
+    ii = jnp.arange(B, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(B, dtype=jnp.int32)[None, :]
+    tri = jnp.where(jnp.asarray(diag, bool), ii < jj, True)
+    m = (mask >= 1) & tri
+    pf = (mask >= 2) & tri
     return pf, m, tuple(parts[p] for p in range(parts.shape[0]))
