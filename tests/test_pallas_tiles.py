@@ -95,6 +95,36 @@ def test_plan_layout():
     assert wk % 128 == 0 or nk == 1
 
 
+def test_window_block_skip(monkeypatch):
+    """Multi-block grid where whole blocks fall outside the window:
+    the kernel skips their contractions but the mask must still match
+    the XLA path exactly (the skip is conservative)."""
+    monkeypatch.setenv("TWK_PALLAS_MAX_BM", "128")
+    rng = np.random.default_rng(3)
+    B, n_samples, window = 256, 100, 300
+    dev = _stacked_dev(rng, 2, B, n_samples, 0.0)
+    # positions 1000 apart: any pair of distinct 128-row blocks is
+    # > window apart, so off-diagonal blocks are dead
+    pos = (np.arange(B, dtype=np.int32) * 1000)[None, :].repeat(2, axis=0)
+    dev["pos"] = jnp.asarray(pos)
+    cfg = sweeps.make_cfg("phased", False, "all", B, n_samples, window,
+                          0.01, 100.0)
+    for (i, j, diag) in [(0, 0, True), (0, 1, False)]:
+        pf_x, m_x, parts_x = sweeps.tile_prefilter(
+            dev, jnp.int32(i), jnp.int32(j), jnp.asarray(diag), cfg)
+        pf_p, m_p, parts_p = PT.tile_prefilter_pallas(
+            dev, jnp.int32(i), jnp.int32(j), jnp.asarray(diag), cfg,
+            interpret=True)
+        assert np.array_equal(np.asarray(m_x), np.asarray(m_p))
+        assert np.array_equal(np.asarray(pf_x), np.asarray(pf_p))
+        # parts only compare where the mask is live (dead blocks skip
+        # the contraction and legitimately hold garbage)
+        live = np.asarray(m_p)
+        for px, pp in zip(parts_x, parts_p):
+            assert np.array_equal(np.asarray(px)[live],
+                                  np.asarray(pp)[live])
+
+
 def test_fused_sweep_pallas_backend():
     """The whole fused sweep (scan + compaction) over the pallas
     backend must produce the same survivor rows as the XLA backend."""

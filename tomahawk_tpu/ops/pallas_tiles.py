@@ -71,7 +71,9 @@ def plan_layout(B: int, W: int, n_unpacked: int, n_parts: int):
     # rules but its vector-bool lowering crashes on non-128-aligned
     # shapes (observed on v5e), so odd-sized tiles (runs smaller than
     # tile_rows) stay on the XLA path -- they are small and fast there
-    cands = [b for b in (512, 256, 128) if B % b == 0]
+    import os
+    max_bm = int(os.environ.get("TWK_PALLAS_MAX_BM", "512"))
+    cands = [b for b in (512, 256, 128) if B % b == 0 and b <= max_bm]
     for bm in cands:
         if ok(bm, W):
             return bm, 1, W, W
@@ -219,42 +221,87 @@ def _make_kernel(table, has_missing, cls, window, n_samples,
 
     P = n_parts(table, has_missing)
 
+    def _extrema(meta, sel):
+        """(lo, hi) scalars of metadata column `sel` over valid rows,
+        in whatever [BM,1] / [1,BM] orientation `meta` slices have."""
+        BIG = jnp.int32(2**30)
+        v = meta(_C["valid"]) > 0
+        x = meta(sel)
+        return (jnp.min(jnp.where(v, x, BIG)),
+                jnp.max(jnp.where(v, x, -BIG)))
+
+    def block_live(mi, mj):
+        """Scalar: can this [BM, BM] block contain an in-window pair?
+        Conservative test from per-block (rid, pos) extrema over valid
+        rows -- false only when NO same-contig pair within `window` can
+        exist, so skipping never changes results. The MXU dots and
+        parts writes are elided for dead blocks (their parts are never
+        gathered: the mask is zero there)."""
+        rowm = lambda c: mi[:, c:c + 1]
+        colm = lambda c: mj[c:c + 1, :]
+        ri_lo, ri_hi = _extrema(rowm, _C["rid"])
+        rj_lo, rj_hi = _extrema(colm, _C["rid"])
+        pi_lo, pi_hi = _extrema(rowm, _C["pos"])
+        pj_lo, pj_hi = _extrema(colm, _C["pos"])
+        any_pair = (ri_hi >= jnp.int32(0)) & (rj_hi >= jnp.int32(0))
+        rid_meet = (ri_lo <= rj_hi) & (rj_lo <= ri_hi)
+        # the pos gap test is only sound when both blocks sit on one
+        # shared contig; multi-contig blocks stay live
+        one_rid = (ri_lo == ri_hi) & (rj_lo == rj_hi) & (ri_lo == rj_lo)
+        far = (pj_lo - pi_hi > window) | (pi_lo - pj_hi > window)
+        return any_pair & rid_meet & jnp.logical_not(one_rid & far)
+
     def kernel(mi_ref, mj_ref, *refs):
         plane_refs, (mask_ref, parts_ref) = refs[:-2], refs[-2:]
-        row_planes = [r[:] for r in plane_refs[:n_row_planes]]
-        col_planes = [r[:] for r in plane_refs[n_row_planes:]]
         # size-1 grid dims can be elided by the pipeline; never emit
         # program_id for them
         k = pl.program_id(2) if nk > 1 else jnp.int32(0)
-        dots = _chunk_parts(table, has_missing, row_planes, col_planes,
-                            interpret)
 
-        @pl.when(k == 0)
-        def _():
-            for p in range(P):
-                parts_ref[p] = dots[p]
+        def body():
+            row_planes = [r[:] for r in plane_refs[:n_row_planes]]
+            col_planes = [r[:] for r in plane_refs[n_row_planes:]]
+            dots = _chunk_parts(table, has_missing, row_planes,
+                                col_planes, interpret)
 
-        @pl.when(k > 0)
-        def _():
-            for p in range(P):
-                parts_ref[p] = parts_ref[p] + dots[p]
+            @pl.when(k == 0)
+            def _():
+                for p in range(P):
+                    parts_ref[p] = dots[p]
 
-        @pl.when(k == nk - 1)
-        def _():
-            parts = [parts_ref[p] for p in range(P)]
-            mi = mi_ref[:]
-            mj = mj_ref[:]
-            m = _pair_mask_2d(mi, mj, BM, BM, window, cls)
-            cells = _cells_2d(table, has_missing, parts, mi, mj,
-                              n_samples)
-            if table == "phased":
-                pf = K.phased_prefilter_cells(cells, m, min_r2, max_r2)
-            else:
-                pf = K.unphased_prefilter_cells(cells, m, min_r2, max_r2)
-            # (no int8 adds: Mosaic has no i8 vector addi lowering)
-            mask_ref[:] = jnp.where(pf, jnp.uint8(2),
-                                    jnp.where(m, jnp.uint8(1),
-                                              jnp.uint8(0)))
+            @pl.when(k > 0)
+            def _():
+                for p in range(P):
+                    parts_ref[p] = parts_ref[p] + dots[p]
+
+            @pl.when(k == nk - 1)
+            def _():
+                parts = [parts_ref[p] for p in range(P)]
+                mi = mi_ref[:]
+                mj = mj_ref[:]
+                m = _pair_mask_2d(mi, mj, BM, BM, window, cls)
+                cells = _cells_2d(table, has_missing, parts, mi, mj,
+                                  n_samples)
+                if table == "phased":
+                    pf = K.phased_prefilter_cells(cells, m, min_r2,
+                                                  max_r2)
+                else:
+                    pf = K.unphased_prefilter_cells(cells, m, min_r2,
+                                                    max_r2)
+                # (no int8 adds: Mosaic has no i8 vector addi lowering)
+                mask_ref[:] = jnp.where(pf, jnp.uint8(2),
+                                        jnp.where(m, jnp.uint8(1),
+                                                  jnp.uint8(0)))
+
+        if window > 0:
+            live = block_live(mi_ref[:], mj_ref[:])
+
+            @pl.when((k == nk - 1) & jnp.logical_not(live))
+            def _():
+                mask_ref[:] = jnp.zeros((BM, BM), jnp.uint8)
+
+            pl.when(live)(body)
+        else:
+            body()
 
     return kernel
 
