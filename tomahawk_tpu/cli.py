@@ -68,6 +68,14 @@ def _add_calc(sub):
     p.add_argument("--mesh", default="auto",
                    help="device mesh: 'auto' (all local devices), "
                    "'off', or 'PxS' pairs-by-samples shape")
+    p.add_argument("--tile-rows", type=int, default=0,
+                   help="variants per super-block tile (0 = auto: 4096 "
+                   "all-vs-all; window mode sizes tiles to the window)")
+    p.add_argument("--tile-backend", default="auto",
+                   choices=("auto", "pallas", "xla"),
+                   help="per-tile kernel: 'pallas' fuses unpack + MXU "
+                   "contractions + prefilter in one VMEM pass; 'auto' "
+                   "= pallas on TPU, xla elsewhere")
     p.add_argument("-t", "--threads", type=int, default=0,
                    help="host threads for block unpacking (0 = all)")
     p.add_argument("-M", "--memory-gb", type=float, default=12.0,
@@ -97,6 +105,7 @@ def _cmd_calc(args):
         n_chunks=args.n_chunks, c_chunk=args.c_chunk,
         intervals=args.interval, b_size=args.b_size, c_level=args.c_level,
         performance=args.performance, mesh=args.mesh,
+        tile_rows=args.tile_rows, tile_backend=args.tile_backend,
         memory_gb=args.memory_gb, threads=args.threads,
         distributed=args.distributed, coordinator=args.coordinator,
         num_processes=args.num_processes, process_id=args.process_id)
