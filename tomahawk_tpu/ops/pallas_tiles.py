@@ -35,7 +35,6 @@ unphased cubic-EM estimators) -- see ops/ld_kernels.py for the math
 derivation notes.
 """
 
-from functools import partial
 
 import numpy as np
 

@@ -13,7 +13,6 @@ with the reference .twa (reference: lib/core.cpp:646-785).
 """
 
 import struct
-import sys
 from dataclasses import dataclass, field
 from typing import List
 

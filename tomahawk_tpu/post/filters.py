@@ -6,7 +6,7 @@ statistic, flag include/exclude masks, and the upper/lower triangular
 selectors. Filters operate vectorized on structured record arrays.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -11,7 +11,6 @@ with a pure-Python fallback.
 import sys
 from typing import Optional
 
-import numpy as np
 
 from ..io.two import TwoReader, TwoWriter
 from .filters import TwoFilter
