@@ -402,7 +402,10 @@ def unphased_prefilter_cells(cells, pair_mask, min_r2: float,
     r2_max = jnp.where(pos, dmax * dmax / denom_s, jnp.float32(np.inf))
     em_ok = (r2_min <= hi) & (r2_max >= lo)
 
-    return m & jnp.where(ndh == 0, fold_ok, em_ok)
+    # boolean logic, not where-over-bools: a select producing i1 hits
+    # Mosaic's "unsupported target bitwidth for truncation" in-kernel
+    no_dh = ndh == 0
+    return m & ((no_dh & fold_ok) | (~no_dh & em_ok))
 
 
 def unphased_prefilter_mask(T, pair_mask, min_r2: float, max_r2: float):

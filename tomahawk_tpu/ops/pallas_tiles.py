@@ -12,8 +12,9 @@ This kernel keeps everything on-chip per [BM, BM] block:
   packed uint32 planes --DMA--> VMEM --unpack--> int8 lanes
       --MXU dots--> int32 parts (VMEM) --VPU epilogue--> mask
 
-and writes only the final mask (u8: 0 = not a candidate, 1 = candidate,
-2 = survivor) plus the int32 parts (still needed as survivor payload).
+and writes only the final mask (i32: 0 = not a candidate, 1 =
+candidate, 2 = survivor) plus the int32 parts (still needed as
+survivor payload).
 The prefilter math is the *same jnp code* as the XLA path
 (ld_kernels.phased_prefilter_cells / unphased_prefilter_cells), traced
 into the kernel, so survivor sets are identical by construction.
@@ -133,10 +134,14 @@ def _chunk_parts(table, has_missing, row_planes, col_planes, interpret):
     sweeps.payload_cols / engine._*_from_parts."""
     if table == "phased":
         if has_missing:
-            a, ma = (_unpack(p, interpret) for p in row_planes)
-            b, mb = (_unpack(p, interpret) for p in col_planes)
-            va = (1 - ma).astype(jnp.int8)
-            vb = (1 - mb).astype(jnp.int8)
+            # valid = NOT missing, inverted at the packed-word level:
+            # unpack(~miss) == 1 - unpack(miss) per bit, and Mosaic has
+            # no i8 vector subi lowering (padding words are filled with
+            # all-ones for miss_bits, so padded lanes stay invalid)
+            a = _unpack(row_planes[0], interpret)
+            va = _unpack(~row_planes[1], interpret)
+            b = _unpack(col_planes[0], interpret)
+            vb = _unpack(~col_planes[1], interpret)
             return [_dot(a, b), _dot(a, vb), _dot(va, b), _dot(va, vb)]
         (a,) = (_unpack(p, interpret) for p in row_planes)
         (b,) = (_unpack(p, interpret) for p in col_planes)
@@ -286,17 +291,20 @@ def _make_kernel(table, has_missing, cls, window, n_samples,
                 else:
                     pf = K.unphased_prefilter_cells(cells, m, min_r2,
                                                     max_r2)
-                # (no int8 adds: Mosaic has no i8 vector addi lowering)
-                mask_ref[:] = jnp.where(pf, jnp.uint8(2),
-                                        jnp.where(m, jnp.uint8(1),
-                                                  jnp.uint8(0)))
+                # mask stays int32: selects over 8-bit values need the
+                # (32,128) i1 tiling, and Mosaic cannot relayout the
+                # (8,128) masks that int32 compares produce into it
+                # (Invalid relayout crash observed at BM=256/512)
+                mask_ref[:] = jnp.where(pf, jnp.int32(2),
+                                        jnp.where(m, jnp.int32(1),
+                                                  jnp.int32(0)))
 
         if window > 0:
             live = block_live(mi_ref[:], mj_ref[:])
 
             @pl.when((k == nk - 1) & jnp.logical_not(live))
             def _():
-                mask_ref[:] = jnp.zeros((BM, BM), jnp.uint8)
+                mask_ref[:] = jnp.zeros((BM, BM), jnp.int32)
 
             pl.when(live)(body)
         else:
@@ -343,7 +351,7 @@ def _build_call(table, has_missing, cls, window, n_samples, min_r2,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, B), jnp.uint8),
+            jax.ShapeDtypeStruct((B, B), jnp.int32),
             jax.ShapeDtypeStruct((P, B, B), jnp.int32),
         ],
         interpret=interpret,
