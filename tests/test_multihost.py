@@ -28,22 +28,26 @@ def _worker_env():
     return env
 
 
-def test_two_process_distributed_calc(tmp_path):
+@pytest.mark.parametrize("n_sites", [120, 12])
+def test_two_process_distributed_calc(tmp_path, n_sites):
     """End-to-end: `compute_ld(distributed=True)` under a 2-process CPU
     rendezvous; concat of the per-process shards must equal the
     single-process output as a record multiset (VERDICT round-1 item 6:
-    production multi-host calc, not just the count sweep)."""
+    production multi-host calc, not just the count sweep). The 12-site
+    variant has a SINGLE tile, so process 1 draws an empty partition
+    and must still write a valid empty shard and join the barrier."""
     import numpy as np
     import jax
     from test_importer import make_vcf
     from tomahawk_tpu.io.importer import ImportSettings, import_vcf
     from tomahawk_tpu.io.two import TwoReader
     from tomahawk_tpu.compute.engine import CalcSettings, compute_ld
-    from tomahawk_tpu.post.concat import concat_two
+    from tomahawk_tpu.parallel import merge_shards, shard_paths
+    from tomahawk_tpu.post.sort import sort_two
 
     vcf = str(tmp_path / "in.vcf")
-    make_vcf(vcf, n_samples=32, n_sites=120, seed=21, miss_frac=0.03,
-             contigs=("20", "21"))
+    make_vcf(vcf, n_samples=32, n_sites=n_sites, seed=21, miss_frac=0.03,
+             contigs=("20", "21") if n_sites > 16 else ("20",))
     twk = str(tmp_path / "in.twk")
     import_vcf(ImportSettings(input=vcf, output=twk, block_size=16))
 
@@ -73,9 +77,14 @@ def test_two_process_distributed_calc(tmp_path):
         assert f"DIST_CALC_OK proc={pid}" in out, \
             f"worker {pid} failed:\n{out[-3000:]}"
 
-    shards = [f"{out_base}.p{p}of2.two" for p in (0, 1)]
+    # fold the shards with the production merge helper; a position-sort
+    # of the single-process output must match record-for-record
+    shards = shard_paths(out_base + ".two", 2)
+    assert all(os.path.exists(s) for s in shards)
     merged = str(tmp_path / "merged.two")
-    concat_two(shards, merged)
+    n_merged = merge_shards(f"{out_base}.p*of2.two", merged)  # glob form
+    single_sorted = str(tmp_path / "single.sorted.two")
+    sort_two(single, single_sorted)
 
     def multiset(path):
         recs = TwoReader(path).records()
@@ -83,8 +92,8 @@ def test_two_process_distributed_calc(tmp_path):
                             recs["packA"], recs["ridB"], recs["ridA"]))
         return recs[order]
 
-    a, b = multiset(single), multiset(merged)
-    assert len(a) == len(b) and len(a) > 0
+    a, b = multiset(single_sorted), multiset(merged)
+    assert len(a) == len(b) == n_merged and len(a) > 0
     for f in a.dtype.names:
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
 

@@ -358,7 +358,8 @@ class LdEngine:
                 and self.mesh.shape["samples"] > 1:
             return "xla"          # prefilter needs psum-global counts
         plat = list(self._jnp.zeros(0).devices())[0].platform
-        return "pallas" if plat == "tpu" else "xla"
+        # the tunneled v5e plugin reports platform "axon", not "tpu"
+        return "pallas" if plat in ("tpu", "axon") else "xla"
 
     def _cfg(self, table, has_missing, cls):
         return self.sweeps.make_cfg(
@@ -648,56 +649,14 @@ def _plan_loads(super_ids, pairs, budget_supers: int):
     return bands, [((p, q), by_pair[(p, q)]) for p, q in sorted(by_pair)]
 
 
-def _resolve_mesh(spec: str, local_only: bool = False):
-    """CalcSettings.mesh -> jax Mesh or None. 'auto' shards the tile
-    grid over all visible devices (pairs axis) when there is more than
-    one; 'PxS' builds an explicit ('pairs', 'samples') mesh. In
-    distributed mode each process meshes only its LOCAL devices: the
-    pairs axis needs no cross-host collectives (tiles are independent),
-    so inter-host scaling is the static tile partition."""
-    if spec in ("off", "", None):
-        return None
-    import jax
-    from ..parallel.mesh import make_mesh
-    platform = None
-    if ":" in spec:   # e.g. "cpu:4x2" pins the mesh platform
-        platform, _, spec = spec.partition(":")
-    if platform:
-        devices = jax.devices(platform)
-    else:
-        devices = jax.local_devices() if local_only else jax.devices()
-    n_dev = len(devices)
-    if spec == "auto":
-        return make_mesh(n_dev, 1, devices=devices) if n_dev > 1 else None
-    p, _, s = spec.partition("x")
-    n_p, n_s = int(p), int(s) if s else 1
-    return make_mesh(n_p, n_s, devices=devices[:n_p * n_s])
-
-
-def _init_distributed(settings: CalcSettings):
-    """jax.distributed rendezvous; returns (process_id, n_processes).
-    Must run before any other JAX use in the process."""
-    import jax
-    kw = {}
-    if settings.coordinator:
-        kw["coordinator_address"] = settings.coordinator
-    if settings.num_processes > 0:
-        kw["num_processes"] = settings.num_processes
-    if settings.process_id >= 0:
-        kw["process_id"] = settings.process_id
-    jax.distributed.initialize(**kw)
-    p, n = jax.process_index(), jax.process_count()
-    log("LOG", f"Distributed: process {p}/{n}, "
-        f"{jax.local_device_count()} local device(s) of "
-        f"{jax.device_count()} global", sub="DIST")
-    return p, n
-
-
 def compute_ld(settings: CalcSettings) -> CalcResult:
+    from ..parallel import distributed as dist
     timer = Timer()
     proc_id, n_procs = (0, 1)
     if settings.distributed:
-        proc_id, n_procs = _init_distributed(settings)
+        proc_id, n_procs = dist.init_distributed(
+            settings.coordinator, settings.num_processes,
+            settings.process_id)
     log("LOG", f"Opening {settings.input}...", sub="READER")
     reader = TwkReader(settings.input)
     n_samples = reader.header.n_samples
@@ -740,12 +699,8 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         pairs = balancer.tile_pairs()
 
     if n_procs > 1:
-        # round-robin tile partition: diagonal tiles carry ~half the
-        # pairs of square tiles, so interleaving spreads them evenly
-        # (SURVEY §7 "shard the flattened tile list round-robin")
-        pairs = pairs[proc_id::n_procs]
+        pairs, touched = dist.partition_tiles(pairs, proc_id, n_procs)
         # only this process's supers need loading
-        touched = {i for i, j, _ in pairs} | {j for _, j, _ in pairs}
         super_ids = [s for s in super_ids if s in touched]
         log("LOG", f"Process {proc_id}: {len(pairs)} tiles over "
             f"{len(super_ids)} super-blocks", sub="DIST")
@@ -766,7 +721,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
             f"(~{per_super * budget / 2**30:.1f} GB plane budget)...",
             sub="MEMORY")
 
-    mesh = _resolve_mesh(settings.mesh, local_only=n_procs > 1)
+    mesh = dist.resolve_mesh(settings.mesh, local_only=n_procs > 1)
     if mesh is not None:
         log("LOG", f"Device mesh: {dict(mesh.shape)}", sub="MESH")
     filt = LdFilters(min_p=settings.min_p, min_r2=settings.min_r2,
@@ -783,10 +738,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # docs/job-balancing.md)
     out = settings.output
     if n_procs > 1:
-        if out == "-":
-            raise ValueError("distributed calc needs a file output")
-        base = out[:-4] if out.endswith(".two") else out
-        out = f"{base}.p{proc_id}of{n_procs}.two"
+        out = dist.shard_output_path(out, proc_id, n_procs)
     if out not in ("-",) and not out.endswith(".two"):
         out = out + ".two"
     hdr = reader.header
@@ -832,9 +784,14 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
 
     # ONE engine for the whole run: jitted sweeps compile once, device
     # planes upload once per band residency (not once per band PAIR)
-    engine = LdEngine(None, n_samples, settings, mesh=mesh, B=B)
-    engine.ticker = ticker
-    for (p, q), load_tiles in loads:
+    # (a distributed process can draw an EMPTY tile partition when
+    # there are fewer tiles than processes: it still writes a valid
+    # empty shard and joins the barrier, but must not touch the device)
+    engine = None
+    if pairs:
+        engine = LdEngine(None, n_samples, settings, mesh=mesh, B=B)
+        engine.ticker = ticker
+    for (p, q), load_tiles in (loads if pairs else []):
         load = [(p, None if p in engine._band_host
                  else inflate_band(bands[p]))]
         if q != p:
@@ -846,8 +803,8 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
         result.n_pairs += dispatch_pairs(engine, tiles, mode, filt, emit,
                                          engine.stacked)
-    all_stats = engine.stats
-    if len(loads) > 1:
+    all_stats = engine.stats if engine is not None else {}
+    if engine is not None and len(loads) > 1:
         log("LOG", f"Band uploads: {engine.n_band_uploads} device plane "
             f"transfers over {len(loads)} loads", sub="MEMORY")
 
@@ -857,10 +814,10 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     if n_procs > 1:
         # every shard exists before any process returns, so a driving
         # script can merge immediately after rank 0 finishes
-        import jax.experimental.multihost_utils as mhu
-        mhu.sync_global_devices("twk_calc_shards_done")
+        dist.sync_shards()
         log("LOG", f"Shard {out} complete; merge shards with "
-            f"`twk concat` + `twk sort`", sub="DIST")
+            f"`twk concat` + `twk sort` (parallel.merge_shards)",
+            sub="DIST")
     ticker.finalize()
     result.elapsed = timer.elapsed()
     log("LOG", f"Computed {pretty_int(result.n_pairs)} pairs -> "
