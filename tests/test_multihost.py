@@ -98,6 +98,65 @@ def test_two_process_distributed_calc(tmp_path, n_sites):
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
 
 
+def test_two_process_dcn_calc(tmp_path):
+    """End-to-end dcn mode: the packed-word (samples) axis spans the
+    two processes -- each holds HALF of every genotype plane in device
+    memory, per-tile counts psum across the process boundary, and
+    process 0 writes the one output, which must equal a single-process
+    run exactly (the very-large-N scale-out of SURVEY §5.7/§5.8)."""
+    import numpy as np
+    import jax
+    from test_importer import make_vcf
+    from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+    from tomahawk_tpu.io.two import TwoReader
+    from tomahawk_tpu.compute.engine import CalcSettings, compute_ld
+
+    vcf = str(tmp_path / "in.vcf")
+    make_vcf(vcf, n_samples=70, n_sites=96, seed=5, miss_frac=0.04,
+             contigs=("20",))
+    twk = str(tmp_path / "in.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=16))
+
+    single = str(tmp_path / "single.two")
+    with jax.default_device(jax.devices("cpu")[0]):
+        compute_ld(CalcSettings(input=twk, output=single, min_r2=0.0,
+                                min_p=1.0, mesh="off", tile_rows=16))
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "dist_calc_worker.py")
+    port = str(_free_port())
+    out = str(tmp_path / "dcn.two")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), port, twk, out, "dcn"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=_worker_env()) for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=300)
+            outs.append(o)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, o in enumerate(outs):
+        assert f"DIST_CALC_OK proc={pid}" in o, \
+            f"worker {pid} failed:\n{o[-3000:]}"
+    assert os.path.exists(out)
+    assert not os.path.exists(str(tmp_path / "dcn.p0of2.two"))
+
+    def multiset(path):
+        recs = TwoReader(path).records()
+        order = np.lexsort((recs["P"], recs["R2"], recs["packB"],
+                            recs["packA"], recs["ridB"], recs["ridA"]))
+        return recs[order]
+
+    a, b = multiset(single), multiset(out)
+    assert len(a) == len(b) and len(a) > 0
+    for f in a.dtype.names:
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+
+
 @pytest.mark.parametrize("mesh", ["4x1", "2x2"])
 def test_two_process_sharded_count_sweep(mesh):
     """mesh 4x1: 'pairs' spans both processes. mesh 2x2: the 'samples'

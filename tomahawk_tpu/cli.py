@@ -67,7 +67,10 @@ def _add_calc(sub):
                    "(reference ComputePerformance analogue)")
     p.add_argument("--mesh", default="auto",
                    help="device mesh: 'auto' (all local devices), "
-                   "'off', or 'PxS' pairs-by-samples shape")
+                   "'off', 'PxS' pairs-by-samples shape, or 'dcn' "
+                   "(with --distributed: shard the sample axis ACROSS "
+                   "processes; each host holds 1/N of every genotype "
+                   "plane and one output file is written)")
     p.add_argument("--tile-rows", type=int, default=0,
                    help="variants per super-block tile (0 = auto: 4096 "
                    "all-vs-all; window mode sizes tiles to the window)")

@@ -234,6 +234,16 @@ class LdEngine:
         self.window = settings.l_window if settings.window else 0
         self.mesh = mesh
         self.n_pair_shards = 1 if mesh is None else mesh.shape["pairs"]
+        # a mesh whose 'samples' axis spans processes (dcn mode): plane
+        # uploads become global arrays holding only the local word slice
+        from ..parallel.distributed import mesh_is_multiprocess
+        self._multiproc = mesh_is_multiprocess(mesh)
+        self._samples_col = 0
+        if self._multiproc:
+            import jax
+            procs = sorted({d.process_index
+                            for d in mesh.devices.flat})
+            self._samples_col = procs.index(jax.process_index())
         self._jnp = jnp
         self._extract_fns = {}
         self.ticker = None           # optional ProgressTicker
@@ -330,6 +340,26 @@ class LdEngine:
             self.n_band_uploads += 1
         return self._band_dev[key]
 
+    def _global_upload(self, k, host):
+        """dcn mode: make a process-spanning global array for one load.
+        Word planes upload only this process's 1/S slice of the (padded)
+        word axis; metadata vectors are replicated. The host keeps the
+        full planes; device memory per host is planes/S."""
+        import jax.experimental.multihost_utils as mhu
+        from jax.sharding import PartitionSpec as P
+        ns = self.mesh.shape["samples"]
+        with self.mesh:
+            if k in self.sweeps.WORD_KEYS:
+                W = host.shape[-1]
+                step = W // ns
+                lo = self._samples_col * step
+                self.n_band_uploads += 1
+                return mhu.host_local_array_to_global_array(
+                    host[..., lo:lo + step], self.mesh,
+                    P(None, None, "samples"))
+            return mhu.host_local_array_to_global_array(
+                host, self.mesh, P())
+
     def _dev_for(self, cfg) -> dict:
         """Device tensors for one sweep config: per-band uploads happen
         on first use (a phased run never pays for the het/hom/valid
@@ -337,10 +367,17 @@ class LdEngine:
         out = {}
         for k in self.sweeps.dev_keys_for(cfg):
             if k not in self._load_dev:
-                parts = [self._band_dev_get(k, b)
-                         for b in self._load_bands]
-                self._load_dev[k] = (parts[0] if len(parts) == 1
-                                     else self._jnp.concatenate(parts))
+                if self._multiproc:
+                    host = [self._band_host[b][k]
+                            for b in self._load_bands]
+                    self._load_dev[k] = self._global_upload(
+                        k, host[0] if len(host) == 1
+                        else np.concatenate(host))
+                else:
+                    parts = [self._band_dev_get(k, b)
+                             for b in self._load_bands]
+                    self._load_dev[k] = (parts[0] if len(parts) == 1
+                                         else self._jnp.concatenate(parts))
             out[k] = self._load_dev[k]
         return out
 
@@ -391,6 +428,33 @@ class LdEngine:
             self._extract_fns[key] = fn
         return self._extract_fns[key]
 
+    def _tiles_in(self, *arrays):
+        """Sweep tile-list inputs. dcn mode: global arrays sharded over
+        'pairs'; every process passes the SAME full list (each pairs
+        row holds one device per process, so the full list is each
+        process's addressable portion)."""
+        if not self._multiproc:
+            return arrays
+        import jax.experimental.multihost_utils as mhu
+        from jax.sharding import PartitionSpec as P
+        with self.mesh:
+            return tuple(mhu.host_local_array_to_global_array(
+                a, self.mesh, P("pairs")) for a in arrays)
+
+    def _buf_rows(self, buf, lo, hi) -> np.ndarray:
+        """Host copy of rows [lo, hi) of a sweep output buffer. dcn
+        mode reads from the addressable replica of the owning 'pairs'
+        shard (outputs are samples-replicated by the psum)."""
+        if not self._multiproc:
+            return np.asarray(buf[lo:hi])
+        for sh in buf.addressable_shards:
+            start = sh.index[0].start or 0
+            stop = start + sh.data.shape[0]
+            if start <= lo and hi <= stop:
+                return np.asarray(sh.data[lo - start:hi - start])
+        raise AssertionError(f"rows [{lo},{hi}) span no addressable "
+                             f"shard of {buf.shape}")
+
     # -- orchestration ---------------------------------------------------
     def run_group(self, tiles, table, has_missing, cls, filt, emit) -> int:
         """Two-pass sweep of one (table, missing, class) tile group,
@@ -436,7 +500,8 @@ class LdEngine:
                 sub="ENGINE")
         t0 = _time.perf_counter()
         n_pass, n_cand, buf = self._fused_fn(
-            table, has_missing, cls, cap, outcap)(dev, pi, pj, dg, live)
+            table, has_missing, cls, cap, outcap)(
+                dev, *self._tiles_in(pi, pj, dg, live))
         n_pass = np_.asarray(n_pass)
         n_cand = np_.asarray(n_cand)
         stat["count_s"] += _time.perf_counter() - t0
@@ -471,7 +536,7 @@ class LdEngine:
             if len(sel) == 0:
                 continue
             end = int(offs[sel[-1]] + n_pass[sel[-1]]) - s * outcap
-            shard_buf = np_.asarray(buf[s * outcap:s * outcap + end])
+            shard_buf = self._buf_rows(buf, s * outcap, s * outcap + end)
             for t in sel:
                 lo = int(offs[t]) - s * outcap
                 rows_by_tile[int(t)] = shard_buf[lo:lo + int(n_pass[t])]
@@ -502,12 +567,13 @@ class LdEngine:
                     o[1:] = np_.cumsum(ns_bad[g])[:-1]
                 hoff[lo:lo + len(g)] = o
             rbuf = self._extract_fn(table, has_missing, cls, rcap,
-                                    routcap)(dev, hpi, hpj, hdg, hoff)
+                                    routcap)(
+                dev, *self._tiles_in(hpi, hpj, hdg, hoff))
             for s, g in enumerate(groups):
                 if not len(g):
                     continue
-                shard_buf = np_.asarray(
-                    rbuf[s * routcap:s * routcap + totals[s]])
+                shard_buf = self._buf_rows(
+                    rbuf, s * routcap, s * routcap + totals[s])
                 o = 0
                 for gi in g:
                     t = int(bad[gi])
@@ -698,7 +764,12 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     else:
         pairs = balancer.tile_pairs()
 
-    if n_procs > 1:
+    # dcn mode: the samples (packed-word) axis spans processes and every
+    # process works every tile jointly -- no tile partitioning, one
+    # output file (written by process 0). Default distributed mode
+    # partitions the tile grid instead, with per-process shards.
+    dcn = n_procs > 1 and settings.mesh.split(":")[0] == "dcn"
+    if n_procs > 1 and not dcn:
         pairs, touched = dist.partition_tiles(pairs, proc_id, n_procs)
         # only this process's supers need loading
         super_ids = [s for s in super_ids if s in touched]
@@ -737,7 +808,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # `twk concat` + `twk sort`, mirroring the reference's chunk merge,
     # docs/job-balancing.md)
     out = settings.output
-    if n_procs > 1:
+    if n_procs > 1 and not dcn:
         out = dist.shard_output_path(out, proc_id, n_procs)
     if out not in ("-",) and not out.endswith(".two"):
         out = out + ".two"
@@ -745,16 +816,21 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     hdr.literals += (f"\n##tomahawk_tpu_calcVersion={__version__}\n"
                      f"##tomahawk_tpu_calcCommand=calc; "
                      f"Date={datetime.datetime.now().isoformat()}\n")
-    writer = TwoWriter(out, hdr, c_level=settings.c_level,
-                       block_limit=settings.b_size)
+    # dcn: every process derives identical records (counts are
+    # samples-replicated); only process 0 writes the single output
+    writer = None
+    if not (dcn and proc_id != 0):
+        writer = TwoWriter(out, hdr, c_level=settings.c_level,
+                           block_limit=settings.b_size)
 
     result = CalcResult()
 
     def emit(recs: np.ndarray):
         if len(recs) == 0:
             return
-        writer.add(recs)
-        writer.add(_reverse_records(recs))
+        if writer is not None:
+            writer.add(recs)
+            writer.add(_reverse_records(recs))
         result.n_records += 2 * len(recs)
 
     mode = ("phased" if settings.force_phased else
@@ -810,14 +886,16 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
 
     if pool is not None:
         pool.shutdown()
-    writer.close()
+    if writer is not None:
+        writer.close()
     if n_procs > 1:
         # every shard exists before any process returns, so a driving
         # script can merge immediately after rank 0 finishes
         dist.sync_shards()
-        log("LOG", f"Shard {out} complete; merge shards with "
-            f"`twk concat` + `twk sort` (parallel.merge_shards)",
-            sub="DIST")
+        if not dcn:
+            log("LOG", f"Shard {out} complete; merge shards with "
+                f"`twk concat` + `twk sort` (parallel.merge_shards)",
+                sub="DIST")
     ticker.finalize()
     result.elapsed = timer.elapsed()
     log("LOG", f"Computed {pretty_int(result.n_pairs)} pairs -> "

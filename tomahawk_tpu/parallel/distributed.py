@@ -54,11 +54,16 @@ def resolve_mesh(spec: str, local_only: bool = False):
     'platform:' prefix (e.g. 'cpu:4x2') pins the device platform. In
     distributed mode each process meshes only its LOCAL devices: the
     pairs axis needs no cross-host collectives (tiles are independent),
-    so inter-host scaling is the static tile partition."""
+    so inter-host scaling is the static tile partition.
+
+    'dcn' (distributed runs only) instead builds ONE global mesh whose
+    'samples' axis spans the processes: see make_dcn_mesh."""
     if spec in ("off", "", None):
         return None
     import jax
     from .mesh import make_mesh
+    if spec == "dcn" or spec.startswith("dcn:"):
+        return make_dcn_mesh(spec)
     platform = None
     if ":" in spec:
         platform, _, spec = spec.partition(":")
@@ -72,6 +77,51 @@ def resolve_mesh(spec: str, local_only: bool = False):
     p, _, s = spec.partition("x")
     n_p, n_s = int(p), int(s) if s else 1
     return make_mesh(n_p, n_s, devices=devices[:n_p * n_s])
+
+
+def make_dcn_mesh(spec: str = "dcn"):
+    """Global ('pairs', 'samples') mesh for sample-axis scale-out: the
+    packed haplotype word axis is sharded ACROSS PROCESSES, so each
+    host holds only 1/n_procs of every genotype plane in device memory
+    and the per-tile contingency counts are psum-reduced over DCN.
+
+    This is the very-large-N mode (SURVEY §5.7/§5.8: 10M-sample scale,
+    where one host cannot hold the planes); for ordinary inputs prefer
+    the default distributed mode, which partitions the *tile grid*
+    across processes with no cross-host collectives at all.
+
+    Layout: mesh[p, s] = process s's local device p, i.e. every process
+    is one 'samples' column. Pairs shards (rows) then hold one device
+    per process, so sweep outputs -- replicated over 'samples' by the
+    psum -- are fully addressable on every process and the host-side
+    record path runs unchanged. 'dcn:P' restricts to P local devices
+    per process (default: all)."""
+    import jax
+    n_procs = jax.process_count()
+    if n_procs < 2:
+        raise ValueError("mesh 'dcn' needs a multi-process run "
+                         "(use --distributed)")
+    _, _, p = spec.partition(":")
+    per_proc = {}
+    for d in jax.devices():
+        per_proc.setdefault(d.process_index, []).append(d)
+    n_local = min(len(v) for v in per_proc.values())
+    n_p = int(p) if p else n_local
+    if n_p > n_local:
+        raise ValueError(f"dcn:{n_p} exceeds {n_local} local devices")
+    import numpy as np
+    from jax.sharding import Mesh
+    cols = [per_proc[s][:n_p] for s in sorted(per_proc)]
+    return Mesh(np.array(cols, dtype=object).T, ("pairs", "samples"))
+
+
+def mesh_is_multiprocess(mesh) -> bool:
+    """True when the mesh spans more than one jax process (the engine
+    must then build global arrays instead of plain device uploads)."""
+    if mesh is None:
+        return False
+    procs = {d.process_index for d in mesh.devices.flat}
+    return len(procs) > 1
 
 
 def partition_tiles(pairs, proc_id: int, n_procs: int):
