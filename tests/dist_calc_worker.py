@@ -20,6 +20,7 @@ port = sys.argv[2]
 twk = sys.argv[3]
 out_base = sys.argv[4]
 mesh = sys.argv[5] if len(sys.argv) > 5 else "auto"
+memory_gb = float(sys.argv[6]) if len(sys.argv) > 6 else 12.0
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
@@ -35,7 +36,8 @@ from tomahawk_tpu.compute.engine import CalcSettings, compute_ld  # noqa: E402
 res = compute_ld(CalcSettings(
     input=twk, output=out_base, min_r2=0.0, min_p=1.0, mesh=mesh,
     tile_rows=16,    # many tiles, so the round-robin split is exercised
-    distributed=True, coordinator=f"127.0.0.1:{port}",
+    memory_gb=memory_gb, distributed=True,
+    coordinator=f"127.0.0.1:{port}",
     num_processes=2, process_id=proc_id))
 
 print(f"DIST_CALC_OK proc={proc_id} records={res.n_records}")

@@ -126,8 +126,11 @@ def test_two_process_dcn_calc(tmp_path):
                           "dist_calc_worker.py")
     port = str(_free_port())
     out = str(tmp_path / "dcn.two")
+    # tiny plane budget forces banded streaming: the global word-sliced
+    # uploads then happen per band load, not once
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), port, twk, out, "dcn"],
+        [sys.executable, worker, str(pid), port, twk, out, "dcn",
+         "1e-5"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=_worker_env()) for pid in (0, 1)]
     outs = []
