@@ -94,6 +94,16 @@ def _add_calc(sub):
                    "auto-detection, e.g. on TPU pods)")
     p.add_argument("--num-processes", type=int, default=-1)
     p.add_argument("--process-id", type=int, default=-1)
+    p.add_argument("--checkpoint", default="",
+                   help="sidecar state file for in-run checkpoint/"
+                   "resume: if it exists the run resumes after the "
+                   "last checkpointed sweep segment; deleted on "
+                   "success (single-process runs)")
+    p.add_argument("--checkpoint-interval", type=float, default=60.0,
+                   help="seconds between checkpoints")
+    p.add_argument("--sweep-segment", type=int, default=4096,
+                   help="tiles per device dispatch (also the "
+                   "checkpoint granularity)")
 
 
 def _cmd_calc(args):
@@ -111,7 +121,10 @@ def _cmd_calc(args):
         tile_rows=args.tile_rows, tile_backend=args.tile_backend,
         memory_gb=args.memory_gb, threads=args.threads,
         distributed=args.distributed, coordinator=args.coordinator,
-        num_processes=args.num_processes, process_id=args.process_id)
+        num_processes=args.num_processes, process_id=args.process_id,
+        checkpoint=args.checkpoint,
+        checkpoint_interval=args.checkpoint_interval,
+        sweep_segment=args.sweep_segment)
     compute_ld(s)
     return 0
 

@@ -96,6 +96,14 @@ class CalcSettings:
     # "auto" = pallas on TPU, xla elsewhere (pallas does not lower on
     # CPU, and the samples-sharded mesh needs the XLA psum path).
     tile_backend: str = "auto"
+    # in-run checkpoint/resume (beyond the reference, whose only retry
+    # unit is a whole -c/-C chunk, SURVEY §5.4): path of a sidecar
+    # state file. If it exists, the run resumes after the last
+    # checkpointed sweep segment, truncating the output to the
+    # checkpointed offset; it is deleted on successful completion.
+    # Single-process runs only.
+    checkpoint: str = ""
+    checkpoint_interval: float = 60.0   # seconds between checkpoints
 
 
 @dataclass
@@ -249,6 +257,13 @@ class LdEngine:
         self.ticker = None           # optional ProgressTicker
         # fused-sweep survivor buffer, grown when a segment spills
         self._outcap = 1 << 18
+        # checkpoint/resume accounting: sweep segments are the resume
+        # unit; the dispatch plan (group_tiles order, segment size) is
+        # deterministic, so `units_done` counts identically across runs
+        self.ckpt_skip = 0        # segments to skip (restored progress)
+        self.units_done = 0       # segments completed or skipped
+        self.cand_total = 0       # cumulative candidate pairs
+        self.on_segment = None    # callback after each executed segment
         # per-config dispatch statistics, the analogue of the
         # reference's n_method[] kernel counters (ld_engine.h:313)
         self.stats = {}
@@ -464,8 +479,16 @@ class LdEngine:
         seg = max(self.settings.sweep_segment, 16 * self.n_pair_shards)
         n = 0
         for s in range(0, len(tiles), seg):
+            if self.units_done < self.ckpt_skip:
+                # resumed run: this segment's records are already in
+                # the checkpointed output
+                self.units_done += 1
+                continue
             n += self._run_segment(tiles[s:s + seg], table, has_missing,
                                    cls, filt, emit)
+            self.units_done += 1
+            if self.on_segment is not None:
+                self.on_segment()
         return n
 
     # survivors extracted per tile inside the fused sweep; tiles with
@@ -507,6 +530,7 @@ class LdEngine:
         stat["count_s"] += _time.perf_counter() - t0
         total_cand = int(n_cand.sum())
         stat["n_cand"] += total_cand
+        self.cand_total += total_cand
         if int(n_pass.sum()) == 0:
             if self.ticker:
                 self.ticker.add(pairs=total_cand)
@@ -665,28 +689,37 @@ class LdEngine:
         return n
 
 
-def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
-                   emit, stacked) -> int:
-    """Route block pairs to the phased fast path or the general path by
-    run mode and per-block missingness. 'mixed' follows the reference's
-    default per-pair dispatch (reference: ld_engine.cpp:2737-2880
-    Calculate(): pairs with missing alleles use unphased math)."""
-    blk_missing = stacked["has_missing"].any(axis=1)
+def group_tiles(pairs, mode: str, blk_missing):
+    """Deterministic (table, has_missing, cls, tiles) sweep groups for
+    one load -- the single source of truth for dispatch order, which
+    checkpoint/resume relies on to count sweep segments identically
+    across runs. 'mixed' follows the reference's default per-pair
+    dispatch (reference: ld_engine.cpp:2737-2880 Calculate(): pairs
+    with missing alleles use unphased math)."""
     nomiss = [p for p in pairs
               if not (blk_missing[p[0]] or blk_missing[p[1]])]
     withmiss = [p for p in pairs
                 if blk_missing[p[0]] or blk_missing[p[1]]]
-    n = 0
     if mode == "phased":
-        n += engine.run_phased_pairs(nomiss, False, filt, emit)
-        n += engine.run_phased_pairs(withmiss, True, filt, emit)
-    elif mode == "unphased":
-        n += engine.run_unphased_pairs(nomiss, False, filt, emit)
-        n += engine.run_unphased_pairs(withmiss, True, filt, emit)
-    else:
-        # blocks without any missing variant: pure phased fast path
-        n += engine.run_phased_pairs(nomiss, False, filt, emit)
-        n += engine.run_mixed_pairs(withmiss, filt, emit)
+        return [("phased", False, "all", nomiss),
+                ("phased", True, "all", withmiss)]
+    if mode == "unphased":
+        return [("unphased", False, "all", nomiss),
+                ("unphased", True, "all", withmiss)]
+    # blocks without any missing variant: pure phased fast path
+    return [("phased", False, "all", nomiss),
+            ("phased", False, "clean", withmiss),
+            ("unphased", True, "missing", withmiss)]
+
+
+def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
+                   emit, stacked) -> int:
+    """Route block pairs through the group_tiles dispatch plan."""
+    blk_missing = stacked["has_missing"].any(axis=1)
+    n = 0
+    for table, has_missing, cls, tiles in group_tiles(pairs, mode,
+                                                      blk_missing):
+        n += engine.run_group(tiles, table, has_missing, cls, filt, emit)
     return n
 
 
@@ -713,6 +746,68 @@ def _plan_loads(super_ids, pairs, budget_supers: int):
         key = (of_band[i], of_band[j])
         by_pair.setdefault(key, []).append((i, j, d))
     return bands, [((p, q), by_pair[(p, q)]) for p, q in sorted(by_pair)]
+
+
+def _ckpt_config_key(settings: CalcSettings) -> str:
+    """Fingerprint of everything that determines the dispatch plan and
+    the output stream; a resume under a different key would silently
+    mix incompatible runs, so it is rejected."""
+    import hashlib
+    import json as _json
+    import os as _os
+    st = _os.stat(settings.input)
+    fields = dict(
+        input=_os.path.abspath(settings.input), size=st.st_size,
+        mtime=st.st_mtime, force_phased=settings.force_phased,
+        forced_unphased=settings.forced_unphased, window=settings.window,
+        l_window=settings.l_window, min_p=settings.min_p,
+        min_r2=settings.min_r2, max_r2=settings.max_r2,
+        min_dprime=settings.min_dprime, max_dprime=settings.max_dprime,
+        n_chunks=settings.n_chunks, c_chunk=settings.c_chunk,
+        intervals=list(settings.intervals), b_size=settings.b_size,
+        c_level=settings.c_level, sweep_segment=settings.sweep_segment,
+        tile_rows=settings.tile_rows, mesh=settings.mesh,
+        memory_gb=settings.memory_gb)
+    blob = _json.dumps(fields, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()
+
+
+def _ckpt_read(path: str, config_key: str):
+    import base64
+    import json as _json
+    with open(path) as fh:
+        ck = _json.load(fh)
+    if ck.get("version") != 1:
+        raise ValueError(f"unsupported checkpoint version in {path}")
+    if ck["config"] != config_key:
+        raise ValueError(
+            f"checkpoint {path} was written by a run with different "
+            "settings or input; delete it to start over")
+    ck["writer"]["index"] = base64.b64decode(ck["writer"]["index"])
+    return ck
+
+
+def _ckpt_write(path: str, config_key: str, units: int, n_pairs: int,
+                n_records: int, load_cum, writer_state: dict):
+    """Atomic sidecar write (tmp + fsync + rename): the checkpoint is
+    only ever observed complete, and the writer state it carries was
+    fsync'd by checkpoint_state() before this is called."""
+    import base64
+    import json as _json
+    import os as _os
+    state = dict(version=1, config=config_key, units=units,
+                 n_pairs=n_pairs, n_records=n_records,
+                 load_cum=list(load_cum),
+                 writer=dict(offset=writer_state["offset"],
+                             n_records=writer_state["n_records"],
+                             index=base64.b64encode(
+                                 writer_state["index"]).decode()))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(state, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, path)
 
 
 def compute_ld(settings: CalcSettings) -> CalcResult:
@@ -816,14 +911,42 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     hdr.literals += (f"\n##tomahawk_tpu_calcVersion={__version__}\n"
                      f"##tomahawk_tpu_calcCommand=calc; "
                      f"Date={datetime.datetime.now().isoformat()}\n")
+
+    # in-run checkpoint/resume (single-process only)
+    import os as _os_ck
+    ck = None
+    ck_key = ""
+    if settings.checkpoint:
+        if n_procs > 1:
+            raise ValueError("checkpointing is single-process only "
+                             "(distributed runs retry at shard "
+                             "granularity)")
+        if out == "-":
+            raise ValueError("checkpointing needs a file output")
+        ck_key = _ckpt_config_key(settings)
+        if _os_ck.path.exists(settings.checkpoint):
+            ck = _ckpt_read(settings.checkpoint, ck_key)
+            log("LOG", f"Resuming from {settings.checkpoint}: "
+                f"{ck['units']} segments, "
+                f"{pretty_int(ck['n_records'])} records already on "
+                f"disk", sub="CKPT")
+
     # dcn: every process derives identical records (counts are
     # samples-replicated); only process 0 writes the single output
     writer = None
     if not (dcn and proc_id != 0):
-        writer = TwoWriter(out, hdr, c_level=settings.c_level,
-                           block_limit=settings.b_size)
+        if ck is not None:
+            writer = TwoWriter.resume(out, hdr, ck["writer"],
+                                      c_level=settings.c_level,
+                                      block_limit=settings.b_size)
+        else:
+            writer = TwoWriter(out, hdr, c_level=settings.c_level,
+                               block_limit=settings.b_size)
 
     result = CalcResult()
+    if ck is not None:
+        result.n_pairs = ck["n_pairs"]
+        result.n_records = ck["n_records"]
 
     def emit(recs: np.ndarray):
         if len(recs) == 0:
@@ -864,10 +987,34 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # there are fewer tiles than processes: it still writes a valid
     # empty shard and joins the barrier, but must not touch the device)
     engine = None
+    load_cum = []            # units_done after each completed load
     if pairs:
         engine = LdEngine(None, n_samples, settings, mesh=mesh, B=B)
         engine.ticker = ticker
-    for (p, q), load_tiles in (loads if pairs else []):
+        if ck is not None:
+            engine.ckpt_skip = ck["units"]
+            engine.cand_total = ck["n_pairs"]
+            load_cum = list(ck["load_cum"])
+        if settings.checkpoint:
+            import time as _time_ck
+            last_ck = [_time_ck.monotonic()]
+
+            def _maybe_checkpoint():
+                now = _time_ck.monotonic()
+                if now - last_ck[0] < settings.checkpoint_interval:
+                    return
+                last_ck[0] = now
+                _ckpt_write(settings.checkpoint, ck_key,
+                            engine.units_done, engine.cand_total,
+                            result.n_records, load_cum,
+                            writer.checkpoint_state())
+            engine.on_segment = _maybe_checkpoint
+    for li, ((p, q), load_tiles) in enumerate(loads if pairs else []):
+        if li < len(load_cum) and load_cum[li] <= engine.ckpt_skip:
+            # this whole load completed before the checkpoint: skip
+            # even the host-side unpack
+            engine.units_done = max(engine.units_done, load_cum[li])
+            continue
         load = [(p, None if p in engine._band_host
                  else inflate_band(bands[p]))]
         if q != p:
@@ -879,6 +1026,10 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
         result.n_pairs += dispatch_pairs(engine, tiles, mode, filt, emit,
                                          engine.stacked)
+        if li < len(load_cum):
+            load_cum[li] = engine.units_done
+        else:
+            load_cum.append(engine.units_done)
     all_stats = engine.stats if engine is not None else {}
     if engine is not None and len(loads) > 1:
         log("LOG", f"Band uploads: {engine.n_band_uploads} device plane "
@@ -888,6 +1039,9 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         pool.shutdown()
     if writer is not None:
         writer.close()
+    if settings.checkpoint and _os_ck.path.exists(settings.checkpoint):
+        # the output is complete and footered; the sidecar is obsolete
+        _os_ck.remove(settings.checkpoint)
     if n_procs > 1:
         # every shard exists before any process returns, so a driving
         # script can merge immediately after rank 0 finishes

@@ -147,6 +147,49 @@ class TwoWriter:
     def _flush_block(self, n: int):
         self.write_block(self._take(n))
 
+    def checkpoint_state(self) -> dict:
+        """Durable snapshot for in-run checkpointing: flush all pending
+        records into blocks, fsync, and return everything needed to
+        resume appending after a crash (`TwoWriter.resume`). Flushing
+        at a checkpoint may cut a block short of block_limit; readers
+        are indifferent to block sizes."""
+        import os
+        while self._pending_n > 0:
+            self._flush_block(min(self._pending_n, self.block_limit))
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+        return {
+            "offset": self._fh.tell(),
+            "n_records": self.n_records,
+            "index": self.index.serialize(),
+        }
+
+    @classmethod
+    def resume(cls, path: str, header: VcfHeader, state: dict,
+               c_level: int = 1, block_limit: int = 10000):
+        """Reopen `path` for appending from a `checkpoint_state` dict:
+        the file is truncated to the checkpointed offset (dropping any
+        torn tail a crash left) and the block index restored."""
+        w = cls.__new__(cls)
+        w.path = path
+        w.header = header
+        w.c_level = c_level
+        w.block_limit = block_limit
+        w.index = IndexOutput.deserialize(bytes(state["index"]), path=path)
+        w.n_records = state["n_records"]
+        w._pending = []
+        w._pending_n = 0
+        w._cctx = zstandard.ZstdCompressor(level=c_level)
+        w._fh = open(path, "r+b")
+        end = w._fh.seek(0, 2)
+        if end < state["offset"]:
+            raise CorruptFileError(
+                path, f"cannot resume: file shorter ({end}) than "
+                f"checkpoint offset ({state['offset']})", end)
+        w._fh.truncate(state["offset"])
+        w._fh.seek(state["offset"])
+        return w
+
     def close(self):
         while self._pending_n > 0:
             self._flush_block(min(self._pending_n, self.block_limit))
