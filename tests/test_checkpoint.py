@@ -127,6 +127,41 @@ def test_checkpoint_config_mismatch(tmp_path, archive, monkeypatch):
         compute_ld(_settings(archive, out, ckpt, min_r2=0.5))
 
 
-def test_checkpoint_rejects_stdout_and_distributed(tmp_path, archive):
+def test_checkpoint_rejects_stdout_and_distributed(tmp_path, archive,
+                                                   monkeypatch):
     with pytest.raises(ValueError, match="file output"):
         compute_ld(_settings(archive, "-", str(tmp_path / "c.ckpt")))
+
+    # distributed + checkpoint must refuse (shards retry at shard
+    # granularity); fake the rendezvous so no real process group spawns
+    from tomahawk_tpu.parallel import distributed as dist
+    monkeypatch.setattr(dist, "init_distributed", lambda *a: (0, 2))
+    with pytest.raises(ValueError, match="single-process"):
+        compute_ld(_settings(archive, str(tmp_path / "o.two"),
+                             str(tmp_path / "c.ckpt"), distributed=True))
+
+
+def test_checkpoint_rejects_output_change(tmp_path, archive, monkeypatch):
+    """The output path is part of the config fingerprint: resuming the
+    same sidecar against a different -o must not truncate/append the
+    other file."""
+    ckpt = str(tmp_path / "calc.ckpt")
+    _crash_after(monkeypatch, 2)
+    with pytest.raises(RuntimeError):
+        compute_ld(_settings(archive, str(tmp_path / "a.two"), ckpt))
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="different settings"):
+        compute_ld(_settings(archive, str(tmp_path / "b.two"), ckpt))
+
+
+def test_resume_with_missing_output(tmp_path, archive, monkeypatch):
+    from tomahawk_tpu.io.errors import CorruptFileError
+    out = str(tmp_path / "a.two")
+    ckpt = str(tmp_path / "calc.ckpt")
+    _crash_after(monkeypatch, 2)
+    with pytest.raises(RuntimeError):
+        compute_ld(_settings(archive, out, ckpt))
+    monkeypatch.undo()
+    os.remove(out)
+    with pytest.raises(CorruptFileError, match="output is missing"):
+        compute_ld(_settings(archive, out, ckpt))

@@ -350,13 +350,15 @@ class LdEngine:
     def _band_dev_get(self, k, band_id):
         key = (k, band_id)
         if key not in self._band_dev:
-            self._band_dev[key] = self._jnp.asarray(
-                self._band_host[band_id][k])
+            host = self._band_host[band_id][k]
+            self._band_dev[key] = (self._global_upload(k, host)
+                                   if self._multiproc
+                                   else self._jnp.asarray(host))
             self.n_band_uploads += 1
         return self._band_dev[key]
 
     def _global_upload(self, k, host):
-        """dcn mode: make a process-spanning global array for one load.
+        """dcn mode: make a process-spanning global array for one band.
         Word planes upload only this process's 1/S slice of the (padded)
         word axis; metadata vectors are replicated. The host keeps the
         full planes; device memory per host is planes/S."""
@@ -368,7 +370,6 @@ class LdEngine:
                 W = host.shape[-1]
                 step = W // ns
                 lo = self._samples_col * step
-                self.n_band_uploads += 1
                 return mhu.host_local_array_to_global_array(
                     host[..., lo:lo + step], self.mesh,
                     P(None, None, "samples"))
@@ -378,21 +379,17 @@ class LdEngine:
     def _dev_for(self, cfg) -> dict:
         """Device tensors for one sweep config: per-band uploads happen
         on first use (a phased run never pays for the het/hom/valid
-        sample planes), then concatenate on device per load."""
+        sample planes), then concatenate on device per load. In dcn
+        mode bands are global arrays and the eager concatenation runs
+        as the same SPMD program on every process, so band residency
+        caching works identically."""
         out = {}
         for k in self.sweeps.dev_keys_for(cfg):
             if k not in self._load_dev:
-                if self._multiproc:
-                    host = [self._band_host[b][k]
-                            for b in self._load_bands]
-                    self._load_dev[k] = self._global_upload(
-                        k, host[0] if len(host) == 1
-                        else np.concatenate(host))
-                else:
-                    parts = [self._band_dev_get(k, b)
-                             for b in self._load_bands]
-                    self._load_dev[k] = (parts[0] if len(parts) == 1
-                                         else self._jnp.concatenate(parts))
+                parts = [self._band_dev_get(k, b)
+                         for b in self._load_bands]
+                self._load_dev[k] = (parts[0] if len(parts) == 1
+                                     else self._jnp.concatenate(parts))
             out[k] = self._load_dev[k]
         return out
 
@@ -748,17 +745,23 @@ def _plan_loads(super_ids, pairs, budget_supers: int):
     return bands, [((p, q), by_pair[(p, q)]) for p, q in sorted(by_pair)]
 
 
-def _ckpt_config_key(settings: CalcSettings) -> str:
+def _ckpt_config_key(settings: CalcSettings, seg_effective: int) -> str:
     """Fingerprint of everything that determines the dispatch plan and
     the output stream; a resume under a different key would silently
-    mix incompatible runs, so it is rejected."""
+    mix incompatible runs, so it is rejected. `seg_effective` is the
+    resolved segment size (it depends on the visible device count, not
+    just the settings: resuming on a different machine shape would
+    misalign segment counting)."""
     import hashlib
     import json as _json
     import os as _os
     st = _os.stat(settings.input)
     fields = dict(
         input=_os.path.abspath(settings.input), size=st.st_size,
-        mtime=st.st_mtime, force_phased=settings.force_phased,
+        mtime=st.st_mtime,
+        output=_os.path.abspath(settings.output),
+        seg_effective=seg_effective,
+        force_phased=settings.force_phased,
         forced_unphased=settings.forced_unphased, window=settings.window,
         l_window=settings.l_window, min_p=settings.min_p,
         min_r2=settings.min_r2, max_r2=settings.max_r2,
@@ -871,11 +874,21 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         log("LOG", f"Process {proc_id}: {len(pairs)} tiles over "
             f"{len(super_ids)} super-blocks", sub="DIST")
 
+    mesh = dist.resolve_mesh(settings.mesh, local_only=n_procs > 1)
+    if mesh is not None:
+        log("LOG", f"Device mesh: {dict(mesh.shape)}", sub="MESH")
+
     # band the super list when the bitpacked planes exceed the device
     # memory budget (low-memory streaming; reference calc -M analogue)
     Wh = (2 * n_samples + 127) // 128 * 4
     Ws = (n_samples + 127) // 128 * 4
     per_super = B * (2 * Wh + 3 * Ws) * 4
+    # a samples-sharded mesh (local PxS or dcn) holds only 1/S of every
+    # word plane per device, so the per-device budget stretches S-fold
+    n_samp_shards = (mesh.shape["samples"]
+                     if mesh is not None and "samples" in mesh.shape
+                     else 1)
+    per_super = -(-per_super // max(n_samp_shards, 1))
     # the device holds resident band planes PLUS the per-load
     # concatenation, so the banding budget is half the configured one
     budget = max(2, int(settings.memory_gb * (1 << 30) / 2
@@ -886,10 +899,6 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
             f"{len(loads)} band-pair loads over {len(bands)} bands "
             f"(~{per_super * budget / 2**30:.1f} GB plane budget)...",
             sub="MEMORY")
-
-    mesh = dist.resolve_mesh(settings.mesh, local_only=n_procs > 1)
-    if mesh is not None:
-        log("LOG", f"Device mesh: {dict(mesh.shape)}", sub="MESH")
     filt = LdFilters(min_p=settings.min_p, min_r2=settings.min_r2,
                      max_r2=settings.max_r2, min_dprime=settings.min_dprime,
                      max_dprime=settings.max_dprime)
@@ -905,6 +914,8 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     out = settings.output
     if n_procs > 1 and not dcn:
         out = dist.shard_output_path(out, proc_id, n_procs)
+    elif dcn and out == "-":
+        raise ValueError("distributed calc needs a file output")
     if out not in ("-",) and not out.endswith(".two"):
         out = out + ".two"
     hdr = reader.header
@@ -923,7 +934,9 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                              "granularity)")
         if out == "-":
             raise ValueError("checkpointing needs a file output")
-        ck_key = _ckpt_config_key(settings)
+        seg_eff = max(settings.sweep_segment,
+                      16 * (1 if mesh is None else mesh.shape["pairs"]))
+        ck_key = _ckpt_config_key(settings, seg_eff)
         if _os_ck.path.exists(settings.checkpoint):
             ck = _ckpt_read(settings.checkpoint, ck_key)
             log("LOG", f"Resuming from {settings.checkpoint}: "

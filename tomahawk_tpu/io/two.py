@@ -180,7 +180,13 @@ class TwoWriter:
         w._pending = []
         w._pending_n = 0
         w._cctx = zstandard.ZstdCompressor(level=c_level)
-        w._fh = open(path, "r+b")
+        try:
+            w._fh = open(path, "r+b")
+        except FileNotFoundError:
+            raise CorruptFileError(
+                path, "cannot resume: checkpointed output is missing "
+                "(delete the checkpoint sidecar to start over)", 0
+            ) from None
         end = w._fh.seek(0, 2)
         if end < state["offset"]:
             raise CorruptFileError(
