@@ -154,3 +154,33 @@ def test_fused_sweep_pallas_backend():
                 dev, pi, pj, dg, live, cfg=cfg, cap=64, outcap=4096)
     for a, b in zip(outs["xla"], outs["pallas"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_falls_back_when_pallas_fails(tmp_path):
+    """A Mosaic compile failure must degrade the run to the XLA
+    backend, not kill it: forcing tile_backend='pallas' on CPU (where
+    the kernel cannot lower) still completes and matches the XLA run."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_importer import make_vcf
+    from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+    from tomahawk_tpu.io.two import TwoReader
+    from tomahawk_tpu.compute.engine import CalcSettings, compute_ld
+
+    vcf = str(tmp_path / "in.vcf")
+    make_vcf(vcf, n_samples=32, n_sites=140, seed=9, miss_frac=0.0,
+             contigs=("20",))
+    twk = str(tmp_path / "in.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=128))
+
+    outs = {}
+    for backend in ("xla", "pallas"):
+        out = str(tmp_path / f"{backend}.two")
+        compute_ld(CalcSettings(input=twk, output=out, min_r2=0.0,
+                                min_p=1.0, mesh="off", tile_rows=128,
+                                tile_backend=backend))
+        outs[backend] = TwoReader(out).records()
+    a, b = outs["xla"], outs["pallas"]
+    assert len(a) == len(b) > 0
+    for f in a.dtype.names:
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f)

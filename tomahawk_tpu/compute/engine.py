@@ -264,6 +264,11 @@ class LdEngine:
         self.units_done = 0       # segments completed or skipped
         self.cand_total = 0       # cumulative candidate pairs
         self.on_segment = None    # callback after each executed segment
+        # set when a pallas kernel fails to compile at runtime: the run
+        # degrades to the XLA tile path instead of dying (Mosaic edge
+        # cases on new shape combinations are real; outputs of the two
+        # backends are identical by construction)
+        self._backend_forced = None
         # per-config dispatch statistics, the analogue of the
         # reference's n_method[] kernel counters (ld_engine.h:313)
         self.stats = {}
@@ -400,6 +405,8 @@ class LdEngine:
             count_s=0.0, extract_s=0.0, math_s=0.0))
 
     def _resolve_backend(self) -> str:
+        if self._backend_forced is not None:
+            return self._backend_forced
         b = getattr(self.settings, "tile_backend", "auto")
         if b != "auto":
             return b
@@ -519,11 +526,28 @@ class LdEngine:
                 "take minutes while the program warms up)...",
                 sub="ENGINE")
         t0 = _time.perf_counter()
-        n_pass, n_cand, buf = self._fused_fn(
-            table, has_missing, cls, cap, outcap)(
-                dev, *self._tiles_in(pi, pj, dg, live))
-        n_pass = np_.asarray(n_pass)
-        n_cand = np_.asarray(n_cand)
+        try:
+            n_pass, n_cand, buf = self._fused_fn(
+                table, has_missing, cls, cap, outcap)(
+                    dev, *self._tiles_in(pi, pj, dg, live))
+            n_pass = np_.asarray(n_pass)
+            n_cand = np_.asarray(n_cand)
+        except Exception as e:
+            if (self._resolve_backend() != "pallas"
+                    or self._backend_forced == "xla"):
+                raise
+            # a Mosaic lowering/compile failure on this shape: degrade
+            # the whole run to the XLA tile path (identical outputs)
+            log("WARNING", f"pallas tile kernel failed "
+                f"({type(e).__name__}: {str(e)[:200]}); falling back "
+                f"to the XLA backend", sub="ENGINE")
+            self._backend_forced = "xla"
+            self._extract_fns.clear()
+            n_pass, n_cand, buf = self._fused_fn(
+                table, has_missing, cls, cap, outcap)(
+                    dev, *self._tiles_in(pi, pj, dg, live))
+            n_pass = np_.asarray(n_pass)
+            n_cand = np_.asarray(n_cand)
         stat["count_s"] += _time.perf_counter() - t0
         total_cand = int(n_cand.sum())
         stat["n_cand"] += total_cand
