@@ -162,3 +162,33 @@ def test_two_writer_reader(tmp_path):
         assert r.index.n == 3  # 10000+10000+5000
         got = r.records()
         np.testing.assert_array_equal(got, recs)
+
+
+def test_two_reader_threaded_blocks(tmp_path):
+    """blocks(threads>1) pipelines the zstd decode; output must equal
+    the serial path block-for-block (order preserved)."""
+    import numpy as np
+    from tomahawk_tpu.io.header import VcfContig, VcfHeader
+    from tomahawk_tpu.io.two import TWO_DTYPE, TwoReader, TwoWriter
+
+    hdr = VcfHeader(samples=["s0"], contigs=[VcfContig(idx=0, name="c")])
+    path = str(tmp_path / "t.two")
+    w = TwoWriter(path, hdr, block_limit=50)
+    rng = np.random.default_rng(4)
+    recs = np.zeros(777, TWO_DTYPE)
+    recs["ridA"] = rng.integers(0, 2, len(recs))
+    recs["packA"] = rng.integers(0, 1 << 20, len(recs))
+    recs["R2"] = rng.random(len(recs))
+    w.add(recs)
+    w.close()
+
+    r = TwoReader(path)
+    serial = list(r.blocks())
+    threaded = list(r.blocks(threads=4))
+    subset = list(r.stream_blocks([1, 3, 5], threads=3))
+    assert len(serial) == len(threaded) == 16
+    for a, b in zip(serial, threaded):
+        assert np.array_equal(a, b)
+    for want, got in zip([serial[1], serial[3], serial[5]], subset):
+        assert np.array_equal(want, got)
+    r.close()

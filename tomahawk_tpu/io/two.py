@@ -263,7 +263,8 @@ class TwoReader:
             path=path)
         self._fh.seek(self._data_start)
 
-    def read_block(self, i: int) -> np.ndarray:
+    def _read_compressed(self, i: int):
+        """(compressed bytes, b_unc, foff) of block i; IO only."""
         ent = self.index.ent[i]
         self._fh.seek(ent.foff)
         marker, b_unc, b_cmp = struct.unpack(
@@ -271,18 +272,59 @@ class TwoReader:
         if marker != 1:
             raise CorruptFileError(self.path, "corrupt block marker",
                                    ent.foff)
+        return (read_exact(self._fh, b_cmp, self.path, "block"),
+                b_unc, ent.foff)
+
+    def _decode(self, comp, b_unc, foff, dctx=None) -> np.ndarray:
         payload = decompress_checked(
-            self._dctx, read_exact(self._fh, b_cmp, self.path, "block"),
-            b_unc, self.path, "block", ent.foff + 9)
+            dctx or self._dctx, comp, b_unc, self.path, "block", foff + 9)
         try:
             return two_records_from_bytes(payload)
         except (EOFError, struct.error, ValueError) as e:
             raise CorruptFileError(self.path, f"corrupt block payload: {e}",
-                                   ent.foff + 9) from None
+                                   foff + 9) from None
 
-    def blocks(self) -> Iterator[np.ndarray]:
-        for i in range(self.index.n):
-            yield self.read_block(i)
+    def read_block(self, i: int) -> np.ndarray:
+        return self._decode(*self._read_compressed(i))
+
+    def stream_blocks(self, ids, threads: int = 0
+                      ) -> Iterator[np.ndarray]:
+        """Stream the given block ids in order. threads > 1 pipelines
+        the zstd decode across a pool (zstandard releases the GIL):
+        compressed bytes are read sequentially here, workers decompress
+        with thread-local contexts, and blocks yield in id order. The
+        in-flight window bounds memory at ~2*threads blocks."""
+        ids = list(ids)
+        if threads <= 1 or len(ids) < 4:
+            for i in ids:
+                yield self.read_block(i)
+            return
+        import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        tls = threading.local()
+
+        def decode(args):
+            comp, b_unc, foff = args
+            d = getattr(tls, "d", None)
+            if d is None:
+                d = tls.d = zstandard.ZstdDecompressor()
+            return self._decode(comp, b_unc, foff, dctx=d)
+
+        window = 2 * threads
+        with ThreadPoolExecutor(threads) as pool:
+            pending = deque()
+            for i in ids:
+                pending.append(pool.submit(decode,
+                                           self._read_compressed(i)))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
+    def blocks(self, threads: int = 0) -> Iterator[np.ndarray]:
+        yield from self.stream_blocks(range(self.index.n),
+                                      threads=threads)
 
     def records(self) -> np.ndarray:
         """All records concatenated (loads whole file)."""

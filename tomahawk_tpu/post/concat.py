@@ -31,8 +31,9 @@ def concat_two(inputs, output: str) -> int:
     stamp_literals(hdr, "concat", " ".join(inputs))
     writer = TwoWriter(output, hdr)
     n = 0
+    import os as _os
     for r in readers:
-        for blk in r.blocks():
+        for blk in r.blocks(threads=min(4, _os.cpu_count() or 1)):
             writer.write_block(blk)
             n += len(blk)
         r.close()

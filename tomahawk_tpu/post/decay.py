@@ -27,7 +27,8 @@ def decay(path: str, max_range: int = 10_000_000, n_bins: int = 1000,
     cnts = np.zeros(n_bins, np.int64)
     r = TwoReader(path)
     filt = _interval_filter(r, intervals)
-    for recs in r.blocks():
+    import os as _os
+    for recs in r.blocks(threads=min(4, _os.cpu_count() or 1)):
         recs = filt(recs)
         pos_a = (recs["packA"] >> 2).astype(np.int64)
         pos_b = (recs["packB"] >> 2).astype(np.int64)
@@ -55,7 +56,8 @@ def positional_decay(path: str, out=None, intervals=None):
     filt = _interval_filter(r, intervals)
     groups = []   # [rid, pos, n, sum_bpos]
     carry = None  # open run at the block boundary
-    for recs in r.blocks():
+    import os as _os
+    for recs in r.blocks(threads=min(4, _os.cpu_count() or 1)):
         recs = filt(recs)
         if len(recs) == 0:
             continue

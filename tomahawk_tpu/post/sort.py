@@ -118,7 +118,7 @@ def sort_two(input_path: str, output_path: str,
             while pending and (final or len(pending) > 2):
                 _write_run(*pending.pop(0).result())
 
-        for blk in reader.blocks():
+        for blk in reader.blocks(threads=min(2, _os.cpu_count() or 1)):
             buf.append(blk)
             buf_n += len(blk)
             n_total += len(blk)

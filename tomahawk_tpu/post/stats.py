@@ -26,7 +26,8 @@ def stats_two(path: str, bins: int = 10, out=None):
     n_contigs = max(r.header.n_contigs, 1)
     cmatrix = np.zeros((n_contigs, n_contigs), np.int64)
 
-    for recs in r.blocks():
+    import os as _os
+    for recs in r.blocks(threads=min(4, _os.cpu_count() or 1)):
         # bincount, not np.add.at: ufunc.at is an order of magnitude
         # slower for dense histogram accumulation
         b = np.clip((recs["R2"] * 100).astype(np.int64), 0, 100)

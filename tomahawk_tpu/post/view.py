@@ -56,6 +56,7 @@ def view(path: str, output: Optional[str] = None,
          out_stream=None):
     """Stream records; returns number of records emitted."""
     from .. import native
+    import os as _os2
     reader = TwoReader(path)
     filt = filt or TwoFilter()
     ivals = parse_intervals(intervals, reader.header) if intervals else None
@@ -95,7 +96,7 @@ def view(path: str, output: Optional[str] = None,
         return recs[m]
 
     if binary:
-        for recs in reader.blocks():
+        for recs in reader.blocks(threads=min(4, _os2.cpu_count() or 1)):
             sel = select(recs)
             if len(sel):
                 n_out += len(sel)
@@ -135,7 +136,7 @@ def view(path: str, output: Optional[str] = None,
         if n_workers > 1:
             inflight = deque()
             with ThreadPoolExecutor(n_workers) as pool:
-                for recs in reader.blocks():
+                for recs in reader.blocks(threads=min(4, _os2.cpu_count() or 1)):
                     inflight.append(pool.submit(fmt, recs))
                     if len(inflight) >= 2 * n_workers:
                         n_sel, blob = inflight.popleft().result()
@@ -148,13 +149,13 @@ def view(path: str, output: Optional[str] = None,
                     if blob:
                         emit(blob)
         else:
-            for recs in reader.blocks():
+            for recs in reader.blocks(threads=min(4, _os2.cpu_count() or 1)):
                 n_sel, blob = fmt(recs)
                 n_out += n_sel
                 if blob:
                     emit(blob)
     else:
-        for recs in reader.blocks():
+        for recs in reader.blocks(threads=min(4, _os2.cpu_count() or 1)):
             sel = select(recs)
             if len(sel):
                 n_out += len(sel)
