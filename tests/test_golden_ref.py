@@ -448,18 +448,23 @@ def test_scalc_parity(scalc_files, ref_bin, ranged):
                 err_msg=(k, f))
 
 
-def test_aggregate_parity(pipelines, ref_bin):
-    """Both implementations rasterize the same .two; our .twa reader
-    parses the reference's output and the matrices match to 1e-9."""
+@pytest.mark.parametrize("agg,red", [
+    ("r2", "mean"), ("r", "mean"), ("d", "min"), ("dprime", "max"),
+    ("p", "total"), ("hets", "sd"), ("alts", "count"),
+])
+def test_aggregate_parity(pipelines, ref_bin, agg, red):
+    """Both implementations rasterize the same .two across the
+    aggregation x reduction surface (two_reader.cpp:570-604); our .twa
+    reader parses the reference's output and the matrices match."""
     from tomahawk_tpu.post.aggregate import Twa, aggregate_two
     p = pipelines["phased_clean"]
     d = p["dir"]
-    ref_twa = str(d / "ref.twa")
+    ref_twa = str(d / f"ref_{agg}_{red}.twa")
     run_ref(ref_bin, "aggregate", "-i", p["ref_two"], "-o", ref_twa,
-            "-f", "r2", "-r", "mean", "-x", "60", "-y", "60",
+            "-f", agg, "-r", red, "-x", "60", "-y", "60",
             "-c", "5", "-t", "1")
-    ours_twa = str(d / "ours.twa")
-    aggregate_two(p["ours_two"], ours_twa, agg="r2", reduce="mean",
+    ours_twa = str(d / f"ours_{agg}_{red}.twa")
+    aggregate_two(p["ours_two"], ours_twa, agg=agg, reduce=red,
                   xbins=60, ybins=60, min_count=5)
     a, b = Twa.open(ours_twa), Twa.open(ref_twa)
     assert (a.x, a.y) == (b.x, b.y)

@@ -300,22 +300,40 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
     tot = tot.reshape(xbins, ybins)
     tot2 = tot2.reshape(xbins, ybins)
 
-    ok = cnt >= max(min_count, 1)
+    # reducer semantics mirror the reference's twk_sstats exactly
+    # (reference: include/core.h:929-976, cutoff applied by Overload,
+    # aggregation.h:204-212), quirks included:
+    #   - GetMean returns 0 when the cutoff itself is 0;
+    #   - GetMin/GetMax IGNORE the cutoff, and min/max accumulators
+    #     start at 0, so the min is never positive and the max never
+    #     negative;
+    #   - GetTotal compares the SUM (not the count) against the
+    #     cutoff, zeroing cells whose total falls below it (negative
+    #     D totals always zero under any positive cutoff);
+    #   - GetStandardDeviation zeroes below-cutoff cells (we also
+    #     return 0 for empty cells where the reference would divide
+    #     0/0).
+    ok = cnt >= min_count
     safe_cnt = np.where(cnt > 0, cnt, 1.0)
     if reduce == "mean":
-        data = np.where(ok, tot / safe_cnt, 0.0)
+        data = np.where(ok if min_count > 0 else False,
+                        tot / safe_cnt, 0.0)
     elif reduce == "max":
-        data = np.where(ok, np.where(np.isfinite(vmax), vmax, 0.0), 0.0)
+        data = np.where(cnt > 0,
+                        np.maximum(np.where(np.isfinite(vmax), vmax,
+                                            0.0), 0.0), 0.0)
     elif reduce == "min":
-        data = np.where(ok, np.where(np.isfinite(vmin), vmin, 0.0), 0.0)
+        data = np.where(cnt > 0,
+                        np.minimum(np.where(np.isfinite(vmin), vmin,
+                                            0.0), 0.0), 0.0)
     elif reduce in ("count", "n"):
         data = np.where(ok, cnt, 0.0)
     elif reduce == "total":
-        data = np.where(ok, tot, 0.0)
+        data = np.where(tot < min_count, 0.0, tot)
     else:  # sd
         mean = tot / safe_cnt
         var = np.maximum(tot2 / safe_cnt - mean * mean, 0.0)
-        data = np.where(ok & (cnt >= 2), np.sqrt(var), 0.0)
+        data = np.where(ok & (cnt >= 1), np.sqrt(var), 0.0)
 
     twa = Twa(x=xbins, y=ybins,
               bpx=xrange, bpy=yrange,
