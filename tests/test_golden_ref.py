@@ -836,6 +836,82 @@ def test_view_text_field_parity(pipelines, ref_bin):
             assert abs(vx - vy) <= max(1e-4, 5e-5 * abs(vy)), (x[:5], vx, vy)
 
 
+def _parse_view_text(txt):
+    rows = []
+    for ln in txt.splitlines():
+        if (not ln or ln.startswith("#") or ln.startswith("FLAG")
+                or ln.startswith("flags")):
+            continue
+        t = ln.split("\t")
+        rows.append((int(t[0]), t[1], int(t[2]), t[3], int(t[4]),
+                     tuple(float(x) for x in t[5:])))
+    rows.sort(key=lambda r: (r[1], r[2], r[3], r[4], r[0]))
+    return rows
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_view_filter_parity(pipelines, ref_bin, seed):
+    """Randomized filter combinations through both `view`s must select
+    the same records (reference flag surface: lib/view.h:44-59;
+    predicates two_reader.h:143-177). Excluded by design, as documented
+    divergences from reference bugs: -z/-Z (FilterR compares R against
+    the R2 bounds), -u/-l (&&-precedence drops cross-contig records),
+    -m/-M (ChiSqModel dead store)."""
+    import io
+    import random as _random
+    from tomahawk_tpu.post.filters import TwoFilter
+    from tomahawk_tpu.post.view import view as our_view
+    rng = _random.Random(seed)
+    p = pipelines["phased_clean"]
+    recs = load_two(p["ref_two"])
+
+    def q(series, frac):
+        return float(np.quantile(np.asarray(series, np.float64), frac))
+
+    # (ref flag pair, record series, our TwoFilter field)
+    surface = [
+        (("-r", "-R"), recs["R2"], "r2"),
+        (("-d", "-D"), recs["D"], "d"),
+        (("-b", "-B"), recs["Dprime"], "dprime"),
+        (("-p", "-P"), recs["P"], "p"),
+        (("-x", "-X"), recs["ChiSqFisher"], "chisq_fisher"),
+        (("-1", "-5"), recs["cnt"][:, 0], "refref"),
+        (("-2", "-6"), recs["cnt"][:, 1], "altref"),
+        (("-3", "-7"), recs["cnt"][:, 2], "refalt"),
+        (("-4", "-8"), recs["cnt"][:, 3], "altalt"),
+    ]
+    args = []
+    filt = TwoFilter()
+    for (lo_f, hi_f), series, field in rng.sample(surface,
+                                                  rng.randint(2, 5)):
+        lo = q(series, rng.uniform(0.05, 0.45)) \
+            if rng.random() < 0.7 else None
+        hi = q(series, rng.uniform(0.55, 0.95)) \
+            if rng.random() < 0.7 else None
+        if lo is None and hi is None:
+            lo = q(series, 0.3)
+        if lo is not None:
+            args += [lo_f, repr(lo)]
+        if hi is not None:
+            args += [hi_f, repr(hi)]
+        setattr(filt, field, (lo, hi))
+    if rng.random() < 0.5:
+        fl = rng.choice([4, 8, 12, 0x30])
+        args += ["-f", str(fl)]
+        filt.flag_include = fl
+
+    ref_txt = run_ref(ref_bin, "view", "-i", p["ref_two"],
+                      *args).stdout
+    buf = io.StringIO()
+    our_view(p["ours_two"], filt=filt, out_stream=buf)
+
+    ra, rb = _parse_view_text(buf.getvalue()), _parse_view_text(ref_txt)
+    assert len(ra) == len(rb), (args, len(ra), len(rb))
+    assert len(ra) < len(recs)          # the filters actually bit
+    for x, y in zip(ra, rb):
+        assert x[:5] == y[:5], (args, x[:5], y[:5])
+
+
 def test_golden_soak_subset(ref_bin):
     """A short randomized golden soak (tools/soak_golden.py) runs in
     CI: 4 random configs imported + calc'd by both implementations and
