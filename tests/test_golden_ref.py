@@ -912,6 +912,51 @@ def test_view_filter_parity(pipelines, ref_bin, seed):
         assert x[:5] == y[:5], (args, x[:5], y[:5])
 
 
+def _our_view_text(path, intervals):
+    import io
+    from tomahawk_tpu.post.view import view as our_view
+    buf = io.StringIO()
+    our_view(path, intervals=intervals, out_stream=buf)
+    return _parse_view_text(buf.getvalue())
+
+
+@pytest.mark.parametrize("form", ["contig", "range", "sci", "linked"])
+def test_view_interval_parity(pipelines, ref_bin, form):
+    """`view -I` record selection matches the reference when the same
+    genomic span is expressed in each implementation's convention.
+
+    The reference's .two interval filter compares the interval string
+    RAW against its 0-based stored positions, with boundary inclusion
+    that varies by parse branch (observed: `c:a-b` excluding a and
+    point intervals matching nothing on one file but records on
+    another — lib/intervals.cpp:246-268 vs :117-118 store different
+    widths). Ours takes bcftools-style 1-based inclusive coordinates.
+    For the same 0-based variant span [lo, hi] we therefore query ours
+    as "c:lo+1-hi+1" and the reference as "c:lo-1-hi": since lo-1 and
+    hi+1 are never variant positions here, both selections are
+    identical under either boundary convention, making the test
+    insensitive to the reference's branch-dependent inclusivity."""
+    p = pipelines["phased_clean"]
+    recs = load_two(p["ref_two"])
+    pos = np.sort((recs["packA"] >> 2).astype(np.int64))
+    lo, mid, hi = int(pos[len(pos) // 4]), int(pos[len(pos) // 2]), \
+        int(pos[3 * len(pos) // 4])
+    ours_iv, ref_iv = {
+        "contig": ("20", "20"),
+        "range": (f"20:{lo + 1}-{hi + 1}", f"20:{lo - 1}-{hi}"),
+        "sci": (f"20:{lo + 1}-1e9", f"20:{lo - 1}-1e9"),
+        "linked": (f"20:{lo + 1}-{mid + 1},20:{mid + 1}-{hi + 1}",
+                   f"20:{lo - 1}-{mid},20:{mid - 1}-{hi}"),
+    }[form]
+    ref_txt = run_ref(ref_bin, "view", "-i", p["ref_two"],
+                      "-I", ref_iv).stdout
+    ra = _our_view_text(p["ours_two"], [ours_iv])
+    rb = _parse_view_text(ref_txt)
+    assert len(ra) == len(rb) > 0, (ours_iv, ref_iv, len(ra), len(rb))
+    for x, y in zip(ra, rb):
+        assert x[:5] == y[:5], (ours_iv, x[:5], y[:5])
+
+
 def test_golden_soak_subset(ref_bin):
     """A short randomized golden soak (tools/soak_golden.py) runs in
     CI: 4 random configs imported + calc'd by both implementations and

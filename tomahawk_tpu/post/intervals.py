@@ -138,9 +138,14 @@ def parse_intervals(strings, header) -> IntervalSet:
 
 
 def interval_mask(recs: np.ndarray, ivals) -> np.ndarray:
-    """True where a .two record overlaps any interval. Unlinked
-    intervals match on either side; linked pairs require A in the first
-    and B in the second (or the swap)."""
+    """True where a .two record matches any interval, with the
+    reference's A-side-anchored semantics (reference:
+    lib/intervals.cpp:381-403 FilterInterval): an unlinked interval
+    matches on the A side only, and a linked pair requires A in the
+    first interval AND B in its mate, in that orientation. Because the
+    record stream carries both (A,B) and (B,A) orientations of every
+    pair, anchoring on A selects each matching pair exactly once per
+    listed orientation -- either-side matching would double-select."""
     if not ivals:
         return np.ones(len(recs), bool)
     if not isinstance(ivals, IntervalSet):
@@ -149,16 +154,13 @@ def interval_mask(recs: np.ndarray, ivals) -> np.ndarray:
     pos_b = (recs["packB"] >> 2).astype(np.int64)
     rid_a = recs["ridA"].astype(np.int64)
     rid_b = recs["ridB"].astype(np.int64)
-    m = ivals.contains(rid_a, pos_a) | ivals.contains(rid_b, pos_b)
+    m = ivals.contains(rid_a, pos_a)
     for iv in ivals.linked_pairs:
         in_a = (rid_a == iv.rid) & (pos_a >= iv.start) & (pos_a <= iv.end)
-        in_b = (rid_b == iv.rid) & (pos_b >= iv.start) & (pos_b <= iv.end)
         lv = iv.linked
-        in_a2 = (rid_a == lv.rid) & (pos_a >= lv.start) & \
-            (pos_a <= lv.end)
         in_b2 = (rid_b == lv.rid) & (pos_b >= lv.start) & \
             (pos_b <= lv.end)
-        m |= (in_a & in_b2) | (in_a2 & in_b)
+        m |= in_a & in_b2
     return m
 
 
