@@ -957,6 +957,61 @@ def test_view_interval_parity(pipelines, ref_bin, form):
         assert x[:5] == y[:5], (ours_iv, x[:5], y[:5])
 
 
+def test_import_filter_parity(ref_bin, tmp_path):
+    """Crafted VCF covering every import filter corner (reference:
+    importer.cpp:104-190): duplicate positions (incl. the quirk that a
+    DROPPED site resets the dup tracker, so the 3rd record of a
+    same-pos triple and a clean site after a filtered same-pos site are
+    both KEPT), triallelic, indel, non-ACGT, high missingness, and
+    invariant sites. Both importers must keep/drop identically and the
+    kept records must match field-for-field."""
+    n_samples = 30
+
+    def gts(pattern):
+        return "\t".join(pattern[i % len(pattern)]
+                         for i in range(n_samples))
+
+    def row(pos, ref, alt, gt_pattern):
+        return (f"20\t{pos}\t.\t{ref}\t{alt}\t.\tPASS\t.\tGT\t"
+                + gts(gt_pattern))
+
+    lines = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=20,length=2000000>",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"s{i}" for i in range(n_samples)),
+        row(100, "A", "C", ["0|0", "0|1", "1|1", "0|0"]),  # clean
+        row(200, "A", "C", ["0|0", "0|1"]),        # dup 1: kept
+        row(200, "G", "T", ["0|1", "1|1"]),        # dup 2: dropped
+        row(200, "A", "T", ["0|0", "1|1"]),        # dup 3: KEPT (quirk)
+        row(300, "A", "C,G", ["0|1", "1|2"]),      # triallelic: dropped
+        row(300, "A", "G", ["0|1", "0|0"]),        # after dropped: KEPT
+        row(400, "AT", "A", ["0|1", "0|0"]),       # indel: dropped
+        row(500, "N", "C", ["0|1", "0|0"]),        # non-ACGT: dropped
+        row(600, "A", "C", ["0|1", ".|.", ".|.", ".|."]),  # missing
+        row(700, "A", "C", ["0|0"]),               # invariant: dropped
+        row(800, "A", "C", ["0|1", "1|0", "0|0", "1|1"]),  # clean
+    ]
+    vcf = str(tmp_path / "craft.vcf")
+    with open(vcf, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    ref_twk = str(tmp_path / "ref.twk")
+    run_ref(ref_bin, "import", "-i", vcf, "-o", ref_twk[:-4])
+    ours_twk = str(tmp_path / "ours.twk")
+    st = import_vcf(ImportSettings(input=vcf, output=ours_twk))
+    assert st.n_kept == 5
+
+    with TwkReader(ours_twk) as a, TwkReader(ref_twk) as b:
+        ra, rb = list(a.records()), list(b.records())
+    assert [r.pos for r in ra] == [r.pos for r in rb] \
+        == [99, 199, 199, 299, 799]
+    for x, y in zip(ra, rb):
+        for f in TWK_FIELDS:
+            assert getattr(x, f) == getattr(y, f), (f, x.pos)
+
+
 def test_golden_soak_subset(ref_bin):
     """A short randomized golden soak (tools/soak_golden.py) runs in
     CI: 4 random configs imported + calc'd by both implementations and
