@@ -164,28 +164,29 @@ def phased_math(counts: np.ndarray, meta: PairMeta, filt: LdFilters,
 
 def _chisq_unphased_table(T: np.ndarray, n: np.ndarray, f11, p, q):
     """Goodness-of-fit chi-square of the 3x3 observed table against the
-    expected table implied by haplotype frequency f11
+    expected table implied by haplotype frequency f11, accumulated cell
+    by cell in the reference's order
     (reference: ld_engine.cpp:1562-1588)."""
     f12 = p - f11
     f21 = q - f11
     f22 = 1.0 - (f11 + f12 + f21)
-    e = np.stack([
-        n * f11 ** 2,                       # 1111
-        2 * n * f11 * f12,                  # 1112
-        n * f12 ** 2,                       # 1122
-        2 * n * f11 * f21,                  # 1211
-        2 * n * f12 * f21 + 2 * n * f11 * f22,   # 1212
-        2 * n * f12 * f22,                  # 1222
-        n * f21 ** 2,                       # 2211
-        2 * n * f21 * f22,                  # 2212
-        n * f22 ** 2,                       # 2222
-    ], axis=-1)
-    obs = np.stack([T[:, 0, 0], T[:, 0, 1], T[:, 0, 2],
-                    T[:, 1, 0], T[:, 1, 1], T[:, 1, 2],
-                    T[:, 2, 0], T[:, 2, 1], T[:, 2, 2]], axis=-1)
+    cells = (
+        (T[..., 0, 0], n * f11 ** 2),                        # 1111
+        (T[..., 0, 1], 2 * n * f11 * f12),                   # 1112
+        (T[..., 0, 2], n * f12 ** 2),                        # 1122
+        (T[..., 1, 0], 2 * n * f11 * f21),                   # 1211
+        (T[..., 1, 1], 2 * n * f12 * f21 + 2 * n * f11 * f22),  # 1212
+        (T[..., 1, 2], 2 * n * f12 * f22),                   # 1222
+        (T[..., 2, 0], n * f21 ** 2),                        # 2211
+        (T[..., 2, 1], 2 * n * f21 * f22),                   # 2212
+        (T[..., 2, 2], n * f22 ** 2),                        # 2222
+    )
+    chi = np.zeros(np.shape(f11), np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        terms = np.where(e > 0, (obs - e) ** 2 / np.where(e > 0, e, 1.0), 0.0)
-    return terms.sum(axis=-1)
+        for obs, e in cells:
+            chi += np.where(e > 0, (obs - e) ** 2 / np.where(e > 0, e, 1.0),
+                            0.0)
+    return chi
 
 
 def solve_unphased_f11(T: np.ndarray):
@@ -266,12 +267,13 @@ def solve_unphased_f11(T: np.ndarray):
         (roots <= hi[:, None])
     n_possible = possible.sum(axis=1)
 
+    # score every admissible (pair, root) entry in one flat gathered
+    # pass: no [K,3,3] boolean-subset copies, one chi accumulation
     chis = np.full((K, 3), np.inf)
-    for r in range(3):
-        sel = possible[:, r]
-        if sel.any():
-            chis[sel, r] = _chisq_unphased_table(
-                T[sel], n[sel], roots[sel, r], p[sel], q[sel])
+    idx, rno = np.nonzero(possible)
+    if len(idx):
+        chis[idx, rno] = _chisq_unphased_table(
+            T[idx], n[idx], roots[idx, rno], p[idx], q[idx])
     best = np.argmin(chis, axis=1)
     f11 = roots[np.arange(K), best]
     chi_model = chis[np.arange(K), best]
