@@ -103,3 +103,63 @@ def test_sharded_count_sweep_matches_jit(table):
                                                        live))
     np.testing.assert_array_equal(n_ref, n_sh)
     np.testing.assert_array_equal(nc_ref, nc_sh)
+
+
+def test_band_planes_committed_with_mesh_sharding():
+    """A samples-sharded local mesh must hold 1/S of every word plane
+    per device (the banding budget stretches S-fold on that
+    assumption); metadata vectors are replicated."""
+    from jax.sharding import PartitionSpec as P
+    rng = np.random.default_rng(2)
+    n_samples = 4 * 128
+    stacked = _stacked(rng, n_samples=n_samples)
+    mesh = _mesh_or_skip(2, 2)
+    settings = CalcSettings(min_r2=0.0)
+    engine = LdEngine(stacked, n_samples, settings, mesh=mesh)
+    alt = engine._band_dev_get("alt_bits", engine._load_bands[0])
+    assert alt.sharding.spec == P(None, None, "samples")
+    # sharded engine output still matches the single-device run
+    n1, r1 = _records_for(stacked, n_samples, None)
+    n2, r2 = _records_for(stacked, n_samples, mesh)
+    assert n1 == n2
+    np.testing.assert_array_equal(_sorted(r1), _sorted(r2))
+
+
+def test_resolve_mesh_platform_respects_local_only():
+    """'platform:PxS' specs must mesh only local devices when asked:
+    global jax.devices(platform) in a distributed run would silently
+    build a process-spanning mesh on the non-dcn path."""
+    from tomahawk_tpu.parallel.distributed import resolve_mesh
+    n_local = len(jax.local_devices(backend="cpu"))
+    if n_local < 2:
+        pytest.skip("need 2 local cpu devices")
+    mesh = resolve_mesh("cpu:2x1", local_only=True)
+    local = set(jax.local_devices(backend="cpu"))
+    assert all(d in local for d in mesh.devices.flat)
+
+
+def test_fused_sweep_offset_clamps_at_outcap():
+    """The int32 running offset must clamp at outcap: a dense segment
+    can exceed 2^31 raw survivors, and a wrapped-negative offset would
+    corrupt rows of tiles the host still trusts. With clamping, the
+    intact prefix stays exact and everything later is repaired."""
+    rng = np.random.default_rng(3)
+    n_samples = 4 * 128
+    stacked = _stacked(rng, NB=6, B=8, n_samples=n_samples)
+    B = 8
+    cfg = sweeps.make_cfg("phased", False, "all", B, n_samples,
+                          0, 0.0, 100.0)
+    dev = {k: jnp.asarray(stacked[k]) for k in sweeps.dev_keys_for(cfg)}
+    pair_list = [(i, j, i == j) for i in range(6) for j in range(i, 6)]
+    pi = np.array([p[0] for p in pair_list], np.int32)
+    pj = np.array([p[1] for p in pair_list], np.int32)
+    dg = np.array([p[2] for p in pair_list], bool)
+    live = np.ones(len(pair_list), bool)
+    cap, outcap = 64, 128   # total survivors far exceed outcap
+    n, nc, buf = (np.asarray(x) for x in sweeps.jit_fused_sweep(
+        cfg, cap, outcap)(dev, pi, pj, dg, live))
+    n_true, _ = (np.asarray(x) for x in
+                 sweeps.jit_count_sweep(cfg)(dev, pi, pj, dg, live))
+    np.testing.assert_array_equal(n, n_true)
+    # the clamped carry means every row index stays in [0, outcap)
+    assert buf.shape[0] == outcap

@@ -37,8 +37,9 @@ class Balancer:
             raise ValueError("no blocks available")
         if n_chunks <= 1:
             return cls(n_blks, 0, n_blks, 0, n_blks, True)
-        if c_chunk >= n_chunks:
-            raise ValueError(f"chunk id {c_chunk} >= n_chunks {n_chunks}")
+        if not 0 <= c_chunk < n_chunks:
+            raise ValueError(
+                f"chunk id must be in [0, {n_chunks}), got {c_chunk}")
         k = triangular_k(n_chunks)
         if k < 0:
             raise ValueError(
@@ -59,12 +60,6 @@ class Balancer:
                     return cls(n_blks, fromL, toL, fromR, toR, i == j)
                 cnt += 1
         raise AssertionError("unreachable")
-
-    @classmethod
-    def build_single_site(cls, n_blks: int) -> "Balancer":
-        """Target block 0 vs all neighbour blocks
-        (reference: ld_balancing.h:91-101)."""
-        return cls(n_blks, 0, 1, 0, n_blks, True)
 
     @property
     def n_blocks_loaded(self) -> int:

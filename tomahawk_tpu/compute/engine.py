@@ -55,7 +55,6 @@ class CalcSettings:
     # buffers from the exact pass-1 counts instead
     batch_pairs: int = 16
     cap_fraction: float = 0.25
-    single: bool = False
     # tiles per device dispatch: one compiled shape serves runs of any
     # size, and the progress ticker advances between segments
     sweep_segment: int = 4096
@@ -356,11 +355,28 @@ class LdEngine:
         key = (k, band_id)
         if key not in self._band_dev:
             host = self._band_host[band_id][k]
-            self._band_dev[key] = (self._global_upload(k, host)
-                                   if self._multiproc
-                                   else self._jnp.asarray(host))
+            if self._multiproc:
+                arr = self._global_upload(k, host)
+            elif self.mesh is not None:
+                arr = self._mesh_upload(k, host)
+            else:
+                arr = self._jnp.asarray(host)
+            self._band_dev[key] = arr
             self.n_band_uploads += 1
         return self._band_dev[key]
+
+    def _mesh_upload(self, k, host):
+        """Local mesh: commit each band plane with the sweep's sharding
+        (word planes split on the samples axis, metadata replicated) so
+        a samples-sharded mesh really holds 1/S of every word plane per
+        device -- the banding budget assumes it -- instead of parking
+        the full plane on the default device and resharding per call."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        samples = self.mesh.shape.get("samples", 1) > 1
+        spec = (P(None, None, "samples")
+                if samples and k in self.sweeps.WORD_KEYS else P())
+        return jax.device_put(host, NamedSharding(self.mesh, spec))
 
     def _global_upload(self, k, host):
         """dcn mode: make a process-spanning global array for one band.
@@ -588,8 +604,9 @@ class LdEngine:
 
         # repair pass: tiles that overflowed cap or spilled the buffer
         bad = np_.flatnonzero(live & (n_pass > 0) & ~ok)
-        if len(bad) and int(n_pass[bad].max()) <= cap:
-            # spill (not cap overflow): grow the buffer for later segments
+        if len(bad) and bool((n_pass[bad] <= cap).any()):
+            # at least one tile spilled the shared buffer (rather than
+            # overflowing the per-tile cap): grow it for later segments
             self._outcap = min(self._outcap * 4, 1 << 23)
         if len(bad):
             ns_bad = n_pass[bad]

@@ -169,9 +169,13 @@ def fused_sweep(dev, pi, pj, dg, live, *, cfg, cap, outcap):
             return jax.lax.dynamic_update_slice(
                 buf, rec, (jnp.minimum(off, outcap - cap), 0))
 
-        # most tiles have no survivors: skip the whole compaction
+        # most tiles have no survivors: skip the whole compaction.
+        # The carry clamps at outcap so a dense segment cannot wrap the
+        # int32 accumulator (raw per-tile counts reach B*B = 16.7M);
+        # once clamped, every later tile sits past the spill boundary
+        # and the host marks it for the exact-offset repair sweep.
         buf = jax.lax.cond(n > 0, hit, lambda b: b, buf)
-        return (buf, off + n), (n, nc)
+        return (buf, jnp.minimum(off + n, outcap)), (n, nc)
 
     buf0 = jnp.zeros((outcap, ncol), jnp.int32)
     (buf, _), (n, nc) = jax.lax.scan(body, (buf0, jnp.int32(0)),

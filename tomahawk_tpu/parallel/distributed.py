@@ -68,7 +68,8 @@ def resolve_mesh(spec: str, local_only: bool = False):
     if ":" in spec:
         platform, _, spec = spec.partition(":")
     if platform:
-        devices = jax.devices(platform)
+        devices = (jax.local_devices(backend=platform) if local_only
+                   else jax.devices(platform))
     else:
         devices = jax.local_devices() if local_only else jax.devices()
     n_dev = len(devices)

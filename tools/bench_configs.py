@@ -172,13 +172,22 @@ def config4(n_sup=123, B=4096, n_samples=100_000, window=4_000_000,
 
     @jax.jit
     def gen_super(seed):
+        """LD-structured planes: groups of 16 variants share a template
+        haplotype plane (MAF class 1/2..1/16) with ~3% haplotype flips,
+        so in-group pairs carry r2 ~ 0.88 and the run emits records
+        through the full extract + host-math + writer path."""
         key = jax.random.PRNGKey(seed)
-        k1, k2 = jax.random.split(key)
-        r = jax.random.bits(k1, (4, B, Wh), jnp.uint32)
+        k1, k2, k3 = jax.random.split(key, 3)
+        G = B // 16
+        r = jax.random.bits(k1, (4, G, Wh), jnp.uint32)
         cum = jax.lax.associative_scan(jnp.bitwise_and, r, axis=0)
-        cls = jax.random.randint(k2, (B,), 0, 4)
-        alt = jnp.take_along_axis(cum, cls[None, :, None], axis=0)[0]
-        alt = alt & tail_mask[None, :]
+        cls = jax.random.randint(k2, (G,), 0, 4)
+        base = jnp.take_along_axis(cum, cls[None, :, None], axis=0)[0]
+        base = jnp.repeat(base, 16, axis=0)
+        noise = jax.random.bits(k3, (5, B, Wh), jnp.uint32)
+        flips = jax.lax.associative_scan(jnp.bitwise_and, noise,
+                                         axis=0)[-1]
+        alt = (base ^ flips) & tail_mask[None, :]
         ac = jax.lax.population_count(alt).sum(axis=1).astype(jnp.int32)
         return alt, ac
 
@@ -261,9 +270,13 @@ def config4(n_sup=123, B=4096, n_samples=100_000, window=4_000_000,
     dt = time.perf_counter() - t0
     writer.close()
     rate = n_cand / dt
+    geno = rate * NS
     print(f"# config4 windowed: {n_cand:,} in-window candidates in "
           f"{dt:.1f}s -> {rate:,.0f} candidate pairs/s "
-          f"({rate / REF_WINDOWED:.0f}x reference windowed); "
+          f"({rate / REF_WINDOWED:.1f}x the reference's windowed "
+          f"pair rate AT 2,504 SAMPLES; per-pair work here is 40x "
+          f"-> {geno:,.0f} genotypes/s = "
+          f"{geno / 224_874_830_855:.0f}x its genotype rate); "
           f"tile utilization {n_cand / max(1, n_cand_window):.1%}; "
           f"{n_out[0]:,} records -> {out}", flush=True)
 
