@@ -195,3 +195,43 @@ def test_bcf_import_flip_parity(tmp_path):
     assert flipped > 0, "test data produced no flipped sites"
     rv.close()
     rb.close()
+
+
+def test_bcf_contig_idx_remap(tmp_path):
+    """##contig lines with explicit IDX= in non-appearance order: record
+    rids refer to the IDX dictionary (BCF2 spec 6.2.1) and must map
+    back to the right contig names."""
+    header_text = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+        "##contig=<ID=chrA,length=1000,IDX=5>\n"
+        "##contig=<ID=chrB,length=1000,IDX=3>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\n")
+    gt = np.array([[2, 4], [4, 4]], np.int32)   # 0|1, 1|1
+    # rid 5 = chrA (appearance 0), rid 3 = chrB (appearance 1)
+    sites = [(5, 100, "A", "C", gt), (3, 200, "G", "T", gt)]
+    bcf = str(tmp_path / "idx.bcf")
+    write_bcf(bcf, header_text, sites, 2, gt_key=1)
+    rd = BcfReader(bcf)
+    got = list(rd.sites())
+    names = [rd.header.contigs[s.rid].name for s in got]
+    assert names == ["chrA", "chrB"]
+    assert [s.pos for s in got] == [100, 200]
+
+
+def test_bcf_contig_idx_remap_raw_path(tmp_path):
+    """Same remap through the fused native scanner path (raw=True)."""
+    header_text = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+        "##contig=<ID=chrA,length=1000,IDX=1>\n"
+        "##contig=<ID=chrB,length=1000,IDX=0>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\n")
+    gt = np.array([[2, 4], [4, 4]], np.int32)
+    sites = [(1, 100, "A", "C", gt), (0, 200, "G", "T", gt)]
+    bcf = str(tmp_path / "idxraw.bcf")
+    write_bcf(bcf, header_text, sites, 2, gt_key=1)
+    rd = BcfReader(bcf)
+    got = list(rd.sites(raw=True))
+    names = [rd.header.contigs[s.rid].name for s in got]
+    assert names == ["chrA", "chrB"]

@@ -166,3 +166,53 @@ def test_undeclared_contig_archive_is_consistent(tmp_path):
         # per-contig rollups cover the implicit contig too
         metas = [m for m in r.index.ent_meta if m.nn > 0]
         assert len(metas) == 2
+
+
+def test_filter_attribution_no_format_and_no_gt(tmp_path):
+    """Reference counter attribution (importer.cpp:273-280): a line
+    with FORMAT but no leading GT -> 'No genotypes' [4]; a line with
+    no FORMAT column at all -> 'No FORMAT' [5]."""
+    n = 6
+    samples = "\t".join(f"S{i}" for i in range(n))
+    lines = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=20,length=100000>",
+        f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{samples}",
+        "20\t100\t.\tA\tC\t.\tPASS\t.\tGT\t" +
+        "\t".join(["0|1", "1|1", "0|0"] * (n // 3)),  # kept
+        "20\t200\t.\tA\tC\t.\tPASS\t.\tDP\t" +
+        "\t".join(["13"] * n),                        # No genotypes
+        "20\t300\t.\tA\tC\t.\tPASS\t.",               # No FORMAT
+    ]
+    vcf = tmp_path / "fmt.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+    twk = str(tmp_path / "fmt.twk")
+    stats = import_vcf(ImportSettings(input=str(vcf), output=twk))
+    assert stats.n_kept == 1
+    assert stats.filtered[4] == 1, "FORMAT-without-GT -> 'No genotypes'"
+    assert stats.filtered[5] == 1, "missing FORMAT -> 'No FORMAT'"
+    assert stats.filtered[3] == 0
+
+
+def test_import_from_stdin(tmp_path, monkeypatch):
+    """import -i - reads the VCF body from stdin (htslib hts_open('-')
+    semantics) and must produce the same archive as a file import."""
+    import io as _io
+    import sys
+    vcf = str(tmp_path / "s.vcf")
+    make_vcf(vcf, n_samples=12, n_sites=10, miss_frac=0.0, seed=5)
+    ref_twk = str(tmp_path / "file.twk")
+    import_vcf(ImportSettings(input=vcf, output=ref_twk))
+
+    monkeypatch.setattr(sys, "stdin", _io.StringIO(open(vcf).read()))
+    stdin_twk = str(tmp_path / "stdin.twk")
+    import_vcf(ImportSettings(input="-", output=stdin_twk))
+
+    from tomahawk_tpu.io.twk import TwkReader
+    ra, rb = TwkReader(ref_twk), TwkReader(stdin_twk)
+    assert ra.index.n == rb.index.n
+    for ba, bb in zip(ra.blocks(), rb.blocks()):
+        assert ba.n == bb.n
+        for x, y in zip(ba.rcds, bb.rcds):
+            assert (x.pos, x.rid, x.ac, x.an) == (y.pos, y.rid, y.ac, y.an)
+            assert np.array_equal(x.gt_runs, y.gt_runs)

@@ -169,3 +169,56 @@ def test_prefilter_never_drops_exact_survivors():
     kept_set = set(kept.tolist())
     dev_set = set(np.flatnonzero(dev_mask.ravel()).tolist())
     assert kept_set <= dev_set, kept_set - dev_set
+
+
+def test_flipped_import_unphased_counts_vs_oracle(tmp_path):
+    """-f flipped sites store the PRE-flip n_hom in the record (a
+    mirrored reference quirk, genotype_encoder.h:251-253 sets it from
+    the unflipped summary), but the unphased cell derivation must use
+    counts consistent with the flipped genotype planes -- the reference
+    recounts from the flipped RLE data and never reads that field."""
+    from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+    from tomahawk_tpu.io.twk import TwkReader
+    from tomahawk_tpu.ops.bitpack import block_to_planes
+
+    rng = np.random.default_rng(7)
+    n_samples, n_sites = 30, 8
+    lines = ["##fileformat=VCFv4.2",
+             "##contig=<ID=20,length=100000>",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(f"S{i}" for i in range(n_samples))]
+    all_codes = []
+    for s in range(n_sites):
+        # alt-major (maf ~ 0.8) so every site flips
+        g = (rng.random((n_samples, 2)) < 0.8).astype(int)
+        cols = ["|".join(map(str, row)) for row in g]
+        lines.append(f"20\t{100 + 50 * s}\t.\tA\tC\t.\tPASS\t.\tGT\t"
+                     + "\t".join(cols))
+        all_codes.append((g[:, 0] << 2) | g[:, 1])
+    vcf = tmp_path / "flip.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+    twk = str(tmp_path / "flip.twk")
+    import_vcf(ImportSettings(input=str(vcf), output=twk,
+                              flip_major_minor=True))
+
+    reader = TwkReader(twk)
+    blk = next(iter(reader.blocks()))
+    assert all(r.gt_flipped for r in blk.rcds), "no site flipped"
+    p = block_to_planes(blk, n_samples)
+
+    # flipped codes are what the archive stores
+    flipped = [(np.where(c >> 2 == 0, 1, 0) << 2)
+               | np.where((c & 3) == 0, 1, 0) for c in all_codes]
+    T = np.array(unphased_counts_tile(
+        jnp.asarray(p.het_bits), jnp.asarray(p.hom_bits),
+        jnp.asarray(p.valid_bits),
+        jnp.asarray(p.het_bits), jnp.asarray(p.hom_bits),
+        jnp.asarray(p.valid_bits),
+        jnp.asarray(p.n_het), jnp.asarray(p.n_hom),
+        jnp.asarray(p.n_het), jnp.asarray(p.n_hom),
+        n_samples, False))
+    for i in range(n_sites):
+        for j in range(n_sites):
+            _, T_want = counts_from_codes(flipped[i], flipped[j])
+            np.testing.assert_array_equal(T[i, j], T_want,
+                                          err_msg=f"pair {i},{j}")

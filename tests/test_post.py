@@ -257,3 +257,53 @@ def test_decay_matches_direct_computation(pipeline):
         want_cnt[b] += 1
     np.testing.assert_allclose(sums, want_sum)
     np.testing.assert_array_equal(cnts, want_cnt)
+
+
+def test_sorted_blocks_never_straddle_contigs(pipeline, tmp_path):
+    """The sorted writer must flush at ridA changes (reference merge,
+    two_reader.cpp:367-371) so each index entry describes one contig."""
+    from tomahawk_tpu.io.two import TWO_DTYPE, TwoWriter
+    from tomahawk_tpu.io.constants import TWK_IDX_SORTED
+    d, twk, two = pipeline
+    with TwoReader(two) as r:
+        hdr = r.header
+    recs = np.zeros(20, TWO_DTYPE)
+    recs["ridA"] = np.repeat([0, 1, 0, 1], 5)  # not sorted by rid on
+    recs["ridA"].sort()                        # purpose, then sorted
+    recs["packA"] = (np.arange(20, dtype=np.uint32) * 100) << 2
+    out = str(tmp_path / "small_blocks.two")
+    w = TwoWriter(out, hdr, block_limit=7, state=TWK_IDX_SORTED)
+    w.add(recs)          # one batch straddling the 0 -> 1 change
+    w.close()
+    with TwoReader(out) as r:
+        assert r.index.state == 2
+        total = 0
+        for i, ent in enumerate(r.index.ent):
+            blk = r.read_block(i)
+            rids = np.unique(blk["ridA"])
+            assert len(rids) == 1, f"block {i} straddles contigs {rids}"
+            assert ent.rid == rids[0]
+            pos = (blk["packA"] >> 2).astype(np.int64)
+            assert ent.minpos == pos[0] and ent.maxpos == pos[-1]
+            total += len(blk)
+        assert total == 20
+
+
+def test_view_binary_stdout(pipeline, tmp_path, capfdbinary):
+    """view -O b with the default '-' output streams the binary
+    container to stdout (reference: writer.h:173-174 _OpenStream)."""
+    from tomahawk_tpu.post.view import view
+    d, twk, two = pipeline
+    view(two, output="-", binary=True)
+    captured = capfdbinary.readouterr().out
+    assert captured.startswith(b"TWO\x01")
+    import os
+    assert not os.path.exists("-")
+    # round-trip through a file to confirm the stream is complete
+    p = tmp_path / "roundtrip.two"
+    p.write_bytes(captured)
+    with TwoReader(str(p)) as r:
+        got = r.records()
+    with TwoReader(two) as r:
+        want = r.records()
+    np.testing.assert_array_equal(got, want)

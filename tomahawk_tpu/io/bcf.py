@@ -180,8 +180,41 @@ class BcfReader:
         for idx, name in self._dict.items():
             if name == "GT":
                 self._gt_key = idx
-        # contigs with explicit IDX: remap the rid order
+        # contigs with explicit IDX= refer to the IDX dictionary, not
+        # appearance order (BCF2 spec 6.2.1; htslib assigns bcf_hdr
+        # contig ids from IDX when present): build bcf_rid -> our
+        # appearance-order rid
+        self._rid_map = None
+        idx_of = {}
+        appearance = 0
+        for line in text.splitlines():
+            if not line.startswith("##contig=<"):
+                continue
+            body = line[len("##contig=<"):].rstrip(">")
+            fields = {}
+            for kv in body.split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    fields[k] = v.strip('"')
+            name = fields.get("ID")
+            if name is None:
+                continue
+            if "IDX" in fields:
+                idx_of[int(fields["IDX"])] = appearance
+            appearance += 1
+        if idx_of and any(k != v for k, v in idx_of.items()):
+            self._rid_map = idx_of
         self._n_samples = len(self.header.samples)
+
+    def _map_rid(self, rid: int) -> int:
+        if self._rid_map is None:
+            return rid
+        try:
+            return self._rid_map[rid]
+        except KeyError:
+            raise ValueError(
+                f"{self.path}: BCF record rid {rid} has no matching "
+                f"##contig IDX= entry") from None
 
     def sites(self, raw: bool = False) -> Iterator[VcfSite]:
         """raw=True defers simple diploid GT decoding to the fused
@@ -220,9 +253,9 @@ class BcfReader:
                 is_snp = ref is not None and alt is not None
                 go, gw = int(res[5]), int(res[6])
                 gt = indiv_b[go:go + gw * 2 * n_samples]
-                return VcfSite(rid, pos, ref or "N", alt or ".",
-                               None, None, n_allele, is_snp, True,
-                               raw_gt=(gt, gw))
+                return VcfSite(self._map_rid(rid), pos, ref or "N",
+                               alt or ".", None, None, n_allele,
+                               is_snp, True, raw_gt=(gt, gw))
         shared = memoryview(shared_b)
         indiv = memoryview(indiv_b)
 
@@ -253,8 +286,8 @@ class BcfReader:
             codes = np.zeros(0, np.uint8)
             phase = np.zeros(0, np.uint8)
             ploidy_ok = False
-        return VcfSite(rid, pos, ref, alts[0], codes, phase,
-                       n_allele, is_snp, ploidy_ok)
+        return VcfSite(self._map_rid(rid), pos, ref, alts[0], codes,
+                       phase, n_allele, is_snp, ploidy_ok)
 
     def _find_gt(self, indiv: memoryview, n_fmt: int, n_sample: int):
         """Locate a plain diploid int-typed GT vector; returns

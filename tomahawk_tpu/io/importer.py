@@ -183,7 +183,15 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
             return
         dropped = True
         if site.codes is not None and len(site.codes) == 0:
-            stats.filtered[4 if site.ploidy_ok else 3] += 1
+            # reference attribution (importer.cpp:273-280): FORMAT
+            # without GT -> "No genotypes" [4]; no FORMAT at all ->
+            # "No FORMAT" [5]; otherwise a ploidy failure [3]
+            if getattr(site, "fmt_state", 0) == 2:
+                stats.filtered[5] += 1
+            elif getattr(site, "fmt_state", 0) == 1:
+                stats.filtered[4] += 1
+            else:
+                stats.filtered[4 if site.ploidy_ok else 3] += 1
         elif not site.ploidy_ok:
             stats.filtered[3] += 1
         elif site.n_alleles != 2:
@@ -214,12 +222,12 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
     if encoder is not None and type(vcf) is VcfReader \
             and settings.input != "-":
         _import_body_chunked(vcf, settings, stats, n_samples,
-                             keep, process_site, state,
+                             process_site, state,
                              sink, flush_pending)
     elif encoder is not None and type(vcf) is _BcfReader \
             and vcf._gt_key is not None:
         _import_bcf_chunked(vcf, settings, stats, n_samples,
-                            keep, process_site, state,
+                            process_site, state,
                             sink, flush_pending)
     else:
         site_iter = (vcf.sites(raw=True) if encoder is not None
@@ -242,7 +250,6 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
     return stats
 
 
-_RUNS_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32}
 _CHUNK_BYTES = 1 << 22   # bulk-import read size (patched in tests)
 
 
@@ -421,7 +428,7 @@ def _make_batch_sites(vcf, settings: ImportSettings, stats: ImportStats,
 
 def _import_body_chunked(vcf, settings: ImportSettings,
                          stats: ImportStats, n_samples: int,
-                         keep, process_site, state,
+                         process_site, state,
                          sink=None, flush_pending=None):
     """Bulk import loop: the whole VCF body streams through
     twk_import_chunk (one native call per ~4 MB of text does column
@@ -524,7 +531,7 @@ def _import_body_chunked(vcf, settings: ImportSettings,
 
 def _import_bcf_chunked(vcf, settings: ImportSettings,
                         stats: ImportStats, n_samples: int,
-                        keep, process_site, state,
+                        process_site, state,
                         sink=None, flush_pending=None):
     """Bulk BCF import loop: framed records stream through
     twk_bcf_import_chunk; unsupported layouts re-feed through the exact

@@ -14,6 +14,7 @@ Layout:
 """
 
 import struct
+import sys
 from typing import Iterator, Optional
 
 import numpy as np
@@ -67,6 +68,28 @@ def two_records_to_bytes(recs: np.ndarray) -> bytes:
     return struct.pack("<II", len(recs), max(len(recs), 1)) + recs.tobytes()
 
 
+class _CountingWriter:
+    """Unseekable sink (stdout) with a byte counter standing in for
+    tell(), so block/index offsets stay internally consistent."""
+
+    def __init__(self, raw):
+        self._raw = raw
+        self._n = 0
+
+    def write(self, data):
+        self._raw.write(data)
+        self._n += len(data)
+
+    def tell(self):
+        return self._n
+
+    def flush(self):
+        self._raw.flush()
+
+    def close(self):
+        self._raw.flush()   # never close stdout
+
+
 class TwoWriter:
     """Streaming block writer for .two files."""
 
@@ -81,8 +104,13 @@ class TwoWriter:
         self.n_records = 0
         self._pending = []
         self._pending_n = 0
+        self._tail_rid = None
         self._cctx = zstandard.ZstdCompressor(level=c_level)
-        self._fh = open(path, "wb")
+        # "-" = stdout, like the reference's twk_two_writer_t::Open
+        # (writer.h:173-174); offsets come from a counting wrapper so
+        # the (unseekable) footer index stays internally consistent
+        self._fh = _CountingWriter(sys.stdout.buffer) if path == "-" \
+            else open(path, "wb")
         self._fh.write(TWO_MAGIC)
         hdr_buf = header.serialize()
         comp = self._cctx.compress(hdr_buf)
@@ -90,13 +118,31 @@ class TwoWriter:
         self._fh.write(comp)
 
     def add(self, recs: np.ndarray):
-        """Queue records; flushes in block_limit-sized blocks."""
+        """Queue records; flushes in block_limit-sized blocks. In
+        sorted mode a block never straddles a ridA change (the
+        reference merge flushes on rid change, two_reader.cpp:367-371),
+        so each index entry's rid/minpos/maxpos describe one contig."""
         if len(recs) == 0:
             return
-        self._pending.append(np.ascontiguousarray(recs, dtype=TWO_DTYPE))
-        self._pending_n += len(recs)
-        while self._pending_n >= self.block_limit:
-            self._flush_block(self.block_limit)
+        recs = np.ascontiguousarray(recs, dtype=TWO_DTYPE)
+        if self.index.state != 2:       # TWK_IDX_SORTED
+            self._pending.append(recs)
+            self._pending_n += len(recs)
+            while self._pending_n >= self.block_limit:
+                self._flush_block(self.block_limit)
+            return
+        rid = recs["ridA"]
+        cuts = np.flatnonzero(rid[1:] != rid[:-1]) + 1
+        for part in (np.split(recs, cuts) if len(cuts) else [recs]):
+            if self._pending_n and self._tail_rid != int(part["ridA"][0]):
+                while self._pending_n:
+                    self._flush_block(min(self._pending_n,
+                                          self.block_limit))
+            self._pending.append(part)
+            self._pending_n += len(part)
+            self._tail_rid = int(part["ridA"][-1])
+            while self._pending_n >= self.block_limit:
+                self._flush_block(self.block_limit)
 
     def _take(self, n: int) -> np.ndarray:
         out, got = [], 0
@@ -179,6 +225,7 @@ class TwoWriter:
         w.n_records = state["n_records"]
         w._pending = []
         w._pending_n = 0
+        w._tail_rid = None
         w._cctx = zstandard.ZstdCompressor(level=c_level)
         try:
             w._fh = open(path, "r+b")

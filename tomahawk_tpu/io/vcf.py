@@ -20,6 +20,9 @@ from .header import VcfContig, VcfHeader
 
 
 def _open_text(path: str):
+    if path == "-":    # stdin, like htslib's hts_open("-")
+        import sys
+        return sys.stdin
     if path.endswith(".gz") or path.endswith(".bgz"):
         return gzip.open(path, "rt")
     return open(path, "rt")
@@ -39,6 +42,11 @@ class VcfSite:
     # raw GT column blob when parsing is deferred to the fused native
     # import step (sites(raw=True)); codes is None in that case
     raw_gt: str = None
+    # filter attribution when the line carries no genotypes
+    # (reference: importer.cpp:273-280): 0 = GT present,
+    # 1 = FORMAT without leading GT ("No genotypes"),
+    # 2 = no FORMAT column at all ("No FORMAT")
+    fmt_state: int = 0
 
 
 class VcfReader:
@@ -113,7 +121,8 @@ class VcfReader:
         if not (fmt == "GT" or fmt.startswith("GT:")):
             return VcfSite(self._rid_for(chrom), int(pos) - 1, ref,
                            alts[0], np.zeros(0, np.uint8),
-                           np.zeros(0, np.uint8), n_alleles, False, False)
+                           np.zeros(0, np.uint8), n_alleles, False, False,
+                           fmt_state=2 if fmt == "" else 1)
         is_snp = len(ref) == 1 and len(alts[0]) == 1 and \
             ref in "ACGT" and alts[0] in "ACGT"
         if raw and len(fields) > 9:
@@ -140,7 +149,9 @@ class VcfReader:
                 yield site
 
     def close(self):
-        self._fh.close()
+        import sys
+        if self._fh is not sys.stdin:
+            self._fh.close()
 
 
 def _split_header_fields(body: str) -> List[str]:

@@ -748,7 +748,7 @@ extern "C" {
 // (caller re-feeds the site later).
 static int twk_finish_site(const uint8_t* codes, const uint8_t* phase,
                            int32_t n_samples, const int64_t* hist,
-                           uint8_t* rsyms, int32_t* rlens, int64_t* m,
+                           int64_t* m,
                            uint8_t* runs_out, int64_t runs_cap,
                            int64_t* runs_off_p) {
     int64_t runs_off = *runs_off_p;
@@ -771,8 +771,6 @@ static int twk_finish_site(const uint8_t* codes, const uint8_t* phase,
 
     // fused scan+assess: one boundary pass counts runs and the word
     // totals each width would need, with no run list materialized
-    // (rsyms/rlens are unused; kept in the signature for callers)
-    (void)rsyms; (void)rlens;
     const int64_t lim1 = miss ? 15 : 63;
     const int64_t lim2 = miss ? 4095 : 16383;
     int64_t nr = 0, c1 = 0, c2 = 0;
@@ -833,9 +831,6 @@ extern "C" int64_t twk_import_chunk(
     int64_t runs_off = 0;
     const int64_t max_site_runs = ((int64_t)2 * n_samples + 16) * 4;
     *consumed = 0;
-    uint8_t* rsyms = (uint8_t*)malloc((size_t)n_samples + 1);
-    int32_t* rlens = (int32_t*)malloc(
-        sizeof(int32_t) * ((size_t)n_samples + 1));
     while (off < size && n_sites < max_sites) {
         const char* nl = (const char*)memchr(buf + off, '\n', size - off);
         if (nl == nullptr) break;                  // partial line: stop
@@ -1036,15 +1031,13 @@ extern "C" int64_t twk_import_chunk(
             for (int32_t s = 0; s < n_samples; ++s) ++hist[codes[s] & 15u];
         }
 
-        if (twk_finish_site(codes, phase, n_samples, hist, rsyms, rlens,
+        if (twk_finish_site(codes, phase, n_samples, hist,
                             m, runs_out, runs_cap, &runs_off) < 0)
             break;   // no runs space: re-feed this line later
         off += line_len + 1;
         ++n_sites;
         *consumed = off;
     }
-    free(rsyms);
-    free(rlens);
     return n_sites;
 }
 
@@ -1066,9 +1059,6 @@ extern "C" int64_t twk_bcf_import_chunk(
     int64_t runs_off = 0;
     const int64_t max_site_runs = ((int64_t)2 * n_samples + 16) * 4;
     *consumed = 0;
-    uint8_t* rsyms = (uint8_t*)malloc((size_t)n_samples + 1);
-    int32_t* rlens = (int32_t*)malloc(
-        sizeof(int32_t) * ((size_t)n_samples + 1));
     int64_t scan[8];
     while (off + 8 <= size && n_sites < max_sites) {
         uint32_t l_shared, l_indiv;
@@ -1131,15 +1121,13 @@ extern "C" int64_t twk_bcf_import_chunk(
         m[2] = -2 - off;   // <= -2 encodes the record's byte offset
         int64_t hist[16] = {0};
         for (int32_t s = 0; s < n_samples; ++s) ++hist[codes[s] & 15u];
-        if (twk_finish_site(codes, phase, n_samples, hist, rsyms, rlens,
+        if (twk_finish_site(codes, phase, n_samples, hist,
                             m, runs_out, runs_cap, &runs_off) < 0)
             break;
         off += rec_len;
         ++n_sites;
         *consumed = off;
     }
-    free(rsyms);
-    free(rlens);
     return n_sites;
 }
 

@@ -39,6 +39,15 @@ def _pack_bits(rows: np.ndarray, n_words: int, pad_value: int = 0
     return np.packbits(padded, axis=1, bitorder="little").view(np.uint32)
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.int32)
+
+
+def _popcount_rows(words: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a [B, W] uint32 word array."""
+    b = words.reshape(words.shape[0], -1).view(np.uint8)
+    return _POPCNT8[b].sum(axis=1, dtype=np.int32)
+
+
 def words_for(n_bits: int, lane_words: int = 4) -> int:
     """uint32 words covering n_bits, rounded up so that word count is a
     multiple of lane_words (4 words = 128 bits = one TPU lane row)."""
@@ -88,8 +97,6 @@ def block_to_planes(blk: Twk1Block, n_samples: int,
         meta["rid"][i] = rec.rid
         meta["ac"][i] = rec.ac
         meta["an"][i] = rec.an
-        meta["n_het"][i] = rec.n_het
-        meta["n_hom"][i] = rec.n_hom
         hwe[i] = rec.hwe
         has_missing[i] = rec.gt_missing
         valid[i] = True
@@ -108,6 +115,15 @@ def block_to_planes(blk: Twk1Block, n_samples: int,
             native_runs_planes(rec.gt_runs, rec.gt_missing, alt_w[i],
                                mis_w[i], het_w[i], hom_w[i], val_w[i])
             fill_meta(i, rec)
+        # het/hom meta come from the built planes, not the record
+        # fields: the stored twk1_t.n_hom keeps the PRE-flip count for
+        # -f flipped sites (a mirrored reference quirk, core.h:291-295
+        # set from the unflipped summary in genotype_encoder.h:251-253),
+        # while the unphased cell derivation needs counts consistent
+        # with the (flipped) genotype planes -- the reference's kernels
+        # recount from the flipped RLE data and never read that field
+        meta["n_het"][:] = _popcount_rows(het_w)
+        meta["n_hom"][:] = _popcount_rows(hom_w)
         return BlockPlanes(
             n_rec=blk.n, alt_bits=alt_w, miss_bits=mis_w, het_bits=het_w,
             hom_bits=hom_w, valid_bits=val_w,
@@ -132,6 +148,9 @@ def block_to_planes(blk: Twk1Block, n_samples: int,
         het[i] = full & ((ca + cb) == 1)
         hom[i] = full & (ca == 1) & (cb == 1)
         fill_meta(i, rec)
+        # plane-consistent counts (see the native-path comment above)
+        meta["n_het"][i] = int(het[i].sum())
+        meta["n_hom"][i] = int(hom[i].sum())
 
     return BlockPlanes(
         n_rec=blk.n,
