@@ -47,7 +47,8 @@ def _add_calc(sub):
     p.add_argument("-u", "--unphased", action="store_true",
                    help="force unphased math")
     p.add_argument("-w", "--window", type=float, default=None,
-                   help="window size in bp (enables window mode)")
+                   help="window size in bp (enables window mode; "
+                   "must be positive, like the reference calc.h:204)")
     p.add_argument("-P", "--min-p", type=float, default=1.0)
     p.add_argument("-r", "--min-r2", type=float, default=0.1)
     p.add_argument("-R", "--max-r2", type=float, default=100.0)
@@ -108,11 +109,16 @@ def _add_calc(sub):
 
 def _cmd_calc(args):
     from .compute.engine import CalcSettings, compute_ld
+    if args.window is not None and args.window <= 0:
+        # the reference rejects this too (calc.h:204-208); internally
+        # l_window == 0 encodes "no window", so 0 must not pass through
+        raise SystemExit("ERROR: cannot have a non-positive window size")
     s = CalcSettings(
         input=args.input, output=args.output,
         force_phased=args.phased, forced_unphased=args.unphased,
         window=args.window is not None,
-        l_window=int(args.window) if args.window else 1_000_000,
+        l_window=int(args.window) if args.window is not None
+        else 1_000_000,
         min_p=args.min_p, min_r2=args.min_r2, max_r2=args.max_r2,
         min_dprime=args.min_dprime, max_dprime=args.max_dprime,
         n_chunks=args.n_chunks, c_chunk=args.c_chunk,

@@ -67,11 +67,13 @@ def hwe_exact(n_het, n_hom1, n_hom2, chunk_elements: int = 1 << 22
     order = idx[np.argsort(rare[idx], kind="stable")]
     pos = 0
     while pos < len(order):
-        rows = max(64, chunk_elements // (int(rare[order[pos]]) + 1))
+        rows = max(1, chunk_elements // (int(rare[order[pos]]) + 1))
         sel = order[pos:pos + rows]
         # the last (largest) rare count sets the actual support width;
-        # shrink the block if that width blows the element budget
-        rows = max(64, chunk_elements // (int(rare[sel[-1]]) + 1))
+        # shrink the block if that width blows the element budget (no
+        # row floor: at biobank rare counts even a handful of rows is
+        # hundreds of MB of [rows, rare+1] work matrix)
+        rows = max(1, chunk_elements // (int(rare[sel[-1]]) + 1))
         sel = sel[:rows]
         out[sel] = _hwe_chunk(n_het[sel], rare[sel], genot[sel], lf)
         pos += len(sel)

@@ -287,26 +287,38 @@ def compact_indices(mask, cap: int):
     rowc = jnp.cumsum(mask.astype(jnp.int32), axis=-1)     # [I, J]
     roff = jnp.cumsum(rowc[:, -1])                          # [I] inclusive
     n_pass = roff[-1]
+    ri, kk = _rank_locate(roff, I, cap)
+    lo = _bsearch_cols(lambda mid: rowc[ri, mid], kk, J, cap)
+    idx = ri * J + lo
+    return n_pass, idx.astype(jnp.int32)
+
+
+def _rank_locate(roff, I: int, cap: int):
+    """Map survivor ranks 1..cap to (row index, rank within row) via
+    the inclusive per-row survivor-count cumsum `roff`."""
     ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
     ri = jnp.minimum(jnp.searchsorted(roff, ks, side="left"),
                      I - 1).astype(jnp.int32)
     base = jnp.where(ri > 0, roff[jnp.maximum(ri - 1, 0)], 0)
-    kk = ks - base                                          # rank in row
+    return ri, ks - base
+
+
+def _bsearch_cols(val_at, kk, J: int, cap: int):
+    """Per-rank binary search for the column whose row-cumsum (looked
+    up through `val_at(mid)`, [cap]-shaped) first reaches the rank."""
     lo = jnp.zeros(cap, jnp.int32)
     hi = jnp.full(cap, J, jnp.int32)
 
     def step(c, _):
         lo, hi = c
         mid = (lo + hi) // 2
-        val = rowc[ri, jnp.minimum(mid, J - 1)]
-        right = val < kk
+        right = val_at(jnp.minimum(mid, J - 1)) < kk
         return (jnp.where(right, mid + 1, lo),
                 jnp.where(right, hi, mid)), None
 
     n_steps = max(1, int(np.ceil(np.log2(J + 1))))
     (lo, _), _ = jax.lax.scan(step, (lo, hi), None, length=n_steps)
-    idx = ri * J + lo
-    return n_pass, idx.astype(jnp.int32)
+    return lo
 
 
 def compact_indices_small(mask, cap: int):
@@ -321,26 +333,10 @@ def compact_indices_small(mask, cap: int):
     rc = mask.sum(axis=-1, dtype=jnp.int32)                 # [I]
     roff = jnp.cumsum(rc)                                   # inclusive
     n_pass = roff[-1]
-    ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    ri = jnp.minimum(jnp.searchsorted(roff, ks, side="left"),
-                     I - 1).astype(jnp.int32)
-    base = jnp.where(ri > 0, roff[jnp.maximum(ri - 1, 0)], 0)
-    kk = ks - base                                          # rank in row
+    ri, kk = _rank_locate(roff, I, cap)
     rowc = jnp.cumsum(mask[ri].astype(jnp.int32), axis=-1)  # [cap, J]
     rng = jnp.arange(cap)
-    lo = jnp.zeros(cap, jnp.int32)
-    hi = jnp.full(cap, J, jnp.int32)
-
-    def step(c, _):
-        lo, hi = c
-        mid = (lo + hi) // 2
-        val = rowc[rng, jnp.minimum(mid, J - 1)]
-        right = val < kk
-        return (jnp.where(right, mid + 1, lo),
-                jnp.where(right, hi, mid)), None
-
-    n_steps = max(1, int(np.ceil(np.log2(J + 1))))
-    (lo, _), _ = jax.lax.scan(step, (lo, hi), None, length=n_steps)
+    lo = _bsearch_cols(lambda mid: rowc[rng, mid], kk, J, cap)
     idx = ri * J + lo
     return n_pass, idx.astype(jnp.int32)
 

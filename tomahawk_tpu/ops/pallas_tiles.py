@@ -123,10 +123,9 @@ def _unpack(ref_val, interpret: bool):
     return ((rep >> sh) & jnp.uint32(1)).astype(jnp.int8)
 
 
-def _dot(a, b):
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
+# the canonical lane-axis contraction; shared so a change there (e.g.
+# a precision flag) applies to both tile backends identically
+_dot = K._dot
 
 
 def _chunk_parts(table, has_missing, row_planes, col_planes, interpret):

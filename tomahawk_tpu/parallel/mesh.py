@@ -19,7 +19,7 @@ Both axes compose inside the production two-pass sweeps
 (tomahawk_tpu.compute.sweeps.shard_count_sweep / shard_extract_sweep);
 collectives ride ICI. The LdEngine takes a mesh directly:
 
-    mesh = make_mesh(n_pairs, n_sample_shards)
+    mesh = make_mesh(n_pairs, n_samples_shards)
     engine = LdEngine(stacked, n_samples, settings, mesh=mesh)
 """
 

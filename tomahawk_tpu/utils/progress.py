@@ -73,7 +73,8 @@ class ProgressTicker:
                f"{self._fmt(el)} ({pretty_int(int(rate))} pairs/s")
         if self.n_samples:
             msg += f", {pretty_int(int(rate * self.n_samples))} genotypes/s"
-        log("PROGRESS", msg + ")", sub=self.sub)
+        if self.enabled:
+            log("PROGRESS", msg + ")", sub=self.sub)
         return rate
 
     @staticmethod
