@@ -497,15 +497,23 @@ class LdEngine:
         any size; progress advances between segments). Returns the
         number of candidate pairs evaluated."""
         seg = max(self.settings.sweep_segment, 16 * self.n_pair_shards)
+        starts = [s for s in range(0, len(tiles), seg)]
         n = 0
-        for s in range(0, len(tiles), seg):
+        for i, s in enumerate(starts):
             if self.units_done < self.ckpt_skip:
                 # resumed run: this segment's records are already in
                 # the checkpointed output
                 self.units_done += 1
                 continue
+            # one-segment lookahead: the NEXT segment's sweep is
+            # dispatched (async) before this segment's results are
+            # forced, so the device computes ahead while the host does
+            # extraction + exact math (the analogue of the reference's
+            # compute/output overlap across slave threads)
+            nxt = (tiles[starts[i + 1]:starts[i + 1] + seg]
+                   if i + 1 < len(starts) else None)
             n += self._run_segment(tiles[s:s + seg], table, has_missing,
-                                   cls, filt, emit)
+                                   cls, filt, emit, prefetch=nxt)
             self.units_done += 1
             if self.on_segment is not None:
                 self.on_segment()
@@ -515,13 +523,14 @@ class LdEngine:
     # more go through the exact-offset repair pass
     FUSED_CAP = 256
 
-    def _run_segment(self, tiles, table, has_missing, cls, filt,
-                     emit) -> int:
-        if not tiles:
-            return 0
-        import time as _time
-        stat = self._stat(table, has_missing, cls)
-        stat["n_tiles"] += len(tiles)
+    @staticmethod
+    def _seg_key(tiles, table, has_missing, cls):
+        return (table, has_missing, cls, len(tiles), tiles[0], tiles[-1])
+
+    def _dispatch_fused(self, tiles, table, has_missing, cls):
+        """Dispatch one segment's fused sweep. The jitted call returns
+        ASYNC device arrays; nothing is forced here, so a caller can
+        queue the next segment's work before reading this one."""
         np_ = np
         S = self.n_pair_shards
         Tpad = _round_up(len(tiles), 16 * S)
@@ -534,20 +543,16 @@ class LdEngine:
         dev = self._dev_for(self._cfg(table, has_missing, cls))
         cap = min(self.FUSED_CAP, self.B * self.B)
         outcap = max(self._outcap, cap * 2)
-        ncol = 1 + self.sweeps.payload_cols(table, has_missing)
 
         if not getattr(self, "_warmed", None):
             self._warmed = True
             log("LOG", "Dispatching device sweep (the first dispatch may "
                 "take minutes while the program warms up)...",
                 sub="ENGINE")
-        t0 = _time.perf_counter()
         try:
             n_pass, n_cand, buf = self._fused_fn(
                 table, has_missing, cls, cap, outcap)(
                     dev, *self._tiles_in(pi, pj, dg, live))
-            n_pass = np_.asarray(n_pass)
-            n_cand = np_.asarray(n_cand)
         except Exception as e:
             if (self._resolve_backend() != "pallas"
                     or self._backend_forced == "xla"):
@@ -562,8 +567,52 @@ class LdEngine:
             n_pass, n_cand, buf = self._fused_fn(
                 table, has_missing, cls, cap, outcap)(
                     dev, *self._tiles_in(pi, pj, dg, live))
-            n_pass = np_.asarray(n_pass)
-            n_cand = np_.asarray(n_cand)
+        return dict(n_pass=n_pass, n_cand=n_cand, buf=buf, dev=dev,
+                    pi=pi, pj=pj, dg=dg, live=live, Tpad=Tpad,
+                    cap=cap, outcap=outcap)
+
+    def _run_segment(self, tiles, table, has_missing, cls, filt,
+                     emit, prefetch=None) -> int:
+        if not tiles:
+            return 0
+        import time as _time
+        stat = self._stat(table, has_missing, cls)
+        stat["n_tiles"] += len(tiles)
+        np_ = np
+
+        t0 = _time.perf_counter()
+        key = self._seg_key(tiles, table, has_missing, cls)
+        cached = getattr(self, "_prefetched", None)
+        if cached is not None and cached[0] == key:
+            st = cached[1]
+            self._prefetched = None
+        else:
+            st = self._dispatch_fused(tiles, table, has_missing, cls)
+        # queue the NEXT segment on the device before forcing this one
+        # (skipped while the survivor buffer is huge: two in-flight
+        # buffers at the 1<<23 growth cap would hold ~2/3 GB of HBM)
+        if prefetch is not None and self._outcap <= (1 << 21):
+            self._prefetched = (
+                self._seg_key(prefetch, table, has_missing, cls),
+                self._dispatch_fused(prefetch, table, has_missing, cls))
+        try:
+            n_pass = np_.asarray(st["n_pass"])
+            n_cand = np_.asarray(st["n_cand"])
+        except Exception:
+            if cached is None or cached[0] != key:
+                raise
+            # a prefetched dispatch died at force time (e.g. a runtime
+            # pallas failure whose fallback already flipped the
+            # backend): re-dispatch fresh under the current backend
+            st = self._dispatch_fused(tiles, table, has_missing, cls)
+            n_pass = np_.asarray(st["n_pass"])
+            n_cand = np_.asarray(st["n_cand"])
+        buf = st["buf"]
+        S = self.n_pair_shards
+        Tpad, cap, outcap = st["Tpad"], st["cap"], st["outcap"]
+        pi, pj, dg, live = st["pi"], st["pj"], st["dg"], st["live"]
+        dev = st["dev"]
+        ncol = 1 + self.sweeps.payload_cols(table, has_missing)
         stat["count_s"] += _time.perf_counter() - t0
         total_cand = int(n_cand.sum())
         stat["n_cand"] += total_cand
