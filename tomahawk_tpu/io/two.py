@@ -68,6 +68,35 @@ def two_records_to_bytes(recs: np.ndarray) -> bytes:
     return struct.pack("<II", len(recs), max(len(recs), 1)) + recs.tobytes()
 
 
+def concat_records(parts, out=None):
+    """Concatenate fixed-itemsize (structured) record arrays via raw
+    uint8 views: numpy's structured-dtype concatenate/fancy-index walks
+    a generic void path ~100x slower than memcpy at TWO_DTYPE sizes.
+    A single non-empty part is returned as-is when no `out` is given
+    (callers treat results as read-only). Pass a reusable `out` buffer
+    (len >= total) on hot paths — fresh large allocations mmap new
+    pages and fault latency dominates; the filled prefix is returned."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.zeros(0, TWO_DTYPE)
+    if len(parts) == 1 and out is None:
+        return parts[0]
+    dt = parts[0].dtype
+    total = sum(len(p) for p in parts)
+    if out is None:
+        out = np.empty(total, dt)
+    else:
+        assert out.dtype == dt and len(out) >= total
+        out = out[:total]
+    dst = out.view(np.uint8)
+    o = 0
+    for p in parts:
+        b = np.ascontiguousarray(p).view(np.uint8)
+        dst[o:o + len(b)] = b
+        o += len(b)
+    return out
+
+
 class _CountingWriter:
     """Unseekable sink (stdout) with a byte counter standing in for
     tell(), so block/index offsets stay internally consistent."""
@@ -102,7 +131,7 @@ class TwoWriter:
         self.index = IndexOutput(header.n_contigs)
         self.index.state = state
         self.n_records = 0
-        self._pending = []
+        self._tail_buf = None   # writer-owned sub-block tail
         self._pending_n = 0
         self._tail_rid = None
         self._cctx = zstandard.ZstdCompressor(level=c_level)
@@ -118,45 +147,53 @@ class TwoWriter:
         self._fh.write(comp)
 
     def add(self, recs: np.ndarray):
-        """Queue records; flushes in block_limit-sized blocks. In
-        sorted mode a block never straddles a ridA change (the
-        reference merge flushes on rid change, two_reader.cpp:367-371),
-        so each index entry's rid/minpos/maxpos describe one contig."""
+        """Queue records; flushes in block_limit-sized blocks. Full
+        blocks are written straight from the caller's array (zero
+        copy); only the sub-block tail is copied into a writer-owned
+        buffer, so `add` retains NO reference to `recs` after it
+        returns (callers may reuse scratch buffers). In sorted mode a
+        block never straddles a ridA change (the reference merge
+        flushes on rid change, two_reader.cpp:367-371), so each index
+        entry's rid/minpos/maxpos describe one contig."""
         if len(recs) == 0:
             return
         recs = np.ascontiguousarray(recs, dtype=TWO_DTYPE)
         if self.index.state != 2:       # TWK_IDX_SORTED
-            self._pending.append(recs)
-            self._pending_n += len(recs)
-            while self._pending_n >= self.block_limit:
-                self._flush_block(self.block_limit)
+            self._emit(recs)
             return
         rid = recs["ridA"]
         cuts = np.flatnonzero(rid[1:] != rid[:-1]) + 1
         for part in (np.split(recs, cuts) if len(cuts) else [recs]):
             if self._pending_n and self._tail_rid != int(part["ridA"][0]):
-                while self._pending_n:
-                    self._flush_block(min(self._pending_n,
-                                          self.block_limit))
-            self._pending.append(part)
-            self._pending_n += len(part)
+                self._flush_tail()
+            self._emit(part)
             self._tail_rid = int(part["ridA"][-1])
-            while self._pending_n >= self.block_limit:
-                self._flush_block(self.block_limit)
 
-    def _take(self, n: int) -> np.ndarray:
-        out, got = [], 0
-        while got < n and self._pending:
-            head = self._pending[0]
-            take = min(len(head), n - got)
-            out.append(head[:take])
-            if take == len(head):
-                self._pending.pop(0)
-            else:
-                self._pending[0] = head[take:]
-            got += take
-        self._pending_n -= got
-        return np.concatenate(out) if out else np.zeros(0, TWO_DTYPE)
+    def _emit(self, recs: np.ndarray):
+        i, n = 0, len(recs)
+        bl = self.block_limit
+        item = TWO_DTYPE.itemsize
+        while i < n:
+            if self._pending_n == 0 and n - i >= bl:
+                self.write_block(recs[i:i + bl])
+                i += bl
+                continue
+            take = min(bl - self._pending_n, n - i)
+            if self._tail_buf is None:
+                self._tail_buf = np.empty(bl, TWO_DTYPE)
+            dst = self._tail_buf.view(np.uint8)
+            src = recs.view(np.uint8)
+            dst[self._pending_n * item:(self._pending_n + take) * item] \
+                = src[i * item:(i + take) * item]
+            self._pending_n += take
+            i += take
+            if self._pending_n == bl:
+                self._flush_tail()
+
+    def _flush_tail(self):
+        if self._pending_n:
+            self.write_block(self._tail_buf[:self._pending_n])
+            self._pending_n = 0
 
     def write_block(self, recs: np.ndarray,
                     ent: Optional[IndexEntry] = None):
@@ -190,8 +227,6 @@ class TwoWriter:
             self.index.add_meta(ent)
         self.n_records += len(recs)
 
-    def _flush_block(self, n: int):
-        self.write_block(self._take(n))
 
     def checkpoint_state(self) -> dict:
         """Durable snapshot for in-run checkpointing: flush all pending
@@ -200,8 +235,7 @@ class TwoWriter:
         at a checkpoint may cut a block short of block_limit; readers
         are indifferent to block sizes."""
         import os
-        while self._pending_n > 0:
-            self._flush_block(min(self._pending_n, self.block_limit))
+        self._flush_tail()
         self._fh.flush()
         os.fsync(self._fh.fileno())
         return {
@@ -223,7 +257,7 @@ class TwoWriter:
         w.block_limit = block_limit
         w.index = IndexOutput.deserialize(bytes(state["index"]), path=path)
         w.n_records = state["n_records"]
-        w._pending = []
+        w._tail_buf = None
         w._pending_n = 0
         w._tail_rid = None
         w._cctx = zstandard.ZstdCompressor(level=c_level)
@@ -244,8 +278,7 @@ class TwoWriter:
         return w
 
     def close(self):
-        while self._pending_n > 0:
-            self._flush_block(min(self._pending_n, self.block_limit))
+        self._flush_tail()
         idx_buf = self.index.serialize()
         comp = self._cctx.compress(idx_buf)
         index_offset = self._fh.tell()

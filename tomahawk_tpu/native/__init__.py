@@ -516,15 +516,22 @@ def format_decay_rows(rid: np.ndarray, pos: np.ndarray, n: np.ndarray,
     return out[:nb].tobytes().decode()
 
 
-def gather_rows(arr: np.ndarray, idx: np.ndarray):
+def gather_rows(arr: np.ndarray, idx: np.ndarray, out=None):
     """out[k] = arr[idx[k]] for a contiguous 1-D (possibly structured)
     array — one memcpy per row instead of numpy's per-field walk.
-    Returns None if the native library is unavailable."""
+    Pass a reusable `out` (same dtype, len >= len(idx)) to avoid fresh
+    page-faulting allocations on hot paths; the filled prefix view is
+    returned. Returns None if the native library is unavailable."""
     lib = get_lib()
     if lib is None or not arr.flags.c_contiguous:
         return None
     idx = np.ascontiguousarray(idx, np.int64)
-    out = np.empty(len(idx), arr.dtype)
+    if out is None:
+        out = np.empty(len(idx), arr.dtype)
+    else:
+        assert out.dtype == arr.dtype and len(out) >= len(idx) \
+            and out.flags.c_contiguous
+        out = out[:len(idx)]
     lib.twk_gather_rows(
         arr.ctypes.data_as(ctypes.c_void_p), arr.dtype.itemsize,
         idx.ctypes.data_as(ctypes.c_void_p), len(idx),

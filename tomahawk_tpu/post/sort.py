@@ -22,7 +22,7 @@ import numpy as np
 import zstandard
 
 from ..io.constants import TWK_IDX_SORTED
-from ..io.two import TWO_DTYPE, TwoReader, TwoWriter
+from ..io.two import TWO_DTYPE, TwoReader, TwoWriter, concat_records
 from ..utils import Timer, log, pretty_int
 
 
@@ -84,13 +84,24 @@ def sort_two(input_path: str, output_path: str,
         buf_n = 0
         pending = []   # run futures, written in submission order
 
+        import threading
+        tls = threading.local()
+
         def _sort_and_compress(parts):
             """Runs in the pool: numpy sorts and zstd both release the
-            GIL, so whole runs pipeline against the reader."""
+            GIL, so whole runs pipeline against the reader. Per-worker
+            scratch buffers persist across runs -- fresh multi-hundred-
+            MB allocations re-fault pages every run otherwise."""
             from ..native import gather_rows
-            recs = np.concatenate(parts)
+            sc = getattr(tls, "bufs", None)
+            total = sum(len(p) for p in parts)
+            if sc is None or len(sc[0]) < total:
+                sc = (np.empty(total + 1024, TWO_DTYPE),
+                      np.empty(total + 1024, TWO_DTYPE))
+                tls.bufs = sc
+            recs = concat_records(parts, out=sc[0])
             order = _sort_indices(recs)
-            gathered = gather_rows(recs, order)
+            gathered = gather_rows(recs, order, out=sc[1])
             recs = gathered if gathered is not None else recs[order]
             c = zstandard.ZstdCompressor(level=c_level) if pool else cctx
             out = []
@@ -139,7 +150,8 @@ def sort_two(input_path: str, output_path: str,
         class RunCursor:
             """Streams one sorted run chunk-by-chunk, keeping several
             chunks buffered so boundary batches stay large."""
-            __slots__ = ("fh", "pos", "end", "recs", "k1", "k2")
+            __slots__ = ("fh", "pos", "end", "recs", "k1", "k2",
+                         "bufs", "cur")
             BUFFER_CHUNKS = 8
 
             def __init__(self, path, foff, fend):
@@ -149,6 +161,13 @@ def sort_two(input_path: str, output_path: str,
                 self.recs = np.zeros(0, TWO_DTYPE)
                 self.k1 = np.zeros(0, np.uint64)
                 self.k2 = np.zeros(0, np.uint32)
+                # ping-pong record buffers: refill() concatenates the
+                # unconsumed tail with new chunks into the OTHER buffer
+                # (never overlapping its own source views) and reuses
+                # pages instead of re-faulting fresh allocations
+                self.bufs = [np.zeros(0, TWO_DTYPE),
+                             np.zeros(0, TWO_DTYPE)]
+                self.cur = 0
                 self.refill()
 
             def refill(self):
@@ -164,7 +183,12 @@ def sort_two(input_path: str, output_path: str,
                     self.pos = self.fh.tell()
                     parts.append(np.frombuffer(data, TWO_DTYPE))
                 if len(parts) > 1:
-                    self.recs = np.concatenate(parts)
+                    total = sum(len(p) for p in parts)
+                    dst = 1 - self.cur
+                    if len(self.bufs[dst]) < total:
+                        self.bufs[dst] = np.empty(total + 4096, TWO_DTYPE)
+                    self.recs = concat_records(parts, out=self.bufs[dst])
+                    self.cur = dst
                     self.k1, self.k2 = _pack_keys(self.recs)
 
             def consume(self, cut: int):
@@ -185,6 +209,9 @@ def sort_two(input_path: str, output_path: str,
             cur.fh.close()
         else:
             cursors = [RunCursor(tmp_path, f, e) for f, e, _ in runs]
+            from ..native import gather_rows
+            mbuf = np.zeros(0, TWO_DTYPE)
+            gbuf = np.zeros(0, TWO_DTYPE)
             while True:
                 live = [c for c in cursors if not c.exhausted()]
                 if not live:
@@ -200,8 +227,17 @@ def sort_two(input_path: str, output_path: str,
                     if cut:
                         batch.append(c.recs[:cut])
                         c.consume(cut)
-                merged = np.concatenate(batch)
-                writer.add(merged[_sort_indices(merged)])
+                total = sum(len(b) for b in batch)
+                if len(mbuf) < total:
+                    mbuf = np.empty(total + 4096, TWO_DTYPE)
+                    gbuf = np.empty(total + 4096, TWO_DTYPE)
+                merged = concat_records(batch, out=mbuf)
+                order = _sort_indices(merged)
+                gathered = gather_rows(merged, order, out=gbuf)
+                # safe: writer.add copies the tail and writes full
+                # blocks before returning, retaining no reference
+                writer.add(gathered if gathered is not None
+                           else merged[order])
             for c in cursors:
                 c.fh.close()
         writer.close()
