@@ -408,10 +408,7 @@ class TwoReader:
 
     def records(self) -> np.ndarray:
         """All records concatenated (loads whole file)."""
-        parts = list(self.blocks())
-        if not parts:
-            return np.zeros(0, TWO_DTYPE)
-        return np.concatenate(parts)
+        return concat_records(list(self.blocks()))
 
     @property
     def n_records(self) -> int:

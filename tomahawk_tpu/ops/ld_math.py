@@ -24,7 +24,7 @@ from ..io.constants import (
     FLAG_SAME_CONTIG, FLAG_USED_PHASED_MATH, INVALID_HWE_THRESHOLD,
     LONG_RANGE_THRESHOLD, LOW_AC_THRESHOLD, MINIMUM_ALLOWED_ALLELES,
 )
-from ..io.two import TWO_DTYPE
+from ..io.two import TWO_DTYPE, concat_records
 
 
 @dataclass
@@ -320,7 +320,7 @@ def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
 
     if not rec_parts:
         return np.zeros(0, TWO_DTYPE)
-    return np.concatenate(rec_parts)
+    return concat_records(rec_parts)
 
 
 def _meta_subset(meta: PairMeta, mask) -> PairMeta:
