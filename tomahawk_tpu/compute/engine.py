@@ -256,6 +256,8 @@ class LdEngine:
         self.ticker = None           # optional ProgressTicker
         # fused-sweep survivor buffer, grown when a segment spills
         self._outcap = 1 << 18
+        self._prefetched = None      # one-segment sweep lookahead
+        self._prefetch_enabled = True
         # checkpoint/resume accounting: sweep segments are the resume
         # unit; the dispatch plan (group_tiles order, segment size) is
         # deterministic, so `units_done` counts identically across runs
@@ -571,6 +573,28 @@ class LdEngine:
                     pi=pi, pj=pj, dg=dg, live=live, Tpad=Tpad,
                     cap=cap, outcap=outcap)
 
+    def _prefetch_headroom_ok(self) -> bool:
+        """Overlapping two sweeps doubles the transient workspace; the
+        one-hot unpack of both tile operands ([B, 32*Wh] int8 each)
+        dominates it. Gate on live device memory stats with a 2.5x
+        margin (the in-flight segment's workspace may not be charged
+        yet when this runs); unknown stats allow prefetch."""
+        try:
+            import jax
+            d = jax.local_devices()[0]
+            stats = getattr(d, "memory_stats", lambda: None)()
+            if not stats:
+                return True
+            limit = stats.get("bytes_limit") \
+                or stats.get("bytes_reservable_limit")
+            if not limit:
+                return True
+            from ..ops.bitpack import words_for
+            need = 3 * self.B * 32 * words_for(2 * self.n_samples)
+            return (limit - stats.get("bytes_in_use", 0)) > 2.5 * need
+        except Exception:   # noqa: BLE001 - stats are advisory only
+            return True
+
     def _run_segment(self, tiles, table, has_missing, cls, filt,
                      emit, prefetch=None) -> int:
         if not tiles:
@@ -590,20 +614,35 @@ class LdEngine:
             st = self._dispatch_fused(tiles, table, has_missing, cls)
         # queue the NEXT segment on the device before forcing this one
         # (skipped while the survivor buffer is huge: two in-flight
-        # buffers at the 1<<23 growth cap would hold ~2/3 GB of HBM)
-        if prefetch is not None and self._outcap <= (1 << 21):
+        # buffers at the 1<<23 growth cap would hold ~2/3 GB of HBM;
+        # also skipped when HBM headroom can't hold a second sweep's
+        # transient workspace -- the memory-banded huge-N regime)
+        if prefetch is not None and self._prefetch_enabled \
+                and self._outcap <= (1 << 21) \
+                and self._prefetch_headroom_ok():
             self._prefetched = (
                 self._seg_key(prefetch, table, has_missing, cls),
                 self._dispatch_fused(prefetch, table, has_missing, cls))
         try:
             n_pass = np_.asarray(st["n_pass"])
             n_cand = np_.asarray(st["n_cand"])
-        except Exception:
-            if cached is None or cached[0] != key:
+        except Exception as e:
+            if self._prefetched is None and (cached is None
+                                             or cached[0] != key):
                 raise
-            # a prefetched dispatch died at force time (e.g. a runtime
-            # pallas failure whose fallback already flipped the
-            # backend): re-dispatch fresh under the current backend
+            # the overlapped pair of sweeps died at force time -- a
+            # runtime kernel failure whose fallback already flipped the
+            # backend, or an HBM RESOURCE_EXHAUSTED from the doubled
+            # transient workspace (the memory-banded huge-N regime,
+            # where device memory_stats may be unavailable to gate on).
+            # Drop the in-flight prefetch, run strictly serially from
+            # here on, and retry this segment once.
+            log("WARNING", f"device sweep failed under prefetch "
+                f"({type(e).__name__}: {str(e)[:160]}); disabling "
+                f"segment prefetch and retrying", sub="ENGINE")
+            self._prefetched = None
+            self._prefetch_enabled = False
+            st = None   # release this segment's handles before retrying
             st = self._dispatch_fused(tiles, table, has_missing, cls)
             n_pass = np_.asarray(st["n_pass"])
             n_cand = np_.asarray(st["n_cand"])
