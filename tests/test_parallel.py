@@ -125,14 +125,21 @@ def test_band_planes_committed_with_mesh_sharding():
     np.testing.assert_array_equal(_sorted(r1), _sorted(r2))
 
 
-def test_resolve_mesh_platform_respects_local_only():
+def test_resolve_mesh_platform_respects_local_only(monkeypatch):
     """'platform:PxS' specs must mesh only local devices when asked:
     global jax.devices(platform) in a distributed run would silently
-    build a process-spanning mesh on the non-dcn path."""
+    build a process-spanning mesh on the non-dcn path. In a single
+    process global == local, so assert the GLOBAL listing is never
+    consulted at all when local_only=True."""
     from tomahawk_tpu.parallel.distributed import resolve_mesh
-    n_local = len(jax.local_devices(backend="cpu"))
-    if n_local < 2:
+    if len(jax.local_devices(backend="cpu")) < 2:
         pytest.skip("need 2 local cpu devices")
+
+    def forbidden(*a, **kw):
+        raise AssertionError("resolve_mesh(local_only=True) consulted "
+                             "the global jax.devices listing")
+
+    monkeypatch.setattr(jax, "devices", forbidden)
     mesh = resolve_mesh("cpu:2x1", local_only=True)
     local = set(jax.local_devices(backend="cpu"))
     assert all(d in local for d in mesh.devices.flat)
@@ -161,5 +168,17 @@ def test_fused_sweep_offset_clamps_at_outcap():
     n_true, _ = (np.asarray(x) for x in
                  sweeps.jit_count_sweep(cfg)(dev, pi, pj, dg, live))
     np.testing.assert_array_equal(n, n_true)
-    # the clamped carry means every row index stays in [0, outcap)
-    assert buf.shape[0] == outcap
+    # the intact prefix (tiles fully below the spill boundary, the same
+    # condition the engine host checks) must match a no-spill run
+    # row-for-row: a wrapped or mis-clamped offset would corrupt it
+    big = 1 << 14
+    _, _, ref = (np.asarray(x) for x in sweeps.jit_fused_sweep(
+        cfg, cap, big)(dev, pi, pj, dg, live))
+    offs = np.cumsum(n.astype(np.int64)) - n
+    ok = (n <= cap) & (offs + n <= outcap - cap)
+    for t in np.flatnonzero(ok & (n > 0)):
+        lo, cnt = int(offs[t]), int(n[t])
+        np.testing.assert_array_equal(
+            buf[lo:lo + cnt], ref[lo:lo + cnt],
+            err_msg=f"tile {t} intact-prefix rows corrupted")
+    assert ok[:3].any(), "test data produced no intact-prefix tiles"

@@ -80,7 +80,9 @@ def _build_unphased_planes(n_blocks, B, n_samples, seed=1):
             valid_bits=_pack_bits(ones_s, Ws),
             pos=pos, rid=np.zeros(B, np.int32),
             ac=(n_het + 2 * n_hom).astype(np.int32),
-            an=np.full(B, 2 * n_samples, np.int32),
+            # an is the MISSING-allele count (reference twk1_t semantics,
+            # ops/bitpack.py), not VCF AN -- all alleles here are called
+            an=np.zeros(B, np.int32),
             n_het=n_het, n_hom=n_hom,
             hwe=np.ones(B, np.float32),
             has_missing=np.zeros(B, bool),
@@ -214,8 +216,9 @@ def config4(n_sup=123, B=4096, n_samples=100_000, window=4_000_000,
 
     def gen_band(bid, ids):
         nb = len(ids)
-        alt_dev = jnp.stack([gen_super(g)[0] for g in ids])
-        ac_h = np.stack([np.asarray(gen_super(g)[1]) for g in ids])
+        outs = [gen_super(g) for g in ids]     # one generation per super
+        alt_dev = jnp.stack([o[0] for o in outs])
+        ac_h = np.stack([np.asarray(o[1]) for o in outs])
         z_b = np.zeros((nb, B), np.int32)
         return dict(
             alt_bits=alt_dev,
@@ -291,7 +294,8 @@ def config4(n_sup=123, B=4096, n_samples=100_000, window=4_000_000,
     arate = 2 * n_out[0] / max(adt, 1e-9)
     print(f"# config4 aggregate: {n_out[0]:,} records x 2 passes in "
           f"{adt:.2f}s -> {arate:,.0f} rec-passes/s "
-          f"({xbins}x{ybins} bins)", flush=True)
+          f"({arate / REF_AGG_PASS:.2f}x the reference's 4-thread "
+          f"per-pass rate; {xbins}x{ybins} bins)", flush=True)
     return rate
 
 

@@ -15,7 +15,6 @@ Usage: python tools/soak.py <seed> <n_trials>
 """
 
 import sys, random, tempfile, os
-import os
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "tests"))
@@ -38,8 +37,6 @@ for trial in range(int(sys.argv[2]) if len(sys.argv) > 2 else 10):
     window = rng.choice([None, 1500, 4000])
     mesh = rng.choice(["off", "auto"])
     memory_gb = rng.choice([12.0, 1e-6])
-    if window is not None and memory_gb < 1:  # banding+window both fine, keep some
-        pass
     tmp = tempfile.mkdtemp()
     cfgs = dict(seed=seed, n_samples=n_samples, n_sites=n_sites, miss=miss,
                 mode=mode, min_r2=min_r2, tile_rows=tile_rows,
@@ -94,8 +91,6 @@ for trial in range(int(sys.argv[2]) if len(sys.argv) > 2 else 10):
                     print(f"trial {trial} SKIP root-tie D sign flip")
                     continue
             if "'P'" in msg:
-                import re
-                key = eval(msg.split("(")[1].split(", 'P'")[0] + ")" ) if False else None
                 # find the record and check for .5 boundaries
                 bad = [k for k, v in want.items()
                        if any(abs(c - int(c) - 0.5) < 1e-6 for c in v["cnt"])]
