@@ -263,7 +263,10 @@ def unphased_math_oracle(T, min_r2=0.1, max_r2=100.0, min_dprime=0.0,
         return None
     chis = [_chisq_table_oracle(T, n, r, p, q) for r in cands]
     f11 = cands[int(np.argmin(chis))]
-    multiple = len(cands) > 1
+    # the reference's degenerate yN2 == h2 branch never sets
+    # MultipleRoots, even with two admissible roots
+    # (ld_engine.cpp:1523-1558 has no SetMultipleRoots call)
+    multiple = len(cands) > 1 and yN2 - h2 != 0
 
     f12, f21 = p - f11, q - f11
     f22 = 1 - (f11 + f12 + f21)

@@ -133,3 +133,23 @@ def test_unphased_fold_equals_phased_when_no_double_hets():
         # phased-consistent; here just assert the fold ran the phased path
         if len(recs):
             assert recs[0]["controller"] & FLAG_USED_PHASED_MATH
+
+
+def test_degenerate_cubic_never_flags_multiple_roots():
+    """The reference's yN2 == h2 branch picks the min-chi root of
+    {alpha, gamma} but NEVER sets MultipleRoots -- its case-3 code has
+    no SetMultipleRoots call (ld_engine.cpp:1523-1558), unlike the
+    three-real-root branch (:1492-1493). Found by the volume golden
+    run (tools/golden_volume.py, unphased 8k x 64: 5.7M records)."""
+    from tomahawk_tpu.ops.ld_math import solve_unphased_f11
+    # exactly-degenerate tables with BOTH roots biologically admissible
+    tables = [
+        [[0, 0, 0], [1, 6, 1], [1, 6, 1]],
+        [[0, 0, 0], [1, 6, 1], [2, 4, 2]],
+        [[0, 0, 0], [1, 6, 1], [4, 0, 4]],
+    ]
+    T = np.array(tables, np.int64)
+    f11, p, q, n, valid, multiple, chi = solve_unphased_f11(T)
+    assert valid.all()
+    assert not multiple.any(), \
+        "degenerate-case tables must not carry FLAG_MULTIPLE_ROOTS"

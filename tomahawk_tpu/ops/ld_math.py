@@ -279,7 +279,12 @@ def solve_unphased_f11(T: np.ndarray):
     chi_model = chis[np.arange(K), best]
     chi_model = np.where(np.isfinite(chi_model), chi_model, 0.0)
     valid = n_possible > 0
-    multiple = n_possible > 1
+    # the reference flags MultipleRoots only in the three-real-root and
+    # (vacuously) single-root cases; its degenerate yN2 == h2 branch
+    # never sets it even when both alpha and gamma are admissible
+    # (ld_engine.cpp:1523-1558 lacks the SetMultipleRoots call the
+    # diff < 0 branch has at :1492-1493)
+    multiple = (n_possible > 1) & ~m3
     return f11, p, q, n, valid, multiple, chi_model
 
 
