@@ -248,6 +248,11 @@ def main():
         if mode is None:
             window = None
             mode = "unphased"
+        # windowed trials must use block=1: with blocks > 1 record the
+        # reference's windowed slaves abandon the whole remaining block
+        # pair on the first out-of-window pair (goto end_cycle,
+        # ld_engine.cpp:2554-2560/2586-2588), silently dropping
+        # in-window pairs -- its semantics are only exact at block=1
         block = 1 if window is not None else rng.choice([5, 17, 500])
         # reference windowed quirk: its per-pair window check only
         # applies to same-rid pairs, so it COMPUTES cross-contig pairs
