@@ -138,6 +138,11 @@ def get_lib():
         lib.twk_gather_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p]
+        lib.twk_unphased_em.restype = ctypes.c_int64
+        lib.twk_unphased_em.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -246,6 +251,34 @@ class BcfScanner:
         if r != 0:
             return None
         return self.out
+
+
+def unphased_em(T: np.ndarray):
+    """Batched unphased cubic-EM root solve on [K, 3, 3] int64 tables.
+    Returns (f11, p, q, n, valid, multiple, chi_model) or None if the
+    native lib is unavailable (ops/ld_math has the numpy fallback)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    T = np.ascontiguousarray(T, np.int64)
+    K = len(T)
+    f11 = np.empty(K, np.float64)
+    p = np.empty(K, np.float64)
+    q = np.empty(K, np.float64)
+    n = np.empty(K, np.float64)
+    valid = np.empty(K, np.uint8)
+    multiple = np.empty(K, np.uint8)
+    chi = np.empty(K, np.float64)
+    lib.twk_unphased_em(
+        T.ctypes.data_as(ctypes.c_void_p), K,
+        f11.ctypes.data_as(ctypes.c_void_p),
+        p.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p),
+        n.ctypes.data_as(ctypes.c_void_p),
+        valid.ctypes.data_as(ctypes.c_void_p),
+        multiple.ctypes.data_as(ctypes.c_void_p),
+        chi.ctypes.data_as(ctypes.c_void_p))
+    return f11, p, q, n, valid.astype(bool), multiple.astype(bool), chi
 
 
 def hwe_exact(n_het: np.ndarray, n_hom1: np.ndarray, n_hom2: np.ndarray):

@@ -1375,4 +1375,137 @@ int64_t twk_pack_records(const int64_t* meta, const int64_t* rows,
     return p - out;
 }
 
+// ---------------------------------------------------------------------------
+// Batched unphased cubic-EM solver: per-table root finding, biological
+// admissibility, chi-square root scoring and the reference's flag
+// semantics, mirroring ops/ld_math.solve_unphased_f11 op-for-op
+// (reference: lib/ld/ld_engine.cpp:1363-1558 case analysis; degenerate
+// yN2 == h2 branch never sets MultipleRoots, :1523-1558). Compiled
+// with fp contraction off so FMA fusion cannot flip the discriminant
+// sign against the numpy fallback.
+#pragma GCC push_options
+#pragma GCC optimize ("fp-contract=off")
+static double twk_em_chi(const int64_t* t, double n, double f11,
+                         double p, double q) {
+    const double f12 = p - f11;
+    const double f21 = q - f11;
+    const double f22 = 1.0 - (f11 + f12 + f21);
+    const double e[9] = {
+        n * (f11 * f11),
+        ((2.0 * n) * f11) * f12,
+        n * (f12 * f12),
+        ((2.0 * n) * f11) * f21,
+        ((2.0 * n) * f12) * f21 + ((2.0 * n) * f11) * f22,
+        ((2.0 * n) * f12) * f22,
+        n * (f21 * f21),
+        ((2.0 * n) * f21) * f22,
+        n * (f22 * f22),
+    };
+    // observed cells in the reference's 1111..2222 order
+    const int obs_ix[9] = {0, 1, 2, 3, 4, 5, 6, 7, 8};
+    double chi = 0.0;
+    for (int i = 0; i < 9; ++i) {
+        if (e[i] > 0) {
+            const double d = (double)t[obs_ix[i]] - e[i];
+            chi += (d * d) / e[i];
+        }
+    }
+    return chi;
+}
+
+extern "C" int64_t twk_unphased_em(
+        const int64_t* T, int64_t K,
+        double* f11_out, double* p_out, double* q_out, double* n_out,
+        uint8_t* valid_out, uint8_t* multiple_out, double* chi_out) {
+    const double EPS = 1e-5;   // TWK_ALLOWED_ROUNDING_ERROR
+    const double PI = 3.14159265358979323846;
+    for (int64_t k = 0; k < K; ++k) {
+        const int64_t* t = T + k * 9;
+        double n = 0.0;
+        for (int i = 0; i < 9; ++i) n += (double)t[i];
+        const double ns = n > 0 ? n : 1.0;
+        const double row0 = (double)(t[0] + t[1] + t[2]);
+        const double row1 = (double)(t[3] + t[4] + t[5]);
+        const double col0 = (double)(t[0] + t[3] + t[6]);
+        const double col1 = (double)(t[1] + t[4] + t[7]);
+        const double p = (2.0 * row0 + row1) / (2.0 * ns);
+        const double q = (2.0 * col0 + col1) / (2.0 * ns);
+        const double n11 = 2.0 * (double)t[0] + (double)t[1] + (double)t[3];
+        const double ndh = (double)t[4];
+        const double minhap = n11 / (2.0 * ns);
+        const double maxhap = (n11 + ndh) / (2.0 * ns);
+        const double a = 4.0 * n;
+        const double b = 2.0 * n * (1.0 - 2.0 * p - 2.0 * q)
+            - 2.0 * n11 - ndh;
+        const double c = -n11 * (1.0 - 2.0 * p - 2.0 * q)
+            - ndh * (1.0 - p - q) + 2.0 * n * p * q;
+        const double dee = -(n11 * p) * q;
+        const double a_s = a != 0.0 ? a : 1.0;
+        // numpy's fast scalar-power path only covers exponent 2, so
+        // `x ** 3` is libm pow(x, 3.0) there; match it exactly or the
+        // discriminant sign flips at knife edges vs the fallback
+        const double xN = -b / (3.0 * a_s);
+        const double d2 = (b * b - 3.0 * a_s * c) / (9.0 * (a_s * a_s));
+        const double yN = a * pow(xN, 3.0) + b * (xN * xN)
+            + c * xN + dee;
+        const double yN2 = yN * yN;
+        const double h2 = 4.0 * (a * a) * pow(d2, 3.0);
+        const double diff = yN2 - h2;
+
+        double roots[3];
+        roots[0] = roots[1] = roots[2] = NAN;
+        bool case3 = false;
+        if (diff < 0) {            // three real roots
+            const double h = sqrt(h2);
+            double arg = h != 0.0 ? -yN / h : -yN;
+            if (arg < -1.0) arg = -1.0;
+            if (arg > 1.0) arg = 1.0;
+            const double theta = acos(arg) / 3.0;
+            const double delta = sqrt(d2 > 0.0 ? d2 : 0.0);
+            roots[0] = xN + (2.0 * delta) * cos(theta);
+            roots[1] = xN + (2.0 * delta) * cos(2.0 * PI / 3.0 + theta);
+            roots[2] = xN + (2.0 * delta) * cos(4.0 * PI / 3.0 + theta);
+        } else if (diff > 0) {     // one real root
+            const double s = sqrt(diff);
+            const double u = (1.0 / (2.0 * a_s)) * (-yN + s);
+            const double v = (1.0 / (2.0 * a_s)) * (-yN - s);
+            const double n1 = u < 0 ? -pow(-u, 1.0 / 3.0)
+                                    : pow(u, 1.0 / 3.0);
+            const double n2 = v < 0 ? -pow(-v, 1.0 / 3.0)
+                                    : pow(v, 1.0 / 3.0);
+            roots[0] = xN + n1 + n2;
+        } else {                   // degenerate: reference precedence
+            case3 = true;          // quirk (yN/2*a) and NaN drop
+            const double operand = (yN / 2.0) * a;
+            if (operand >= 0.0) {
+                const double delta = pow(operand, 1.0 / 3.0);
+                roots[0] = xN + delta;
+                roots[2] = xN - 2.0 * delta;
+            }
+        }
+
+        const double lo = minhap - EPS, hi = maxhap + EPS;
+        int n_possible = 0;
+        double best_chi = INFINITY;
+        double best_f11 = NAN;
+        for (int r = 0; r < 3; ++r) {
+            const double rv = roots[r];
+            if (rv != rv || rv < lo || rv > hi) continue;
+            ++n_possible;
+            const double chi = twk_em_chi(t, n, rv, p, q);
+            if (chi < best_chi) { best_chi = chi; best_f11 = rv; }
+        }
+        f11_out[k] = best_f11;
+        p_out[k] = p;
+        q_out[k] = q;
+        n_out[k] = n;
+        valid_out[k] = n_possible > 0;
+        multiple_out[k] = (n_possible > 1) && !case3;
+        chi_out[k] = (best_chi == INFINITY || best_chi != best_chi)
+            ? 0.0 : best_chi;
+    }
+    return K;
+}
+#pragma GCC pop_options
+
 }  // extern "C"
