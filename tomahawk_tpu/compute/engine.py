@@ -792,8 +792,12 @@ class LdEngine:
         T01 = vh - T11 - T21
         T02 = vo - T12 - T22
         T00 = vv - (T01 + T02 + T10 + T11 + T12 + T20 + T21 + T22)
-        rows = np.stack([T00, T01, T02, T10, T11, T12, T20, T21, T22],
-                        axis=1)
+        # column fills into one [K, 9] buffer: np.stack's temporary
+        # costs real fault time at millions of survivors per segment
+        rows = np.empty((len(T11), 9), np.int64)
+        for c, col in enumerate((T00, T01, T02, T10, T11, T12,
+                                 T20, T21, T22)):
+            rows[:, c] = col
         return rows.reshape(-1, 3, 3)
 
     # -- public API ------------------------------------------------------
