@@ -291,6 +291,26 @@ def main():
         assert np.array_equal(a[f], b[f]), f
     print(f"# sort parity OK: {len(a):,} records in identical order "
           f"(ours {t_us:.1f}s, ref {t_ref:.1f}s)", flush=True)
+
+    # --- aggregate raster parity on the volume output ------------------
+    from tomahawk_tpu.post.aggregate import Twa, aggregate_two
+    ref_twa = os.path.join(d, "ref.twa")
+    ours_twa = os.path.join(d, "ours.twa")
+    t0 = time.perf_counter()
+    run_ref(REF_BIN, "aggregate", "-i", ref_two, "-o", ref_twa,
+            "-f", "r2", "-r", "mean", "-x", "500", "-y", "500",
+            "-c", "5", "-t", "1")
+    t_ref = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    aggregate_two(ref_two, ours_twa, agg="r2", reduce="mean",
+                  xbins=500, ybins=500, min_count=5)
+    t_us = time.perf_counter() - t0
+    ta, tb = Twa.open(ours_twa), Twa.open(ref_twa)
+    assert (ta.x, ta.y) == (tb.x, tb.y)
+    np.testing.assert_allclose(ta.data, tb.data, atol=1e-9)
+    print(f"# aggregate parity OK: {ta.x}x{ta.y} raster of "
+          f"{len(a):,} records identical (ours {t_us:.1f}s, "
+          f"ref {t_ref:.1f}s)", flush=True)
     print("PASS")
 
 
