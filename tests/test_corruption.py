@@ -187,3 +187,24 @@ def test_bcf_input_corruption_is_clean(files, tmp_path):
         except ok_errors:
             n_clean += 1
     assert n_clean > 0
+
+
+def test_corrupt_rle_runs_rejected_by_plane_decode():
+    """A crafted run length summing past n_samples must raise a typed
+    error instead of writing past the plane rows (the native decoder
+    now carries a capacity bound like twk_rle_decode)."""
+    import numpy as np
+    import pytest
+    from tomahawk_tpu.io.errors import CorruptFileError
+    from tomahawk_tpu.io.twk import Twk1Block, Twk1Record
+    from tomahawk_tpu.ops.bitpack import block_to_planes
+
+    n_samples = 40
+    # one run claiming 2^24 ref-ref samples (word = run << 2 | sym)
+    runs = np.array([(1 << 24) << 2], np.uint32)
+    rec = Twk1Record(pos=100, rid=0, ac=0, an=0, n_het=0, n_hom=0,
+                     gt_ptype=4, gt_missing=False, gt_runs=runs)
+    blk = Twk1Block(rid=0)
+    blk.add(rec)
+    with pytest.raises((CorruptFileError, ValueError)):
+        block_to_planes(blk, n_samples)

@@ -110,7 +110,7 @@ def test_runs_to_planes_matches_pack_bits():
             hom_w = np.zeros(Ws, np.uint32)
             val_w = np.zeros(Ws, np.uint32)
             n = native.runs_to_planes(runs, miss_rate > 0, alt_w, mis_w,
-                                      het_w, hom_w, val_w)
+                                      het_w, hom_w, val_w, n_samples)
             assert n == n_samples
             ca, cb = codes >> 2, codes & 3
             alt = np.zeros(2 * n_samples, bool)

@@ -136,8 +136,10 @@ def _reverse_records(recs: np.ndarray) -> np.ndarray:
     statistics and counts stay in the original orientation
     (reference: ld_engine.cpp:1290-1298)."""
     rev = recs.copy()
-    rev["ridA"], rev["ridB"] = recs["ridB"].copy(), recs["ridA"].copy()
-    rev["packA"], rev["packB"] = recs["packB"].copy(), recs["packA"].copy()
+    # rev shares no memory with recs after the copy, so the swapped
+    # field writes need no intermediate copies
+    rev["ridA"], rev["ridB"] = recs["ridB"], recs["ridA"]
+    rev["packA"], rev["packB"] = recs["packB"], recs["packA"]
     return rev
 
 

@@ -97,7 +97,7 @@ def get_lib():
         lib.twk_runs_to_planes.restype = ctypes.c_int64
         lib.twk_runs_to_planes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32] + [ctypes.c_void_p] * 5
+            ctypes.c_int32] + [ctypes.c_void_p] * 5 + [ctypes.c_int64]
         lib.twk_import_chunk.restype = ctypes.c_int64
         lib.twk_import_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -198,10 +198,12 @@ def rle_encode(codes: np.ndarray, width: int, miss: bool):
 
 
 def runs_to_planes(runs: np.ndarray, miss: bool,
-                   alt, mis, het, hom, val):
+                   alt, mis, het, hom, val, n_samples: int):
     """Decode RLE runs straight into caller-provided plane rows (alt and
-    mis zeroed except mis padding ones). Returns samples decoded or None
-    if the lib is missing."""
+    mis zeroed except mis padding ones). Returns samples decoded, -1
+    when a (corrupt) run overflows n_samples -- the write stops BEFORE
+    touching memory past the plane rows -- or None if the lib is
+    missing."""
     lib = get_lib()
     if lib is None:
         return None
@@ -213,7 +215,7 @@ def runs_to_planes(runs: np.ndarray, miss: bool,
         mis.ctypes.data_as(ctypes.c_void_p),
         het.ctypes.data_as(ctypes.c_void_p),
         hom.ctypes.data_as(ctypes.c_void_p),
-        val.ctypes.data_as(ctypes.c_void_p))
+        val.ctypes.data_as(ctypes.c_void_p), int(n_samples))
 
 
 def codes_to_planes(codes: np.ndarray, alt, mis, het, hom, val):

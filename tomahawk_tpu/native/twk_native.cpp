@@ -403,7 +403,7 @@ int64_t twk_runs_to_planes(const void* words, int64_t n_words,
                            int32_t width, int32_t miss,
                            uint32_t* alt_bits, uint32_t* miss_bits,
                            uint32_t* het_bits, uint32_t* hom_bits,
-                           uint32_t* valid_bits) {
+                           uint32_t* valid_bits, int64_t n_samples) {
     const int shift = 2 + 2 * miss;
     const uint32_t sym_mask = (1u << shift) - 1u;
     int64_t s = 0;
@@ -415,6 +415,10 @@ int64_t twk_runs_to_planes(const void* words, int64_t n_words,
             default: w = ((const uint32_t*)words)[i]; break;
         }
         const int64_t run = w >> shift;
+        // corrupt/crafted run lengths must not write past the plane
+        // rows (the numpy fallback raises on the same input); the
+        // caller checks the returned sample count against n_samples
+        if (run > n_samples - s) return -1;
         uint8_t sym = (uint8_t)(w & sym_mask);
         if (!miss) sym = (uint8_t)(((sym & 2u) << 1) | (sym & 1u));
         const uint8_t ca = sym >> 2, cb = sym & 3u;
@@ -1202,7 +1206,9 @@ static inline char* fmt_u64(char* p, uint64_t v) {
 static inline char* fmt_g6(char* p, double v) {
     // integral fast path: haplotype counts (4 of 11 float columns) are
     // whole numbers; below 1e6 the %.6g rendering is the plain integer
-    if (v == (double)(int64_t)v && v >= 0 && v < 1e6) {
+    // range guards FIRST: casting a non-finite/out-of-range double to
+    // int64 is UB, so it must only run once v is known to be in range
+    if (v >= 0 && v < 1e6 && v == (double)(int64_t)v) {
         return fmt_u64(p, (uint64_t)v);
     }
     auto r = std::to_chars(p, p + 64, v, std::chars_format::general, 6);
@@ -1401,12 +1407,12 @@ static double twk_em_chi(const int64_t* t, double n, double f11,
         ((2.0 * n) * f21) * f22,
         n * (f22 * f22),
     };
-    // observed cells in the reference's 1111..2222 order
-    const int obs_ix[9] = {0, 1, 2, 3, 4, 5, 6, 7, 8};
+    // observed cells accumulate in the reference's 1111..2222 order,
+    // which is the table's own row-major order
     double chi = 0.0;
     for (int i = 0; i < 9; ++i) {
         if (e[i] > 0) {
-            const double d = (double)t[obs_ix[i]] - e[i];
+            const double d = (double)t[i] - e[i];
             chi += (d * d) / e[i];
         }
     }
@@ -1457,9 +1463,9 @@ extern "C" int64_t twk_unphased_em(
         bool case3 = false;
         if (diff < 0) {            // three real roots
             const double h = sqrt(h2);
-            double arg = h != 0.0 ? -yN / h : -yN;
-            if (arg < -1.0) arg = -1.0;
-            if (arg > 1.0) arg = 1.0;
+            const double arg = h != 0.0 ? -yN / h : -yN;
+            // no clamp: acos(|arg| > 1) = NaN roots -> pair dropped,
+            // exactly like the reference (ld_engine.cpp:1444)
             const double theta = acos(arg) / 3.0;
             const double delta = sqrt(d2 > 0.0 ? d2 : 0.0);
             roots[0] = xN + (2.0 * delta) * cos(theta);

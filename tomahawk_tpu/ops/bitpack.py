@@ -112,8 +112,15 @@ def block_to_planes(blk: Twk1Block, n_samples: int,
         mis_w[:] = _pack_bits(np.zeros((1, 2 * n_samples), np.uint8),
                               Wh, pad_value=1)[0]
         for i, rec in enumerate(blk.rcds):
-            native_runs_planes(rec.gt_runs, rec.gt_missing, alt_w[i],
-                               mis_w[i], het_w[i], hom_w[i], val_w[i])
+            got = native_runs_planes(rec.gt_runs, rec.gt_missing,
+                                     alt_w[i], mis_w[i], het_w[i],
+                                     hom_w[i], val_w[i], n_samples)
+            if got != n_samples:
+                from ..io.errors import CorruptFileError
+                raise CorruptFileError(
+                    "<block>", f"corrupt RLE genotypes at rid "
+                    f"{rec.rid} pos {rec.pos}: runs decode to "
+                    f"{got} of {n_samples} samples", None)
             fill_meta(i, rec)
         # het/hom meta come from the built planes, not the record
         # fields: the stored twk1_t.n_hom keeps the PRE-flip count for

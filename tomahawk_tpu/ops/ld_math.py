@@ -100,8 +100,7 @@ def _assemble(keep, meta, flags, cnt, D, Dprime, R, R2, P, chisq_fisher,
     return recs, idx
 
 
-def phased_math(counts: np.ndarray, meta: PairMeta, filt: LdFilters,
-                extra_flags: np.ndarray = None):
+def phased_math(counts: np.ndarray, meta: PairMeta, filt: LdFilters):
     """Phased LD from 2x2 haplotype counts.
 
     counts: [K, 4] int64 in order (REFREF, REFALT, ALTREF, ALTALT) --
@@ -156,8 +155,6 @@ def phased_math(counts: np.ndarray, meta: PairMeta, filt: LdFilters,
     cnt_out = np.stack([refref, altref, refalt, altalt], axis=1)
 
     flags = _common_flags(meta, R2, cnt_out, used_phased=np.ones(len(t), bool))
-    if extra_flags is not None:
-        flags |= extra_flags
     return _assemble(keep, meta, flags, cnt_out, D, Dprime, R, R2, P,
                      chisq_fisher)
 
@@ -243,8 +240,10 @@ def _solve_unphased_f11_numpy(T: np.ndarray):
         m1 = diff < 0
         if m1.any():
             h = np.sqrt(np.where(m1, h2, 1.0))
-            theta = np.arccos(np.clip(-yN / np.where(h != 0, h, 1.0),
-                                      -1.0, 1.0)) / 3.0
+            # NO clamp: when rounding pushes |yN/h| past 1 the
+            # reference gets acos(>1) = NaN roots and DROPS the pair
+            # (ld_engine.cpp:1444); clipping would emit an extra record
+            theta = np.arccos(-yN / np.where(h != 0, h, 1.0)) / 3.0
             delta = np.sqrt(np.where(m1, np.maximum(d2, 0.0), 0.0))
             roots[m1, 0] = (xN + 2.0 * delta * np.cos(theta))[m1]
             roots[m1, 1] = (xN + 2.0 * delta *
