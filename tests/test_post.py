@@ -307,3 +307,38 @@ def test_view_binary_stdout(pipeline, tmp_path, capfdbinary):
     with TwoReader(two) as r:
         want = r.records()
     np.testing.assert_array_equal(got, want)
+
+
+def test_view_interval_prunes_blocks_on_sorted_files(pipeline, tmp_path,
+                                                     monkeypatch):
+    """Interval view on a SORTED .two must read only index-overlapping
+    blocks (the reference's near-real-time ROI query path) and still
+    return exactly the records a full scan yields."""
+    import io as _io
+    from tomahawk_tpu.post.view import view, _interval_block_ids
+    from tomahawk_tpu.post.intervals import parse_intervals
+    d, twk, two = pipeline
+    srt = str(tmp_path / "roi.two")
+    sort_two(two, srt, run_chunk=50)
+    with TwoReader(srt) as r:
+        hdr = r.header
+        n_blocks = r.index.n
+        all_recs = r.records()
+    assert n_blocks > 1, "need multiple blocks to prove pruning"
+    contig = hdr.contigs[0].name
+    pos = np.sort((all_recs["packA"] >> 2)[all_recs["ridA"] == 0])
+    lo, hi = int(pos[len(pos) // 3]), int(pos[len(pos) // 2])
+    iv = f"{contig}:{lo}-{hi}"
+
+    with TwoReader(srt) as r:
+        ids = list(_interval_block_ids(r, parse_intervals([iv], hdr)))
+        assert 0 < len(ids) < n_blocks, (len(ids), n_blocks)
+
+    out_a, out_b = _io.StringIO(), _io.StringIO()
+    view(srt, intervals=[iv], show_header=False, out_stream=out_a)
+    # same query via a full scan: unsorted files can't prune
+    unsrt = two
+    view(unsrt, intervals=[iv], show_header=False, out_stream=out_b)
+    assert sorted(out_a.getvalue().splitlines()) == \
+        sorted(out_b.getvalue().splitlines())
+    assert out_a.getvalue().strip(), "interval produced no records"
