@@ -315,8 +315,9 @@ def test_view_interval_prunes_blocks_on_sorted_files(pipeline, tmp_path,
     blocks (the reference's near-real-time ROI query path) and still
     return exactly the records a full scan yields."""
     import io as _io
-    from tomahawk_tpu.post.view import view, _interval_block_ids
-    from tomahawk_tpu.post.intervals import parse_intervals
+    from tomahawk_tpu.post.view import view
+    from tomahawk_tpu.post.intervals import (interval_block_ids,
+                                              parse_intervals)
     d, twk, two = pipeline
     srt = str(tmp_path / "roi.two")
     sort_two(two, srt, run_chunk=50)
@@ -331,7 +332,7 @@ def test_view_interval_prunes_blocks_on_sorted_files(pipeline, tmp_path,
     iv = f"{contig}:{lo}-{hi}"
 
     with TwoReader(srt) as r:
-        ids = list(_interval_block_ids(r, parse_intervals([iv], hdr)))
+        ids = list(interval_block_ids(r, parse_intervals([iv], hdr)))
         assert 0 < len(ids) < n_blocks, (len(ids), n_blocks)
 
     out_a, out_b = _io.StringIO(), _io.StringIO()

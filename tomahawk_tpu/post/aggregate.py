@@ -145,14 +145,16 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
     n_workers = threads if threads > 0 else min(8, _os.cpu_count() or 1)
-    n_blocks = reader.index.n
+    from .intervals import interval_block_ids
+    blk_ids = list(interval_block_ids(reader, ivals))
+    n_blocks = len(blk_ids)
 
     def _pass1(lo, hi):
         mn = np.full(n_contigs, np.iinfo(np.uint32).max, np.int64)
         mx = np.zeros(n_contigs, np.int64)
         seen = np.zeros(n_contigs, bool)
         rd = TwoReader(input_path)
-        for i in range(lo, hi):
+        for i in blk_ids[lo:hi]:
             recs = _filtered(rd.read_block(i))
             if not len(recs):
                 continue
@@ -259,7 +261,7 @@ def aggregate_two(input_path: str, output_path: str, agg: str = "r2",
             flats, vals, pend = [], [], 0
 
         rd = TwoReader(input_path)
-        for i in range(lo, hi):
+        for i in blk_ids[lo:hi]:
             recs = _filtered(rd.read_block(i))
             if not len(recs):
                 continue

@@ -11,6 +11,17 @@ import numpy as np
 from ..io.two import TwoReader
 
 
+def _interval_block_stream(reader, intervals, threads):
+    """Stream only index-overlapping blocks for interval queries on
+    sorted files (full scan otherwise)."""
+    if not intervals:
+        return reader.blocks(threads=threads)
+    from .intervals import interval_block_ids, parse_intervals
+    ivals = parse_intervals(intervals, reader.header)
+    return reader.stream_blocks(interval_block_ids(reader, ivals),
+                                threads=threads)
+
+
 def _interval_filter(reader, intervals):
     if not intervals:
         return lambda recs: recs
@@ -28,7 +39,8 @@ def decay(path: str, max_range: int = 10_000_000, n_bins: int = 1000,
     r = TwoReader(path)
     filt = _interval_filter(r, intervals)
     import os as _os
-    for recs in r.blocks(threads=min(4, _os.cpu_count() or 1)):
+    for recs in _interval_block_stream(r, intervals,
+                                       min(4, _os.cpu_count() or 1)):
         recs = filt(recs)
         pos_a = (recs["packA"] >> 2).astype(np.int64)
         pos_b = (recs["packB"] >> 2).astype(np.int64)
@@ -57,7 +69,8 @@ def positional_decay(path: str, out=None, intervals=None):
     groups = []   # [rid, pos, n, sum_bpos]
     carry = None  # open run at the block boundary
     import os as _os
-    for recs in r.blocks(threads=min(4, _os.cpu_count() or 1)):
+    for recs in _interval_block_stream(r, intervals,
+                                       min(4, _os.cpu_count() or 1)):
         recs = filt(recs)
         if len(recs) == 0:
             continue

@@ -181,3 +181,28 @@ def blocks_for_intervals(reader, strings) -> List[int]:
         for v in (iv, iv.linked):
             m |= (rid == v.rid) & (lo <= v.end) & (hi >= v.start)
     return [int(i) for i in np.flatnonzero(m)]
+
+
+def interval_block_ids(reader, ivals):
+    """Blocks to visit: on a SORTED .two whose index entries carry
+    per-block (ridA, minpos, maxpos), an interval query touches only
+    the overlapping blocks -- the reference's near-real-time ROI path
+    (two_reader FindOverlap over IndexEntryOutput; README.md:9). The
+    A-side anchor makes this a sound superset: unlinked intervals and
+    the FIRST interval of each linked pair match on A, and the sorted
+    stream carries both orientations of every pair. Unsorted files
+    (rid = -1 entries) fall back to the full scan."""
+    n = reader.index.n
+    if ivals is None or reader.index.state != 2 or n == 0:
+        return range(n)
+    import numpy as _np
+    ent = reader.index.ent
+    rid = _np.array([e.rid for e in ent], _np.int64)
+    lo = _np.array([e.minpos for e in ent], _np.int64)
+    hi = _np.array([e.maxpos for e in ent], _np.int64)
+    if (rid < 0).any():
+        return range(n)
+    keep = ivals.overlaps_range(rid, lo, hi)
+    for iv in ivals.linked_pairs:
+        keep |= (rid == iv.rid) & (lo <= iv.end) & (hi >= iv.start)
+    return _np.flatnonzero(keep).tolist()

@@ -26,31 +26,6 @@ def _fmt(v: float) -> str:
     return f"{v:.6g}"
 
 
-def _interval_block_ids(reader, ivals):
-    """Blocks to visit: on a SORTED .two whose index entries carry
-    per-block (ridA, minpos, maxpos), an interval query touches only
-    the overlapping blocks -- the reference's near-real-time ROI path
-    (two_reader FindOverlap over IndexEntryOutput; README.md:9). The
-    A-side anchor makes this a sound superset: unlinked intervals and
-    the FIRST interval of each linked pair match on A, and the sorted
-    stream carries both orientations of every pair. Unsorted files
-    (rid = -1 entries) fall back to the full scan."""
-    n = reader.index.n
-    if ivals is None or reader.index.state != 2 or n == 0:
-        return range(n)
-    import numpy as _np
-    ent = reader.index.ent
-    rid = _np.array([e.rid for e in ent], _np.int64)
-    lo = _np.array([e.minpos for e in ent], _np.int64)
-    hi = _np.array([e.maxpos for e in ent], _np.int64)
-    if (rid < 0).any():
-        return range(n)
-    keep = ivals.overlaps_range(rid, lo, hi)
-    for iv in ivals.linked_pairs:
-        keep |= (rid == iv.rid) & (lo <= iv.end) & (hi >= iv.start)
-    return _np.flatnonzero(keep).tolist()
-
-
 def _python_rows(sel, names, json_out):
     """Fallback formatter (one f-string per record)."""
     pos_a = (sel["packA"] >> 2) + 1
@@ -111,7 +86,8 @@ def view(path: str, output: Optional[str] = None,
     name_list = [names.get(i, str(i))
                  for i in range(max(names, default=-1) + 1)]
     unfiltered = not filt.active() and ivals is None
-    block_ids = _interval_block_ids(reader, ivals)
+    from .intervals import interval_block_ids
+    block_ids = interval_block_ids(reader, ivals)
 
     def select(recs):
         if unfiltered:
