@@ -80,10 +80,19 @@ def relationship(input_path: str, output: str = "-", block_rows: int = 512,
         return any(iv.rid == rec.rid and iv.start <= rec.pos <= iv.end
                    for iv in ivals)
 
+    if intervals:
+        # only decode index-overlapping blocks for region-restricted
+        # kinship (same pruning as view/aggregate/decay/haplotype)
+        from .intervals import blocks_for_intervals
+        blk_iter = (reader.read_block(b)
+                    for b in blocks_for_intervals(reader, intervals))
+    else:
+        blk_iter = reader.blocks()
+
     n_variants = 0
     buf = np.zeros((block_rows, n_samples), np.int8)
     fill = 0
-    for blk in reader.blocks():
+    for blk in blk_iter:
         for rec in blk.rcds:
             if not _keep(rec):
                 continue
