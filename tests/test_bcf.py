@@ -235,3 +235,64 @@ def test_bcf_contig_idx_remap_raw_path(tmp_path):
     got = list(rd.sites(raw=True))
     names = [rd.header.contigs[s.rid].name for s in got]
     assert names == ["chrA", "chrB"]
+
+
+def test_bcf_contig_idx_remap_through_import(tmp_path):
+    """The production import path (native chunked fast path included)
+    must apply the ##contig IDX= remap — raw chunk rids previously
+    bypassed BcfReader._map_rid and landed on the wrong contig."""
+    from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+    from tomahawk_tpu.io.twk import TwkReader
+    header_text = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+        "##contig=<ID=chrA,length=100000,IDX=1>\n"
+        "##contig=<ID=chrB,length=100000,IDX=0>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"S{i}" for i in range(8)) + "\n")
+    rng = np.random.default_rng(3)
+    sites = []
+    for k in range(12):   # chrA sites carry raw rid 1
+        g = ((rng.integers(0, 2, (8, 2)) + 1) << 1).astype(np.int32)
+        sites.append((1, 100 + 50 * k, "A", "C", g))
+    for k in range(12):   # chrB sites carry raw rid 0
+        g = ((rng.integers(0, 2, (8, 2)) + 1) << 1).astype(np.int32)
+        sites.append((0, 100 + 50 * k, "G", "T", g))
+    bcf = str(tmp_path / "idx.bcf")
+    write_bcf(bcf, header_text, sites, 8, gt_key=1)
+    twk = str(tmp_path / "idx.twk")
+    import_vcf(ImportSettings(input=bcf, output=twk,
+                              remove_univariate=False))
+    r = TwkReader(twk)
+    names = {c.idx: c.name for c in r.header.contigs}
+    by_contig = {}
+    for blk in r.blocks():
+        for rec in blk.rcds:
+            by_contig.setdefault(names[rec.rid], []).append(rec.alleles)
+    assert set(by_contig) == {"chrA", "chrB"}
+    assert len(by_contig["chrA"]) == 12 and len(by_contig["chrB"]) == 12
+    # identity, not just counts: chrA sites are A->C, chrB are G->T
+    from tomahawk_tpu.io.constants import BASE_MAP
+    ac = (BASE_MAP["A"] << 4) | BASE_MAP["C"]
+    gt = (BASE_MAP["G"] << 4) | BASE_MAP["T"]
+    assert all(a == ac for a in by_contig["chrA"]), "chrA/chrB swapped"
+    assert all(a == gt for a in by_contig["chrB"])
+
+
+def test_bcf_quoted_description_does_not_fabricate_idx(tmp_path):
+    """Commas and 'IDX=' inside quoted Description strings must not be
+    parsed as dictionary keys (quote-aware ##line splitting)."""
+    header_text = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="geno,IDX=7">\n'
+        '##contig=<ID=chr1,length=1000,Description="alias,IDX=9">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\n")
+    gt = np.array([[2, 4], [4, 4]], np.int32)
+    bcf = str(tmp_path / "q.bcf")
+    write_bcf(bcf, header_text, [(0, 100, "A", "C", gt)], 2, gt_key=1)
+    rd = BcfReader(bcf)
+    assert rd._rid_map is None, "quoted IDX= fabricated a contig remap"
+    assert rd._gt_key == 1
+    got = list(rd.sites())
+    assert [s.pos for s in got] == [100]
+    assert rd.header.contigs[got[0].rid].name == "chr1"

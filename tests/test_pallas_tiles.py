@@ -184,3 +184,54 @@ def test_engine_falls_back_when_pallas_fails(tmp_path):
     assert len(a) == len(b) > 0
     for f in a.dtype.names:
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+
+
+def test_engine_falls_back_on_force_time_failure(tmp_path, monkeypatch):
+    """A kernel failure that only surfaces when results are READ (a
+    runtime Mosaic error at np.asarray, not at dispatch) must also
+    degrade the run to the XLA backend instead of killing it."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_importer import make_vcf
+    from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+    from tomahawk_tpu.io.two import TwoReader
+    from tomahawk_tpu.compute.engine import (CalcSettings, LdEngine,
+                                             compute_ld)
+
+    vcf = str(tmp_path / "in.vcf")
+    make_vcf(vcf, n_samples=32, n_sites=140, seed=9, miss_frac=0.0,
+             contigs=("20",))
+    twk = str(tmp_path / "in.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=128))
+
+    ref_out = str(tmp_path / "ref.two")
+    compute_ld(CalcSettings(input=twk, output=ref_out, min_r2=0.0,
+                            min_p=1.0, mesh="off", tile_rows=128))
+
+    class _Poison:
+        def __array__(self, *a, **kw):
+            raise RuntimeError("simulated runtime Mosaic failure")
+
+    orig = LdEngine._dispatch_fused
+
+    def poisoned(self, *a, **kw):
+        st = orig(self, *a, **kw)
+        if self._backend_forced != "xla" and not getattr(
+                self, "_poisoned_once", False):
+            self._poisoned_once = True
+            st = dict(st, n_pass=_Poison())
+        return st
+
+    monkeypatch.setattr(LdEngine, "_dispatch_fused", poisoned)
+    # on the CPU test backend the engine resolves to "xla" outright;
+    # pretend pallas is active so the degrade ladder is eligible,
+    # exactly as on TPU hardware
+    monkeypatch.setattr(
+        LdEngine, "_can_degrade",
+        lambda self: self._backend_forced != "xla")
+    out = str(tmp_path / "forced.two")
+    compute_ld(CalcSettings(input=twk, output=out, min_r2=0.0,
+                            min_p=1.0, mesh="off", tile_rows=128))
+    a, b = TwoReader(ref_out).records(), TwoReader(out).records()
+    assert len(a) == len(b) > 0
+    np.testing.assert_array_equal(a, b)

@@ -109,9 +109,10 @@ def _add_calc(sub):
 
 def _cmd_calc(args):
     from .compute.engine import CalcSettings, compute_ld
-    if args.window is not None and args.window <= 0:
+    if args.window is not None and int(args.window) <= 0:
         # the reference rejects this too (calc.h:204-208); internally
-        # l_window == 0 encodes "no window", so 0 must not pass through
+        # l_window == 0 encodes "no window", so neither 0 nor a
+        # fractional bp value that truncates to 0 may pass through
         raise SystemExit("ERROR: cannot have a non-positive window size")
     s = CalcSettings(
         input=args.input, output=args.output,

@@ -424,6 +424,13 @@ class LdEngine:
             n_tiles=0, n_cand=0, n_pass=0, n_records=0,
             count_s=0.0, extract_s=0.0, math_s=0.0))
 
+    def _can_degrade(self) -> bool:
+        """Whether a kernel failure may degrade this run to the XLA
+        tile backend (only meaningful when the pallas backend is
+        active and not already degraded)."""
+        return self._resolve_backend() == "pallas" \
+            and self._backend_forced != "xla"
+
     def _resolve_backend(self) -> str:
         if self._backend_forced is not None:
             return self._backend_forced
@@ -558,8 +565,7 @@ class LdEngine:
                 table, has_missing, cls, cap, outcap)(
                     dev, *self._tiles_in(pi, pj, dg, live))
         except Exception as e:
-            if (self._resolve_backend() != "pallas"
-                    or self._backend_forced == "xla"):
+            if not self._can_degrade():
                 raise
             # a Mosaic lowering/compile failure on this shape: degrade
             # the whole run to the XLA tile path (identical outputs)
@@ -629,25 +635,40 @@ class LdEngine:
             n_pass = np_.asarray(st["n_pass"])
             n_cand = np_.asarray(st["n_cand"])
         except Exception as e:
-            if self._prefetched is None and (cached is None
-                                             or cached[0] != key):
-                raise
-            # the overlapped pair of sweeps died at force time -- a
-            # runtime kernel failure whose fallback already flipped the
-            # backend, or an HBM RESOURCE_EXHAUSTED from the doubled
-            # transient workspace (the memory-banded huge-N regime,
-            # where device memory_stats may be unavailable to gate on).
-            # Drop the in-flight prefetch, run strictly serially from
-            # here on, and retry this segment once.
-            log("WARNING", f"device sweep failed under prefetch "
-                f"({type(e).__name__}: {str(e)[:160]}); disabling "
-                f"segment prefetch and retrying", sub="ENGINE")
+            # force-time failures: an HBM RESOURCE_EXHAUSTED from the
+            # doubled prefetch workspace, or a runtime (Mosaic) kernel
+            # failure that only surfaces when the result is read.
+            # Recovery ladder: (1) drop the in-flight prefetch and run
+            # strictly serially from here on; (2) if that does not
+            # save the retry -- or nothing was overlapped -- degrade
+            # to the XLA tile backend like the dispatch-time fallback
+            # (identical outputs); then re-raise only if both fail.
+            log("WARNING", f"device sweep failed at force time "
+                f"({type(e).__name__}: {str(e)[:160]}); retrying "
+                f"without prefetch", sub="ENGINE")
+            had_overlap = self._prefetched is not None \
+                or (cached is not None and cached[0] == key)
             self._prefetched = None
             self._prefetch_enabled = False
             st = None   # release this segment's handles before retrying
-            st = self._dispatch_fused(tiles, table, has_missing, cls)
-            n_pass = np_.asarray(st["n_pass"])
-            n_cand = np_.asarray(st["n_cand"])
+            try:
+                if not had_overlap:
+                    raise
+                st = self._dispatch_fused(tiles, table, has_missing, cls)
+                n_pass = np_.asarray(st["n_pass"])
+                n_cand = np_.asarray(st["n_cand"])
+            except Exception as e2:
+                if not self._can_degrade():
+                    raise
+                log("WARNING", f"pallas tile kernel failed at force "
+                    f"time ({type(e2).__name__}: {str(e2)[:160]}); "
+                    f"falling back to the XLA backend", sub="ENGINE")
+                self._backend_forced = "xla"
+                self._extract_fns.clear()
+                st = None
+                st = self._dispatch_fused(tiles, table, has_missing, cls)
+                n_pass = np_.asarray(st["n_pass"])
+                n_cand = np_.asarray(st["n_cand"])
         buf = st["buf"]
         S = self.n_pair_shards
         Tpad, cap, outcap = st["Tpad"], st["cap"], st["outcap"]

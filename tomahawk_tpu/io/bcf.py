@@ -156,6 +156,21 @@ class BcfReader:
         self.header = vr.header
         self._contig_map = vr._contig_map
 
+        def _split_kv(body):
+            """Split a ##LINE=<...> body on commas OUTSIDE quotes: a
+            Description="a,IDX=7" must not fabricate dictionary keys."""
+            parts, cur, q = [], [], False
+            for ch in body:
+                if ch == '"':
+                    q = not q
+                if ch == "," and not q:
+                    parts.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            parts.append("".join(cur))
+            return parts
+
         self._dict = {}            # idx -> id string
         nxt = 0
         if "PASS" not in self._dict.values():
@@ -166,7 +181,7 @@ class BcfReader:
                 if line.startswith(kind):
                     body = line[len(kind):].rstrip(">")
                     fields = {}
-                    for kv in body.split(","):
+                    for kv in _split_kv(body):
                         if "=" in kv:
                             k, v = kv.split("=", 1)
                             fields[k] = v.strip('"')
@@ -192,7 +207,7 @@ class BcfReader:
                 continue
             body = line[len("##contig=<"):].rstrip(">")
             fields = {}
-            for kv in body.split(","):
+            for kv in _split_kv(body):
                 if "=" in kv:
                     k, v = kv.split("=", 1)
                     fields[k] = v.strip('"')

@@ -543,6 +543,24 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
                               sink, flush_pending)
     gt_key = vcf._gt_key
     fh = vcf._s._fh   # decompressed stream, positioned at the body
+    # ##contig IDX= dictionary remap for the bulk path: parse_record
+    # applies _map_rid per record, but the chunked meta rows carry RAW
+    # BCF rids and must remap the same way or records land on the
+    # wrong contig
+    rid_lut = None
+    if vcf._rid_map is not None:
+        rid_lut = np.full(max(vcf._rid_map) + 1, -1, np.int64)
+        for bcf_rid, ours in vcf._rid_map.items():
+            rid_lut[bcf_rid] = ours
+
+    def map_rids(raw):
+        if rid_lut is None:
+            return raw
+        if (raw >= len(rid_lut)).any() or (rid_lut[raw] < 0).any():
+            raise ValueError(
+                f"{vcf.path}: BCF record rid without a matching "
+                f"##contig IDX= entry")
+        return rid_lut[raw]
 
     def record_site(chunk, m):
         """Exact-path fallback from raw record bytes. Status 2/5 rows
@@ -568,13 +586,13 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
         prev_end = 0
         for b in np.flatnonzero(bad).tolist():
             batch(meta, prev_end, b, chunk, runs_buf,
-                  rids=meta[prev_end:b, 1])
+                  rids=map_rids(meta[prev_end:b, 1]))
             site = record_site(chunk, meta[b])
             if site is not None:
                 process_site(site)
             prev_end = b + 1
         batch(meta, prev_end, n, chunk, runs_buf,
-              rids=meta[prev_end:n, 1])
+              rids=map_rids(meta[prev_end:n, 1]))
         return consumed
 
     carry = b""

@@ -195,9 +195,13 @@ def solve_unphased_f11(T: np.ndarray):
     Mirrors the reference case analysis exactly, including its
     C-operator-precedence quirk in the degenerate (yN2 == h2) case
     (reference: ld_engine.cpp:1363-1558). Dispatches to the native
-    batched solver (twk_native.cpp twk_unphased_em, ~50x this numpy
-    path, same op order with fp contraction off); this function body
-    is the always-available fallback and the native test oracle."""
+    batched solver (twk_native.cpp twk_unphased_em, ~130x this numpy
+    path; same expression order with fp contraction off, but libm vs
+    numpy-SIMD differences still leave a ~0.0005% rate of last-ulp
+    chi ties / boundary flips between the two -- the authoritative
+    parity contract is the golden suite against the reference binary,
+    not native==numpy bit identity). This body is the always-available
+    fallback."""
     from ..native import unphased_em as native_em
     out = native_em(np.asarray(T, np.int64))
     if out is not None:

@@ -11,23 +11,18 @@ import numpy as np
 from ..io.two import TwoReader
 
 
-def _interval_block_stream(reader, intervals, threads):
-    """Stream only index-overlapping blocks for interval queries on
-    sorted files (full scan otherwise)."""
+def _interval_plan(reader, intervals, threads):
+    """(block stream, record filter) for an interval query: parse the
+    strings ONCE, stream only index-overlapping blocks on sorted
+    files, and filter records within them."""
     if not intervals:
-        return reader.blocks(threads=threads)
-    from .intervals import interval_block_ids, parse_intervals
+        return reader.blocks(threads=threads), lambda recs: recs
+    from .intervals import (interval_block_ids, interval_mask,
+                            parse_intervals)
     ivals = parse_intervals(intervals, reader.header)
-    return reader.stream_blocks(interval_block_ids(reader, ivals),
-                                threads=threads)
-
-
-def _interval_filter(reader, intervals):
-    if not intervals:
-        return lambda recs: recs
-    from .intervals import parse_intervals, interval_mask
-    ivals = parse_intervals(intervals, reader.header)
-    return lambda recs: recs[interval_mask(recs, ivals)]
+    stream = reader.stream_blocks(interval_block_ids(reader, ivals),
+                                  threads=threads)
+    return stream, lambda recs: recs[interval_mask(recs, ivals)]
 
 
 def decay(path: str, max_range: int = 10_000_000, n_bins: int = 1000,
@@ -37,10 +32,10 @@ def decay(path: str, max_range: int = 10_000_000, n_bins: int = 1000,
     sums = np.zeros(n_bins)
     cnts = np.zeros(n_bins, np.int64)
     r = TwoReader(path)
-    filt = _interval_filter(r, intervals)
     import os as _os
-    for recs in _interval_block_stream(r, intervals,
-                                       min(4, _os.cpu_count() or 1)):
+    stream, filt = _interval_plan(r, intervals,
+                                  min(4, _os.cpu_count() or 1))
+    for recs in stream:
         recs = filt(recs)
         pos_a = (recs["packA"] >> 2).astype(np.int64)
         pos_b = (recs["packB"] >> 2).astype(np.int64)
@@ -65,12 +60,12 @@ def positional_decay(path: str, out=None, intervals=None):
     with the run that straddles a block boundary carried over."""
     out = out or sys.stdout
     r = TwoReader(path)
-    filt = _interval_filter(r, intervals)
     groups = []   # [rid, pos, n, sum_bpos]
     carry = None  # open run at the block boundary
     import os as _os
-    for recs in _interval_block_stream(r, intervals,
-                                       min(4, _os.cpu_count() or 1)):
+    stream, filt = _interval_plan(r, intervals,
+                                  min(4, _os.cpu_count() or 1))
+    for recs in stream:
         recs = filt(recs)
         if len(recs) == 0:
             continue

@@ -164,6 +164,19 @@ def interval_mask(recs: np.ndarray, ivals) -> np.ndarray:
     return m
 
 
+def _entry_overlap_mask(ivals, rid, lo, hi, both_sides):
+    """Shared block-overlap core: merged unlinked ranges via ONE
+    vectorized query, plus per-pair checks for linked intervals
+    (anchored on the first interval only for .two A-side semantics,
+    or on both sides for .twk site blocks)."""
+    m = ivals.overlaps_range(rid, np.maximum(lo, 0), np.maximum(hi, 0))
+    for iv in ivals.linked_pairs:
+        sides = (iv, iv.linked) if both_sides else (iv,)
+        for v in sides:
+            m |= (rid == v.rid) & (lo <= v.end) & (hi >= v.start)
+    return m
+
+
 def blocks_for_intervals(reader, strings) -> List[int]:
     """Block indices of a .twk archive overlapping any interval (one
     vectorized range query over the block index)."""
@@ -175,11 +188,7 @@ def blocks_for_intervals(reader, strings) -> List[int]:
     # index positions are 1-based right-open (pos+1 convention)
     lo = np.array([e.minpos - 1 for e in ents], np.int64)
     hi = np.array([e.maxpos - 1 for e in ents], np.int64)
-    m = ivals.overlaps_range(rid, np.maximum(lo, 0), np.maximum(hi, 0))
-    # linked pairs also select their blocks on both sides
-    for iv in ivals.linked_pairs:
-        for v in (iv, iv.linked):
-            m |= (rid == v.rid) & (lo <= v.end) & (hi >= v.start)
+    m = _entry_overlap_mask(ivals, rid, lo, hi, both_sides=True)
     return [int(i) for i in np.flatnonzero(m)]
 
 
@@ -195,14 +204,11 @@ def interval_block_ids(reader, ivals):
     n = reader.index.n
     if ivals is None or reader.index.state != 2 or n == 0:
         return range(n)
-    import numpy as _np
     ent = reader.index.ent
-    rid = _np.array([e.rid for e in ent], _np.int64)
-    lo = _np.array([e.minpos for e in ent], _np.int64)
-    hi = _np.array([e.maxpos for e in ent], _np.int64)
+    rid = np.array([e.rid for e in ent], np.int64)
+    lo = np.array([e.minpos for e in ent], np.int64)
+    hi = np.array([e.maxpos for e in ent], np.int64)
     if (rid < 0).any():
         return range(n)
-    keep = ivals.overlaps_range(rid, lo, hi)
-    for iv in ivals.linked_pairs:
-        keep |= (rid == iv.rid) & (lo <= iv.end) & (hi >= iv.start)
-    return _np.flatnonzero(keep).tolist()
+    keep = _entry_overlap_mask(ivals, rid, lo, hi, both_sides=False)
+    return np.flatnonzero(keep).tolist()
