@@ -296,3 +296,38 @@ def test_bcf_quoted_description_does_not_fabricate_idx(tmp_path):
     got = list(rd.sites())
     assert [s.pos for s in got] == [100]
     assert rd.header.contigs[got[0].rid].name == "chr1"
+
+
+def test_bcf_escaped_quote_in_description(tmp_path):
+    r"""A backslash-escaped quote inside a Description must not
+    desynchronize the quote-aware splitter (VCF 4.x allows \" in
+    header strings); keys after it still parse."""
+    header_text = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,'
+        'Description="say \\"hi\\", ok">\n'
+        '##contig=<ID=chr1,length=1000>\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\n")
+    gt = np.array([[2, 4], [4, 4]], np.int32)
+    bcf = str(tmp_path / "esc.bcf")
+    write_bcf(bcf, header_text, [(0, 100, "A", "C", gt)], 2, gt_key=1)
+    rd = BcfReader(bcf)
+    assert rd._gt_key == 1
+    assert [s.pos for s in rd.sites()] == [100]
+
+
+def test_bcf_partial_contig_idx_rejected(tmp_path):
+    """IDX= on some but not all ##contig lines is a header error (spec:
+    all-or-none), reported at open time with a clear message."""
+    from tomahawk_tpu.io.errors import CorruptFileError
+    header_text = (
+        "##fileformat=VCFv4.2\n"
+        "##FORMAT=<ID=GT,Number=1,Type=String>\n"
+        "##contig=<ID=chr1,length=1000,IDX=1>\n"
+        "##contig=<ID=chr2,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\n")
+    gt = np.array([[2, 4], [4, 4]], np.int32)
+    bcf = str(tmp_path / "partial.bcf")
+    write_bcf(bcf, header_text, [(0, 100, "A", "C", gt)], 2, gt_key=1)
+    with pytest.raises(CorruptFileError, match="all or none"):
+        BcfReader(bcf)

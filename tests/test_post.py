@@ -343,3 +343,18 @@ def test_view_interval_prunes_blocks_on_sorted_files(pipeline, tmp_path,
     assert sorted(out_a.getvalue().splitlines()) == \
         sorted(out_b.getvalue().splitlines())
     assert out_a.getvalue().strip(), "interval produced no records"
+
+
+def test_interval_block_ids_empty_set_matches_interval_mask(pipeline,
+                                                            tmp_path):
+    """An empty-but-non-None IntervalSet must mean 'no constraint' for
+    block pruning, matching interval_mask's match-all semantics for
+    the same value (not 'prune everything')."""
+    from tomahawk_tpu.post.intervals import (IntervalSet,
+                                             interval_block_ids)
+    d, twk, two = pipeline
+    srt = str(tmp_path / "empty_ivals.two")
+    sort_two(two, srt, run_chunk=50)
+    with TwoReader(srt) as r:
+        ids = list(interval_block_ids(r, IntervalSet([])))
+        assert ids == list(range(r.index.n))

@@ -260,6 +260,14 @@ class LdEngine:
         self._outcap = 1 << 18
         self._prefetched = None      # one-segment sweep lookahead
         self._prefetch_enabled = True
+        # after a force-time failure disables prefetch, this many
+        # consecutive successful serial segments re-enable it: the
+        # failure may have been a one-off transient (tunneled devices
+        # report no usable memory_stats, so the headroom gate can't
+        # tell), and a permanently serial run leaves the device idle
+        # during host math
+        self._prefetch_retry_after = 8
+        self._serial_ok_streak = 0
         # checkpoint/resume accounting: sweep segments are the resume
         # unit; the dispatch plan (group_tiles order, segment size) is
         # deterministic, so `units_done` counts identically across runs
@@ -650,6 +658,11 @@ class LdEngine:
                 or (cached is not None and cached[0] == key)
             self._prefetched = None
             self._prefetch_enabled = False
+            self._serial_ok_streak = 0
+            # each disable doubles the re-enable threshold so a
+            # genuinely memory-tight run converges to serial
+            self._prefetch_retry_after = min(
+                self._prefetch_retry_after * 2, 1 << 12)
             st = None   # release this segment's handles before retrying
             try:
                 if not had_overlap:
@@ -669,6 +682,18 @@ class LdEngine:
                 st = self._dispatch_fused(tiles, table, has_missing, cls)
                 n_pass = np_.asarray(st["n_pass"])
                 n_cand = np_.asarray(st["n_cand"])
+        if not self._prefetch_enabled:
+            # the segment forced cleanly without overlap; after enough
+            # consecutive successes, retry prefetch (transient OOMs on
+            # stats-less tunneled devices shouldn't serialize the rest
+            # of a long run)
+            self._serial_ok_streak += 1
+            if self._serial_ok_streak >= self._prefetch_retry_after:
+                log("LOG", f"re-enabling sweep prefetch after "
+                    f"{self._serial_ok_streak} clean serial segments",
+                    sub="ENGINE")
+                self._prefetch_enabled = True
+                self._serial_ok_streak = 0
         buf = st["buf"]
         S = self.n_pair_shards
         Tpad, cap, outcap = st["Tpad"], st["cap"], st["outcap"]

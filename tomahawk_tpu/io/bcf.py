@@ -158,9 +158,20 @@ class BcfReader:
 
         def _split_kv(body):
             """Split a ##LINE=<...> body on commas OUTSIDE quotes: a
-            Description="a,IDX=7" must not fabricate dictionary keys."""
-            parts, cur, q = [], [], False
+            Description="a,IDX=7" must not fabricate dictionary keys.
+            Backslash-escaped characters inside quotes (VCF 4.x allows
+            \\" and \\\\ in Description strings) never toggle the quote
+            state or split."""
+            parts, cur, q, esc = [], [], False, False
             for ch in body:
+                if esc:
+                    cur.append(ch)
+                    esc = False
+                    continue
+                if q and ch == "\\":
+                    cur.append(ch)
+                    esc = True
+                    continue
                 if ch == '"':
                     q = not q
                 if ch == "," and not q:
@@ -217,6 +228,14 @@ class BcfReader:
             if "IDX" in fields:
                 idx_of[int(fields["IDX"])] = appearance
             appearance += 1
+        # the spec requires IDX= on all contig lines or none; a partial
+        # map would fail at record time with an opaque rid error, so
+        # reject it here with the file position of the header
+        if idx_of and len(idx_of) != appearance:
+            from .errors import CorruptFileError
+            raise CorruptFileError(
+                self.path, f"header has IDX= on {len(idx_of)} of "
+                f"{appearance} ##contig lines (must be all or none)", 0)
         if idx_of and any(k != v for k, v in idx_of.items()):
             self._rid_map = idx_of
         self._n_samples = len(self.header.samples)

@@ -202,7 +202,9 @@ def interval_block_ids(reader, ivals):
     stream carries both orientations of every pair. Unsorted files
     (rid = -1 entries) fall back to the full scan."""
     n = reader.index.n
-    if ivals is None or reader.index.state != 2 or n == 0:
+    # an EMPTY interval set means "no constraint" here, matching
+    # interval_mask's match-all semantics for the same value
+    if not ivals or reader.index.state != 2 or n == 0:
         return range(n)
     ent = reader.index.ent
     rid = np.array([e.rid for e in ent], np.int64)
