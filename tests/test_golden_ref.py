@@ -836,6 +836,55 @@ def test_view_text_field_parity(pipelines, ref_bin):
             assert abs(vx - vy) <= max(1e-4, 5e-5 * abs(vy)), (x[:5], vx, vy)
 
 
+def test_view_json_field_parity(pipelines, ref_bin):
+    """Our `view --json` rows match the reference's PrintLDJson
+    (reference: lib/core.cpp:528-532) — a printer its CLI never
+    exposes (the view -J flag is commented out, lib/view.h:37,:98), so
+    the oracle is a purpose-built driver linking the reference objects
+    (tools/refbuild/two_json.cpp)."""
+    import io
+    from tomahawk_tpu.post.view import view as our_view
+    two_json = os.path.join(REPO, "tools", "refbuild", "build",
+                            "two_json")
+    if not os.path.exists(two_json):
+        pytest.skip("two_json oracle driver was not built")
+    p = pipelines["mixed_missing_multicontig"]
+    proc = subprocess.run([two_json, p["ref_two"]], capture_output=True,
+                          text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    buf = io.StringIO()
+    our_view(p["ours_two"], out_stream=buf, json_out=True)
+
+    def parse(txt):
+        rows = []
+        for ln in txt.splitlines():
+            ln = ln.strip()
+            if not (ln.startswith("[") and ln.endswith("]")):
+                continue
+            t = ln[1:-1].split(",")
+            # [controller, ridA, posA, ridB, posB, numeric columns...]
+            rows.append((int(t[0]), int(t[1]), int(t[2]), int(t[3]),
+                         int(t[4]), tuple(float(x) for x in t[5:])))
+        rows.sort(key=lambda r: (r[1], r[2], r[3], r[4], r[0]))
+        return rows
+
+    ra, rb = parse(buf.getvalue()), parse(proc.stdout)
+    assert len(ra) == len(rb) and len(ra) > 0
+    for x, y in zip(ra, rb):
+        assert x[:5] == y[:5], (x[:5], y[:5])
+        assert len(x[5]) == len(y[5]) == 11
+        cols = zip(x[5], y[5])
+        for c, (vx, vy) in enumerate(cols):
+            if c == 10 and not (x[0] & 1):
+                # ChiSqModel on unphased records: the reference
+                # serializes its dead-stored 0 (ld_engine.cpp:1670); we
+                # emit the documented goodness-of-fit value
+                assert vy == 0.0
+                continue
+            assert abs(vx - vy) <= max(1e-4, 5e-5 * abs(vy)), \
+                (x[:5], c, vx, vy)
+
+
 def _parse_view_text(txt):
     rows = []
     for ln in txt.splitlines():

@@ -43,7 +43,10 @@ def _records_for(stacked, n_samples, mesh):
     NB = stacked["alt_bits"].shape[0]
     pairs = [(i, j, i == j) for i in range(NB) for j in range(i, NB)]
     got = []
-    n = dispatch_pairs(engine, pairs, "mixed", filt, got.append, stacked)
+    # emit hands out scratch views valid only until the next segment
+    n = dispatch_pairs(engine, pairs, "mixed", filt,
+                       lambda recs, rev=None: got.append(recs.copy()),
+                       stacked)
     recs = np.concatenate([g for g in got if len(g)]) if got else None
     return n, recs
 

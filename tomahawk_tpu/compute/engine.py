@@ -26,7 +26,8 @@ from .. import __version__
 from ..io.twk import TwkReader
 from ..io.two import TwoWriter
 from ..ops.bitpack import block_to_planes, stack_planes
-from ..ops.ld_math import LdFilters, PairMeta, phased_math, unphased_math
+from ..ops.ld_math import (LdFilters, PairMeta, ld_records, phased_math,
+                           unphased_math)
 from ..utils import Timer, log, pretty_int
 from .balancer import Balancer
 
@@ -794,15 +795,25 @@ class LdEngine:
         meta = _pair_meta_from(self.stacked, bi, bj, k, l)
         parts = rows[:, 1:].astype(np_.int64)
         t0 = _time.perf_counter()
+        # the whole survivor -> record pipeline (filters, Fisher,
+        # flags, fwd+rev assembly) is ONE native batch call; the numpy
+        # fallbacks below only run when the native lib is unavailable
         if table == "phased":
-            counts = self._phased_counts_from_parts(parts, meta)
-            recs, _ = phased_math(counts, meta, filt)
+            data = self._phased_counts_from_parts(parts, meta)
         else:
-            T = self._unphased_table_from_parts(parts, bi, bj, k, l)
-            recs = unphased_math(T, meta, filt)
+            data = self._unphased_table_from_parts(parts, bi, bj, k, l)
+        out = ld_records(table, data, meta, filt)
+        if out is not None:
+            recs, rev = out[0], out[1]
+        elif table == "phased":
+            recs, _ = phased_math(data, meta, filt)
+            rev = None
+        else:
+            recs = unphased_math(data, meta, filt)
+            rev = None
         stat["math_s"] += _time.perf_counter() - t0
         stat["n_records"] += len(recs)
-        emit(recs)
+        emit(recs, rev)
         if self.ticker:
             self.ticker.add(pairs=total_cand, records=len(recs))
         return total_cand
@@ -1142,12 +1153,12 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         result.n_pairs = ck["n_pairs"]
         result.n_records = ck["n_records"]
 
-    def emit(recs: np.ndarray):
+    def emit(recs: np.ndarray, rev: np.ndarray = None):
         if len(recs) == 0:
             return
         if writer is not None:
             writer.add(recs)
-            writer.add(_reverse_records(recs))
+            writer.add(rev if rev is not None else _reverse_records(recs))
         result.n_records += 2 * len(recs)
 
     mode = ("phased" if settings.force_phased else

@@ -121,7 +121,7 @@ def compute_single(settings: ScalcSettings) -> CalcResult:
 
     target_pos = np.array(sorted(r.pos for r in targets), np.int64)
 
-    def emit(recs: np.ndarray):
+    def emit(recs: np.ndarray, rev: np.ndarray = None):
         if len(recs) == 0:
             return
         # keep only rows where the A side is a target variant
@@ -129,7 +129,7 @@ def compute_single(settings: ScalcSettings) -> CalcResult:
              np.isin((recs["packA"] >> 2).astype(np.int64), target_pos))
         fwd = recs[m]
         writer.add(fwd)
-        writer.add(_reverse_records(fwd))
+        writer.add(rev[m] if rev is not None else _reverse_records(fwd))
         result.n_records += 2 * len(fwd)
 
     # target x target (upper triangle over target blocks) plus

@@ -21,7 +21,7 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
            "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -143,6 +143,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.twk_ld_records.restype = ctypes.c_int64
+        lib.twk_ld_records.argtypes = (
+            [ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64] +
+            [ctypes.c_void_p] * 14 + [ctypes.c_int32])
         _lib = lib
         return _lib
 
@@ -281,6 +285,36 @@ def unphased_em(T: np.ndarray):
         multiple.ctypes.data_as(ctypes.c_void_p),
         chi.ctypes.data_as(ctypes.c_void_p))
     return f11, p, q, n, valid.astype(bool), multiple.astype(bool), chi
+
+
+def ld_records(table: int, data: np.ndarray, meta, params: np.ndarray,
+               out_fwd: np.ndarray, out_rev: np.ndarray,
+               out_idx: np.ndarray, n_threads: int = 1):
+    """Fused survivor -> TWO-record batch (twk_ld_records): filter
+    ladder + Fisher + flags + fwd/rev record assembly in one native
+    call. `table` 0 = phased counts [K, 4], 1 = unphased tables
+    [K, 9]; `meta` is a PairMeta-like object with 10 length-K arrays;
+    `out_fwd`/`out_rev` are TWO_DTYPE arrays and `out_idx` int64, all
+    length >= K. Returns the kept-record count, or None if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data.reshape(len(data), -1), np.int64)
+    ints = [np.ascontiguousarray(a, np.int64) for a in
+            (meta.pos_a, meta.pos_b, meta.rid_a, meta.rid_b,
+             meta.ac_a, meta.ac_b, meta.an_a, meta.an_b)]
+    f64s = [np.ascontiguousarray(a, np.float64)
+            for a in (meta.hwe_a, meta.hwe_b)]
+    params = np.ascontiguousarray(params, np.float64)
+    vp = ctypes.c_void_p
+    return lib.twk_ld_records(
+        table, vp(data.ctypes.data), len(data),
+        *(vp(a.ctypes.data) for a in ints),
+        *(vp(a.ctypes.data) for a in f64s),
+        vp(params.ctypes.data), vp(out_fwd.ctypes.data),
+        vp(out_rev.ctypes.data), vp(out_idx.ctypes.data),
+        int(n_threads))
 
 
 def hwe_exact(n_het: np.ndarray, n_hom1: np.ndarray, n_hom2: np.ndarray):

@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
+#include <vector>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -244,81 +246,85 @@ static double twk_lbinom(double n, double k) {
     return lgamma(n + 1.0) - lgamma(k + 1.0) - lgamma(n - k + 1.0);
 }
 
+static double twk_fisher1(int64_t t11, int64_t t12, int64_t t21,
+                          int64_t t22) {
+    const int64_t N1i = t11 + t12;
+    const int64_t M1i = t11 + t21;
+    const int64_t Ni = t11 + t12 + t21 + t22;
+    int64_t kmin = N1i + M1i - Ni;
+    if (kmin < 0) kmin = 0;
+    const int64_t kmax = N1i < M1i ? N1i : M1i;
+    if (Ni <= 0 || kmax <= kmin) return 1.0;
+    const double a = (double)t11;
+    const double N1 = (double)N1i;
+    const double M1 = (double)M1i;
+    const double N = (double)Ni;
+    const double lN = twk_lbinom(N, M1);
+    const double q = exp(twk_lbinom(N1, a)
+                         + twk_lbinom(N - N1, M1 - a) - lN);
+    if (q <= 0.0) return 0.0;  // observed pmf underflow
+    const double lo = 0.99999999 * q;
+    const double hi = 1.00000001 * q;
+    // pmf ratios: up(k) = pmf(k+1)/pmf(k), down(k) = pmf(k-1)/pmf(k)
+    auto rup = [&](int64_t k) {
+        return (N1 - (double)k) * (M1 - (double)k)
+            / (((double)k + 1.0) * (N - N1 - M1 + (double)k + 1.0));
+    };
+    auto rdown = [&](int64_t k) {
+        return ((double)k * (N - N1 - M1 + (double)k))
+            / ((N1 - (double)k + 1.0) * (M1 - (double)k + 1.0));
+    };
+    // Both tail scans start at the OBSERVED cell and walk outward:
+    // pmf(kmin)/pmf(kmax) underflow double precision for large
+    // tables (which zeroed the whole inward scan), while terms
+    // walking outward from pmf(n11)=q decay geometrically, so the
+    // sums converge in O(hundreds) of steps independent of range.
+    // Every k in [s_left, n11] has pmf >= lo (unimodality), so the
+    // first k below n11 with pmf(k) < lo is the up-scan's stop.
+    double left = 0.0;
+    {
+        double p = q;
+        int64_t k = t11;
+        while (k > kmin && p * rdown(k) >= lo) {
+            p *= rdown(k);
+            --k;
+        }
+        if (p < hi) left += p;      // boundary (stop) term
+        // strict prefix below the stop, largest terms first
+        double pp = p * rdown(k);
+        --k;
+        while (k >= kmin && pp > 0.0 && pp > left * 1e-18) {
+            left += pp;
+            pp *= rdown(k);
+            --k;
+        }
+    }
+    double right = 0.0;
+    {
+        double p = q;
+        int64_t k = t11;
+        while (k < kmax && p * rup(k) >= lo) {
+            p *= rup(k);
+            ++k;
+        }
+        if (p < hi) right += p;
+        double pp = p * rup(k);
+        ++k;
+        while (k <= kmax && pp > 0.0 && pp > right * 1e-18) {
+            right += pp;
+            pp *= rup(k);
+            ++k;
+        }
+    }
+    const double two = left + right;
+    return two > 1.0 ? 1.0 : two;
+}
+
 void twk_fisher_exact(const int64_t* n11, const int64_t* n12,
                       const int64_t* n21, const int64_t* n22,
                       int64_t n_tables, double* out) {
-    for (int64_t t = 0; t < n_tables; ++t) {
-        const int64_t N1i = n11[t] + n12[t];
-        const int64_t M1i = n11[t] + n21[t];
-        const int64_t Ni = n11[t] + n12[t] + n21[t] + n22[t];
-        int64_t kmin = N1i + M1i - Ni;
-        if (kmin < 0) kmin = 0;
-        const int64_t kmax = N1i < M1i ? N1i : M1i;
-        if (Ni <= 0 || kmax <= kmin) { out[t] = 1.0; continue; }
-        const double a = (double)n11[t];
-        const double N1 = (double)N1i;
-        const double M1 = (double)M1i;
-        const double N = (double)Ni;
-        const double lN = twk_lbinom(N, M1);
-        const double q = exp(twk_lbinom(N1, a)
-                             + twk_lbinom(N - N1, M1 - a) - lN);
-        if (q <= 0.0) { out[t] = 0.0; continue; }  // observed pmf underflow
-        const double lo = 0.99999999 * q;
-        const double hi = 1.00000001 * q;
-        // pmf ratios: up(k) = pmf(k+1)/pmf(k), down(k) = pmf(k-1)/pmf(k)
-        auto rup = [&](int64_t k) {
-            return (N1 - (double)k) * (M1 - (double)k)
-                / (((double)k + 1.0) * (N - N1 - M1 + (double)k + 1.0));
-        };
-        auto rdown = [&](int64_t k) {
-            return ((double)k * (N - N1 - M1 + (double)k))
-                / ((N1 - (double)k + 1.0) * (M1 - (double)k + 1.0));
-        };
-        // Both tail scans start at the OBSERVED cell and walk outward:
-        // pmf(kmin)/pmf(kmax) underflow double precision for large
-        // tables (which zeroed the whole inward scan), while terms
-        // walking outward from pmf(n11)=q decay geometrically, so the
-        // sums converge in O(hundreds) of steps independent of range.
-        // Every k in [s_left, n11] has pmf >= lo (unimodality), so the
-        // first k below n11 with pmf(k) < lo is the up-scan's stop.
-        double left = 0.0;
-        {
-            double p = q;
-            int64_t k = n11[t];
-            while (k > kmin && p * rdown(k) >= lo) {
-                p *= rdown(k);
-                --k;
-            }
-            if (p < hi) left += p;      // boundary (stop) term
-            // strict prefix below the stop, largest terms first
-            double pp = p * rdown(k);
-            --k;
-            while (k >= kmin && pp > 0.0 && pp > left * 1e-18) {
-                left += pp;
-                pp *= rdown(k);
-                --k;
-            }
-        }
-        double right = 0.0;
-        {
-            double p = q;
-            int64_t k = n11[t];
-            while (k < kmax && p * rup(k) >= lo) {
-                p *= rup(k);
-                ++k;
-            }
-            if (p < hi) right += p;
-            double pp = p * rup(k);
-            ++k;
-            while (k <= kmax && pp > 0.0 && pp > right * 1e-18) {
-                right += pp;
-                pp *= rup(k);
-                ++k;
-            }
-        }
-        const double two = left + right;
-        out[t] = two > 1.0 ? 1.0 : two;
-    }
+    for (int64_t t = 0; t < n_tables; ++t)
+        out[t] = twk_fisher1(n11[t], n12[t], n21[t], n22[t]);
 }
 
 // Choose the cheapest RLE word width (1/2/4 bytes) for one variant's
@@ -1419,14 +1425,15 @@ static double twk_em_chi(const int64_t* t, double n, double f11,
     return chi;
 }
 
-extern "C" int64_t twk_unphased_em(
-        const int64_t* T, int64_t K,
-        double* f11_out, double* p_out, double* q_out, double* n_out,
-        uint8_t* valid_out, uint8_t* multiple_out, double* chi_out) {
+// One table's EM root solve; shared by twk_unphased_em (the batched
+// export) and the fused twk_unphased_records pipeline below.
+static void twk_em_row(const int64_t* t,
+                       double* f11_out, double* p_out, double* q_out,
+                       double* n_out, uint8_t* valid_out,
+                       uint8_t* multiple_out, double* chi_out) {
     const double EPS = 1e-5;   // TWK_ALLOWED_ROUNDING_ERROR
     const double PI = 3.14159265358979323846;
-    for (int64_t k = 0; k < K; ++k) {
-        const int64_t* t = T + k * 9;
+    {
         double n = 0.0;
         for (int i = 0; i < 9; ++i) n += (double)t[i];
         const double ns = n > 0 ? n : 1.0;
@@ -1501,16 +1508,313 @@ extern "C" int64_t twk_unphased_em(
             const double chi = twk_em_chi(t, n, rv, p, q);
             if (chi < best_chi) { best_chi = chi; best_f11 = rv; }
         }
-        f11_out[k] = best_f11;
-        p_out[k] = p;
-        q_out[k] = q;
-        n_out[k] = n;
-        valid_out[k] = n_possible > 0;
-        multiple_out[k] = (n_possible > 1) && !case3;
-        chi_out[k] = (best_chi == INFINITY || best_chi != best_chi)
+        *f11_out = best_f11;
+        *p_out = p;
+        *q_out = q;
+        *n_out = n;
+        *valid_out = n_possible > 0;
+        *multiple_out = (n_possible > 1) && !case3;
+        *chi_out = (best_chi == INFINITY || best_chi != best_chi)
             ? 0.0 : best_chi;
     }
+}
+
+extern "C" int64_t twk_unphased_em(
+        const int64_t* T, int64_t K,
+        double* f11_out, double* p_out, double* q_out, double* n_out,
+        uint8_t* valid_out, uint8_t* multiple_out, double* chi_out) {
+    for (int64_t k = 0; k < K; ++k)
+        twk_em_row(T + k * 9, f11_out + k, p_out + k, q_out + k,
+                   n_out + k, valid_out + k, multiple_out + k,
+                   chi_out + k);
     return K;
+}
+
+// ---------------------------------------------------------------------------
+// Fused survivor -> TWO-record pipeline: the whole per-survivor host
+// path (filter ladder, exact Fisher test, flag vector, record assembly
+// for BOTH record orientations) in one multithread-capable batch call.
+// Mirrors ops/ld_math.phased_math / unphased_math op-for-op; kept under
+// fp-contract=off so FMA fusion cannot flip filter decisions against
+// the numpy fallback at knife edges.
+// (reference: lib/ld/ld_engine.cpp:1162-1310 PhasedMath,
+//  :1312-1740 UnphasedMath/ChooseF11Calculate, record mirror
+//  :1290-1298; flag bits include/core.h:770-783)
+
+#pragma pack(push, 1)
+struct TwkTwoRec {          // the 106-byte TWO wire record (io/two.py)
+    uint16_t controller;
+    uint32_t ridA, ridB, packA, packB;
+    double cnt[4];          // REFREF, ALTREF, REFALT, ALTALT
+    double D, Dprime, R, R2, P, ChiSqFisher, ChiSqModel;
+};
+#pragma pack(pop)
+static_assert(sizeof(TwkTwoRec) == 106, "TWO record must be 106 bytes");
+
+struct TwkLdParams {        // filters + flag thresholds, passed from
+    double min_p;           // Python so io/constants.py stays the one
+    double min_r2;          // source of truth
+    double max_r2;
+    double min_dprime;
+    double max_dprime;
+    double long_range;      // LONG_RANGE_THRESHOLD
+    double invalid_hwe;     // INVALID_HWE_THRESHOLD
+    double low_ac;          // LOW_AC_THRESHOLD
+    double min_alleles;     // MINIMUM_ALLOWED_ALLELES
+};
+
+struct TwkPairMeta {
+    const int64_t *pos_a, *pos_b, *rid_a, *rid_b;
+    const int64_t *ac_a, *ac_b, *an_a, *an_b;
+    const double *hwe_a, *hwe_b;
+};
+
+// mirrors ops/ld_math._common_flags; cnt_out is the OUTPUT-order count
+// quadruple (REFREF, ALTREF, REFALT, ALTALT)
+static uint16_t twk_common_flags(const TwkPairMeta& M, int64_t k,
+                                 double r2, const double* cnt_out,
+                                 bool used_phased,
+                                 const TwkLdParams& P) {
+    uint16_t f = 0;
+    if (used_phased) f |= 1u << 0;                 // USED_PHASED_MATH
+    const bool same = M.rid_a[k] == M.rid_b[k];
+    if (same) f |= 1u << 1;                        // SAME_CONTIG
+    const int64_t d = M.pos_a[k] > M.pos_b[k] ? M.pos_a[k] - M.pos_b[k]
+                                              : M.pos_b[k] - M.pos_a[k];
+    if (same && (double)d > P.long_range) f |= 1u << 2;   // LONG_RANGE
+    if (cnt_out[0] < 1.0 || cnt_out[1] < 1.0 || cnt_out[2] < 1.0
+            || cnt_out[3] < 1.0)
+        f |= 1u << 3;                              // COMPLETE_LD
+    if (r2 > 0.99) f |= 1u << 4;                   // PERFECT_LD
+    if (M.an_a[k] > 0) f |= 1u << 8;               // MISSING_A
+    if (M.an_b[k] > 0) f |= 1u << 9;               // MISSING_B
+    if ((double)M.ac_a[k] < P.low_ac) f |= 1u << 10;   // LOW_AC_A
+    if ((double)M.ac_b[k] < P.low_ac) f |= 1u << 11;   // LOW_AC_B
+    if (M.hwe_a[k] < P.invalid_hwe) f |= 1u << 12;     // INVALID_HWE_A
+    if (M.hwe_b[k] < P.invalid_hwe) f |= 1u << 13;     // INVALID_HWE_B
+    return f;
+}
+
+static void twk_fill_rec(TwkTwoRec* fwd, TwkTwoRec* rev,
+                         const TwkPairMeta& M, int64_t k, uint16_t fl,
+                         const double* cnt_out, double D, double Dp,
+                         double R2, double Pv, double chisq_f,
+                         double chi_model) {
+    fwd->controller = fl;
+    fwd->ridA = (uint32_t)M.rid_a[k];
+    fwd->ridB = (uint32_t)M.rid_b[k];
+    fwd->packA = (uint32_t)M.pos_a[k] << 2;
+    fwd->packB = (uint32_t)M.pos_b[k] << 2;
+    memcpy(fwd->cnt, cnt_out, 4 * sizeof(double));
+    fwd->D = D;
+    fwd->Dprime = Dp;
+    fwd->R = sqrt(R2 > 0.0 ? R2 : 0.0);
+    fwd->R2 = R2;
+    fwd->P = Pv;
+    fwd->ChiSqFisher = chisq_f;
+    fwd->ChiSqModel = chi_model;
+    // the (B, A) mirror: swapped rid/pos tuples, identical statistics
+    // (reference: ld_engine.cpp:1290-1298)
+    *rev = *fwd;
+    rev->ridA = fwd->ridB;
+    rev->ridB = fwd->ridA;
+    rev->packA = fwd->packB;
+    rev->packB = fwd->packA;
+}
+
+// One phased 2x2 table through the filter ladder; c / ic are the
+// (REFREF, REFALT, ALTREF, ALTALT) counts as double / int64.
+static bool twk_phased_row(const double* c, const int64_t* ic,
+                           const TwkPairMeta& M, int64_t k,
+                           const TwkLdParams& P, TwkTwoRec* fwd,
+                           TwkTwoRec* rev) {
+    const double rr = c[0], ra = c[1], ar = c[2], aa = c[3];
+    const double t = rr + ra + ar + aa;
+    if (!(t >= P.min_alleles)) return false;
+    // rarer-corner guard (reference: ld_engine.cpp:1174-1186)
+    const double guard = rr < aa ? ra + ar + rr : aa + ra + ar;
+    if (!(guard >= 5.0)) return false;
+    const double ts = t > 0.0 ? t : 1.0;
+    const double pA = rr / ts, qA = ar / ts;
+    const double pB = ra / ts, qB = aa / ts;
+    const double D = pA * qB - qA * pB;
+    if (D == 0.0) return false;
+    const double g0 = (rr + ra) / ts;   // freq(ref) at A
+    const double g1 = (ar + aa) / ts;
+    const double h0 = (rr + ar) / ts;   // freq(ref) at B
+    const double h1 = (ra + aa) / ts;
+    const double denom = g0 * g1 * h0 * h1;
+    const double R2 = denom > 0.0 ? D * D / denom : INFINITY;
+    if (!(R2 >= P.min_r2 && R2 <= P.max_r2)) return false;
+    const double dmax = D >= 0.0
+        ? (g0 * h1 < h0 * g1 ? g0 * h1 : h0 * g1)
+        : -(g0 * g1 < h0 * h1 ? g0 * g1 : h0 * h1);
+    const double Dp = dmax != 0.0 ? D / dmax : 0.0;
+    if (!(Dp >= P.min_dprime && Dp <= P.max_dprime)) return false;
+    const double Pv = twk_fisher1(ic[0], ic[1], ic[2], ic[3]);
+    if (!(Pv <= P.min_p)) return false;
+    const double chisq_f = t * R2;
+    // output cnt order is (REFREF, ALTREF, REFALT, ALTALT)
+    const double cnt_out[4] = {rr, ar, ra, aa};
+    const uint16_t fl = twk_common_flags(M, k, R2, cnt_out, true, P);
+    twk_fill_rec(fwd, rev, M, k, fl, cnt_out, D, Dp, R2, Pv, chisq_f,
+                 0.0);
+    return true;
+}
+
+// One unphased 3x3 table through EM root choice + the filter ladder
+// (mirrors ops/ld_math._choose_f11_records).
+static bool twk_em_records_row(const int64_t* t, const TwkPairMeta& M,
+                               int64_t k, const TwkLdParams& P,
+                               TwkTwoRec* fwd, TwkTwoRec* rev) {
+    double f11, p, q, n, chi;
+    uint8_t valid, multiple;
+    twk_em_row(t, &f11, &p, &q, &n, &valid, &multiple, &chi);
+    if (!valid) return false;
+    const double f12 = p - f11;
+    const double f21 = q - f11;
+    const double f22 = 1.0 - (f11 + f12 + f21);
+    const double D = f11 * f22 - f12 * f21;
+    const double denom = p * (1.0 - p) * q * (1.0 - q);
+    const double R2 = denom > 0.0 ? D * D / denom : INFINITY;
+    if (!(R2 >= P.min_r2 && R2 <= P.max_r2)) return false;
+    const double two_n = 2.0 * n;
+    const double c0 = f11 * two_n, c1 = f12 * two_n;
+    const double c2 = f21 * two_n, c3 = f22 * two_n;
+    // rarer-corner guard on ESTIMATED haplotype counts
+    const double guard = c0 < c3 ? c1 + c2 + c0 : c3 + c1 + c2;
+    if (!(guard >= 5.0)) return false;
+    const double m_pos = p * (1.0 - q) < q * (1.0 - p)
+        ? p * (1.0 - q) : q * (1.0 - p);
+    const double m_neg = p * q < (1.0 - p) * (1.0 - q)
+        ? p * q : (1.0 - p) * (1.0 - q);
+    const double dmax = D >= 0.0 ? m_pos : -m_neg;
+    const double Dp = dmax != 0.0 ? D / dmax : 0.0;
+    if (!(Dp >= P.min_dprime && Dp <= P.max_dprime)) return false;
+    // C round() semantics (half away from zero; counts are >= 0)
+    // before the exact test, like the reference rounds its EM counts
+    const double Pv = twk_fisher1(
+        (int64_t)floor(c0 + 0.5), (int64_t)floor(c1 + 0.5),
+        (int64_t)floor(c2 + 0.5), (int64_t)floor(c3 + 0.5));
+    if (!(Pv <= P.min_p)) return false;
+    const double chisq_f = (c0 + c1 + c2 + c3) * R2;
+    // SIMD accessor order maps f12 (REFALT) to slot 2, f21 to slot 1
+    const double cnt_out[4] = {c0, c2, c1, c3};
+    uint16_t fl = twk_common_flags(M, k, R2, cnt_out, false, P);
+    if (multiple) fl |= 1u << 5;                   // MULTIPLE_ROOTS
+    twk_fill_rec(fwd, rev, M, k, fl, cnt_out, D, Dp, R2, Pv, chisq_f,
+                 chi);
+    return true;
+}
+
+// Mixed per-row dispatch of unphased_math: tables without double-hets
+// fold to phased counts (reference: ld_engine.cpp:1334-1348).
+static bool twk_unphased_row(const int64_t* t, const TwkPairMeta& M,
+                             int64_t k, const TwkLdParams& P,
+                             TwkTwoRec* fwd, TwkTwoRec* rev) {
+    int64_t n = 0;
+    for (int i = 0; i < 9; ++i) n += t[i];
+    // minimum-sample gate applies before the fold (ld_engine.cpp:1321)
+    if (!((double)n >= P.min_alleles)) return false;
+    if (t[4] == 0) {
+        const int64_t rr = 2 * t[0] + t[1] + t[3];
+        const int64_t ra = 2 * t[2] + t[1] + t[5];
+        const int64_t ar = 2 * t[6] + t[3] + t[7];
+        const int64_t aa = 2 * t[8] + t[7] + t[5];
+        const double c[4] = {(double)rr, (double)ra,
+                             (double)ar, (double)aa};
+        const int64_t ic[4] = {rr, ra, ar, aa};
+        return twk_phased_row(c, ic, M, k, P, fwd, rev);
+    }
+    return twk_em_records_row(t, M, k, P, fwd, rev);
+}
+
+struct TwkRecJob {
+    int32_t table;            // 0 = phased counts[K,4], 1 = unphased [K,9]
+    const int64_t* data;
+    const TwkPairMeta* M;
+    const TwkLdParams* P;
+    TwkTwoRec* fwd;
+    TwkTwoRec* rev;
+    int64_t* idx;
+};
+
+static void twk_records_range(TwkRecJob J, int64_t lo, int64_t hi,
+                              int64_t* n_out) {
+    int64_t w = lo;   // per-range cursor; ranges compacted afterwards
+    for (int64_t k = lo; k < hi; ++k) {
+        bool kept;
+        if (J.table == 0) {
+            const int64_t* ic = J.data + k * 4;
+            const double c[4] = {(double)ic[0], (double)ic[1],
+                                 (double)ic[2], (double)ic[3]};
+            kept = twk_phased_row(c, ic, *J.M, k, *J.P,
+                                  J.fwd + w, J.rev + w);
+        } else {
+            kept = twk_unphased_row(J.data + k * 9, *J.M, k, *J.P,
+                                    J.fwd + w, J.rev + w);
+        }
+        if (kept) {
+            J.idx[w] = k;
+            ++w;
+        }
+    }
+    *n_out = w - lo;
+}
+
+// data: [K, 4] phased counts (table=0) or [K, 9] genotype tables
+// (table=1), int64 row-major. out_fwd/out_rev: K-record buffers (106
+// bytes each); out_idx: K int64 kept-row indices. Returns the number
+// of records written (prefix of each output). Rows process in order,
+// so output order is input row order regardless of n_threads.
+extern "C" int64_t twk_ld_records(
+        int32_t table, const int64_t* data, int64_t K,
+        const int64_t* pos_a, const int64_t* pos_b,
+        const int64_t* rid_a, const int64_t* rid_b,
+        const int64_t* ac_a, const int64_t* ac_b,
+        const int64_t* an_a, const int64_t* an_b,
+        const double* hwe_a, const double* hwe_b,
+        const double* params, uint8_t* out_fwd, uint8_t* out_rev,
+        int64_t* out_idx, int32_t n_threads) {
+    TwkLdParams P;
+    memcpy(&P, params, sizeof P);
+    TwkPairMeta M{pos_a, pos_b, rid_a, rid_b, ac_a, ac_b, an_a, an_b,
+                  hwe_a, hwe_b};
+    TwkRecJob J{table, data, &M, &P, (TwkTwoRec*)out_fwd,
+                (TwkTwoRec*)out_rev, out_idx};
+    if (n_threads < 1) n_threads = 1;
+    if (K < 8192) n_threads = 1;      // spawn cost dominates below this
+    if (n_threads == 1) {
+        int64_t n = 0;
+        twk_records_range(J, 0, K, &n);
+        return n;
+    }
+    std::vector<std::thread> th;
+    std::vector<int64_t> counts((size_t)n_threads, 0);
+    std::vector<int64_t> los((size_t)n_threads, 0);
+    const int64_t step = (K + n_threads - 1) / n_threads;
+    for (int32_t i = 0; i < n_threads; ++i) {
+        const int64_t lo = (int64_t)i * step;
+        const int64_t hi = lo + step < K ? lo + step : K;
+        los[(size_t)i] = lo;
+        if (lo >= hi) { counts[(size_t)i] = 0; continue; }
+        th.emplace_back(twk_records_range, J, lo, hi,
+                        &counts[(size_t)i]);
+    }
+    for (auto& t : th) t.join();
+    // compact per-range regions into one order-preserving prefix
+    int64_t w = counts[0];
+    for (int32_t i = 1; i < n_threads; ++i) {
+        const int64_t lo = los[(size_t)i];
+        const int64_t c = counts[(size_t)i];
+        if (c && lo != w) {
+            memmove(J.fwd + w, J.fwd + lo, (size_t)c * sizeof(TwkTwoRec));
+            memmove(J.rev + w, J.rev + lo, (size_t)c * sizeof(TwkTwoRec));
+            memmove(J.idx + w, J.idx + lo, (size_t)c * sizeof(int64_t));
+        }
+        w += c;
+    }
+    return w;
 }
 #pragma GCC pop_options
 

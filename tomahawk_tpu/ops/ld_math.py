@@ -12,6 +12,8 @@ The device kernels produce exact integer counts; this module turns the
 filters in the reference's order so outputs match within 1e-5.
 """
 
+import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -100,12 +102,67 @@ def _assemble(keep, meta, flags, cnt, D, Dprime, R, R2, P, chisq_fisher,
     return recs, idx
 
 
+# reusable per-thread output scratch for the native record pipeline:
+# fresh multi-hundred-MB numpy allocations page-fault pathologically on
+# this class of host (see io/two.concat_records notes), and TwoWriter
+# retains no reference to what emit() hands it
+_scratch = threading.local()
+
+
+def _record_scratch(K: int):
+    bufs = getattr(_scratch, "bufs", None)
+    if bufs is None or len(bufs[2]) < K:
+        cap = 1 << 14
+        while cap < K:
+            cap *= 2
+        bufs = (np.empty(cap, TWO_DTYPE), np.empty(cap, TWO_DTYPE),
+                np.empty(cap, np.int64))
+        _scratch.bufs = bufs
+    return bufs
+
+
+def ld_records(table: str, data: np.ndarray, meta: PairMeta,
+               filt: LdFilters, n_threads: int = 0):
+    """The whole survivor -> record pipeline (filters, Fisher, flags,
+    fwd + reverse-orientation assembly) in ONE native batch call.
+    `table` is "phased" (data [K, 4] haplotype counts) or "unphased"
+    (data [K, 9] or [K, 3, 3] genotype tables). Returns (fwd, rev,
+    kept_idx) -- views into reusable per-thread scratch, valid until
+    the next call on this thread -- or None when the native library is
+    unavailable (callers fall back to phased_math / unphased_math)."""
+    from ..native import ld_records as native_ld_records
+    K = len(data)
+    fwd, rev, idx = _record_scratch(K)
+    params = np.array([filt.min_p, filt.min_r2, filt.max_r2,
+                       filt.min_dprime, filt.max_dprime,
+                       LONG_RANGE_THRESHOLD, INVALID_HWE_THRESHOLD,
+                       LOW_AC_THRESHOLD, MINIMUM_ALLOWED_ALLELES],
+                      np.float64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    n = native_ld_records(0 if table == "phased" else 1,
+                          np.ascontiguousarray(data, np.int64),
+                          meta, params, fwd, rev, idx, n_threads)
+    if n is None:
+        return None
+    return fwd[:n], rev[:n], idx[:n]
+
+
 def phased_math(counts: np.ndarray, meta: PairMeta, filt: LdFilters):
     """Phased LD from 2x2 haplotype counts.
 
     counts: [K, 4] int64 in order (REFREF, REFALT, ALTREF, ALTALT) --
     the natural (hapA, hapB) table order. Returns (records, kept_idx).
-    """
+    Dispatches to the native batched pipeline; the body below is the
+    always-available numpy fallback."""
+    out = ld_records("phased", np.asarray(counts, np.int64), meta, filt)
+    if out is not None:
+        return out[0].copy(), out[2].copy()
+    return _phased_math_numpy(counts, meta, filt)
+
+
+def _phased_math_numpy(counts: np.ndarray, meta: PairMeta,
+                       filt: LdFilters):
     c = counts.astype(np.float64)
     refref, refalt, altref, altalt = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
     t = refref + refalt + altref + altalt
@@ -305,8 +362,18 @@ def _solve_unphased_f11_numpy(T: np.ndarray):
 def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
     """Unphased LD from 3x3 genotype tables [K, 3, 3] (rows: A genotype
     ref/het/alt; cols: B). Dispatches pairs without double-hets through
-    the phased fold (reference: ld_engine.cpp:1334-1348)."""
+    the phased fold (reference: ld_engine.cpp:1334-1348). Records come
+    back in input row order. Dispatches to the native batched pipeline;
+    _unphased_math_numpy is the always-available fallback."""
     T = np.asarray(T, np.int64)
+    out = ld_records("unphased", T, meta, filt)
+    if out is not None:
+        return out[0].copy()
+    return _unphased_math_numpy(T, meta, filt)
+
+
+def _unphased_math_numpy(T: np.ndarray, meta: PairMeta,
+                         filt: LdFilters):
     n = T.sum(axis=(1, 2))
     ndh = T[:, 1, 1]
 
@@ -316,6 +383,7 @@ def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
     # fold: no phase uncertainty
     fold = (ndh == 0) & enough
     rec_parts = []
+    row_parts = []
     if fold.any():
         Tf = T[fold].astype(np.int64)
         refref = 2 * Tf[:, 0, 0] + Tf[:, 0, 1] + Tf[:, 1, 0]
@@ -324,8 +392,9 @@ def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
         altalt = 2 * Tf[:, 2, 2] + Tf[:, 2, 1] + Tf[:, 1, 2]
         counts = np.stack([refref, refalt, altref, altalt], axis=1)
         meta_f = _meta_subset(meta, fold)
-        recs, _ = phased_math(counts, meta_f, filt)
+        recs, idx = _phased_math_numpy(counts, meta_f, filt)
         rec_parts.append(recs)
+        row_parts.append(np.flatnonzero(fold)[idx])
 
     em = (ndh != 0) & enough
     if em.any():
@@ -333,13 +402,17 @@ def unphased_math(T: np.ndarray, meta: PairMeta, filt: LdFilters):
         meta_e = _meta_subset(meta, em)
         (f11, p, q, ne, valid, multiple,
          chi_model) = solve_unphased_f11(Te)
-        recs = _choose_f11_records(Te, meta_e, filt, f11, p, q, ne, valid,
-                                   multiple, chi_model)
+        recs, idx = _choose_f11_records(Te, meta_e, filt, f11, p, q, ne,
+                                        valid, multiple, chi_model)
         rec_parts.append(recs)
+        row_parts.append(np.flatnonzero(em)[idx])
 
     if not rec_parts:
         return np.zeros(0, TWO_DTYPE)
-    return concat_records(rec_parts)
+    # restore input row order (= the native pipeline's output order)
+    recs = concat_records(rec_parts)
+    order = np.argsort(np.concatenate(row_parts), kind="stable")
+    return recs[order]
 
 
 def _meta_subset(meta: PairMeta, mask) -> PairMeta:
@@ -393,6 +466,5 @@ def _choose_f11_records(T, meta, filt, f11, p, q, n, valid, multiple,
     flags = _common_flags(meta, R2, cnt_out,
                           used_phased=np.zeros(len(n), bool))
     flags |= np.where(multiple, FLAG_MULTIPLE_ROOTS, 0).astype(np.uint16)
-    recs, _ = _assemble(keep, meta, flags, cnt_out, D, Dprime, R, R2, P,
-                        chisq_fisher, chisq_model=chi_model)
-    return recs
+    return _assemble(keep, meta, flags, cnt_out, D, Dprime, R, R2, P,
+                     chisq_fisher, chisq_model=chi_model)

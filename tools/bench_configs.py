@@ -113,7 +113,7 @@ def config3(n_blocks=13, B=4096, n_samples=10_000):
     n_pairs = V * (V - 1) // 2
     n_rec = [0]
 
-    def emit(recs):
+    def emit(recs, rev=None):
         n_rec[0] += len(recs)
 
     def run():
@@ -242,7 +242,7 @@ def config4(n_sup=123, B=4096, n_samples=100_000, window=4_000_000,
     writer = TwoWriter(out, hdr)
     n_out = [0]
 
-    def emit(recs):
+    def emit(recs, rev=None):
         if len(recs):
             writer.add(recs)
             n_out[0] += len(recs)

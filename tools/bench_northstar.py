@@ -123,7 +123,7 @@ def main():
 
     n_out = [0]
 
-    def emit(recs):
+    def emit(recs, rev=None):
         n_out[0] += 2 * len(recs)
 
     total_pairs = V * (V - 1) // 2

@@ -62,7 +62,7 @@ def main():
         settings = CalcSettings(min_r2=0.1, window=True, l_window=window)
         engine = LdEngine(stacked, n_samples, settings)
         filt = LdFilters(min_r2=0.1)
-        sink = lambda recs: None
+        sink = lambda recs, rev=None: None
 
         def run():
             t = time.perf_counter()

@@ -15,7 +15,8 @@ REF_DIR="${REF_DIR:-/root/reference}"
 BUILD="$HERE/build"
 mkdir -p "$BUILD"
 
-if [[ -x "$BUILD/tomahawk" && "${FORCE:-0}" != "1" ]]; then
+if [[ -x "$BUILD/tomahawk" && -x "$BUILD/two_json" \
+        && "${FORCE:-0}" != "1" ]]; then
     echo "$BUILD/tomahawk (cached)"
     exit 0
 fi
@@ -45,4 +46,15 @@ for src in "$REF_DIR"/lib/*.cpp "$REF_DIR"/lib/ld/*.cpp "$HERE/mini_htslib/vcf_m
 done
 
 $CXX -pthread "${objs[@]}" -lzstd -lz -o "$BUILD/tomahawk"
+
+# two_json oracle driver: the reference's PrintLDJson with no CLI
+# surface (view -J is commented out, lib/view.h:37,:98) — link the
+# same objects minus the reference's main().
+nomain=()
+for o in "${objs[@]}"; do
+    [[ "$(basename "$o")" == "main.o" ]] || nomain+=("$o")
+done
+$CXX $CXXFLAGS -c -o "$BUILD/two_json.o" "$HERE/two_json.cpp"
+$CXX -pthread "$BUILD/two_json.o" "${nomain[@]}" -lzstd -lz \
+    -o "$BUILD/two_json"
 echo "$BUILD/tomahawk"
