@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Disable the small-workload CPU auto-route (engine._route_backend):
+# every test input is tiny, so with the real TPU platform visible the
+# whole calc surface would silently shift to the native CPU tile engine
+# and stop exercising the XLA sweep path. Tests that want the native
+# engine opt in with backend="cpu" (tests/test_cpu_engine.py).
+os.environ.setdefault("TWK_CPU_ROUTE_WORK", "0")
+
 import pytest  # noqa: E402
 
 

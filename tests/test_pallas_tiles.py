@@ -156,6 +156,50 @@ def test_fused_sweep_pallas_backend():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("table,miss", [
+    ("phased", False), ("phased", True),
+    ("unphased", False), ("unphased", True)])
+def test_psum_pallas_matches_xla_on_samples_mesh(table, miss):
+    """Samples-sharded mesh: the parts-only pallas kernel contracts
+    each shard's local word slice, the psum makes counts global, and
+    the jnp epilogue must reproduce the single-device XLA path exactly
+    (round-2 weakness 5: sharded meshes used to force the XLA path)."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+    devs = np.array(jax.devices("cpu")[:2]).reshape(1, 2)
+    mesh = Mesh(devs, ("pairs", "samples"))
+
+    rng = np.random.default_rng(5)
+    B, n_samples = 256, 128      # Wh = 8 words -> 4 per shard
+    dev = _stacked_dev(rng, 2, B, n_samples, 0.05 if miss else 0.0)
+
+    cfg_x = sweeps.make_cfg(table, miss, "all", B, n_samples, 0,
+                            0.05, 100.0)
+    i, j, diag = jnp.int32(0), jnp.int32(1), jnp.asarray(False)
+    pf_x, m_x, parts_x = sweeps.tile_prefilter(dev, i, j, diag, cfg_x)
+
+    cfg_p = sweeps.make_cfg(table, miss, "all", B, n_samples, 0,
+                            0.05, 100.0, psum_axis="samples",
+                            backend="pallas")
+    specs = sweeps._dev_specs(P, True, tuple(dev.keys()))
+    orig = PT.tile_parts_pallas
+    PT.tile_parts_pallas = lambda *a, **kw: orig(*a, interpret=True,
+                                                 **kw)
+    try:
+        fn = jax.shard_map(
+            lambda d: sweeps.tile_prefilter(d, i, j, diag, cfg_p),
+            mesh=mesh, in_specs=(specs,), out_specs=P(),
+            check_vma=False)
+        pf_p, m_p, parts_p = fn(dev)
+    finally:
+        PT.tile_parts_pallas = orig
+    assert np.array_equal(np.asarray(m_x), np.asarray(m_p))
+    assert np.array_equal(np.asarray(pf_x), np.asarray(pf_p))
+    assert len(parts_x) == len(parts_p)
+    for px, pp in zip(parts_x, parts_p):
+        assert np.array_equal(np.asarray(px), np.asarray(pp))
+
+
 def test_engine_falls_back_when_pallas_fails(tmp_path):
     """A Mosaic compile failure must degrade the run to the XLA
     backend, not kill it: forcing tile_backend='pallas' on CPU (where

@@ -53,6 +53,39 @@ def test_sort(pipeline):
     assert np.all(pos[:-1][same] <= pos[1:][same])
 
 
+def test_sort_multiple_inputs(pipeline, tmp_path):
+    """sort_two over a shard LIST must equal concat-then-sort record
+    for record (the streaming merge_shards path, no concat temp)."""
+    d, twk, two = pipeline
+    cat = str(tmp_path / "cat.two")
+    concat_two([two, two, two], cat)
+    ref = str(tmp_path / "ref_sorted.two")
+    sort_two(cat, ref, memory_limit_gb=0.0001)
+    got = str(tmp_path / "multi_sorted.two")
+    n = sort_two([two, two, two], got, memory_limit_gb=0.0001)
+    with TwoReader(ref) as r:
+        a = r.records()
+    with TwoReader(got) as r:
+        b = r.records()
+        assert r.index.state == 2
+    assert n == len(a) == len(b)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sort_multiple_inputs_rejects_mismatched_headers(pipeline,
+                                                         tmp_path):
+    d, twk, two = pipeline
+    vcf2 = str(tmp_path / "other.vcf")
+    make_vcf(vcf2, n_samples=24, n_sites=20, miss_frac=0.0, seed=3)
+    twk2 = str(tmp_path / "other.twk")
+    import_vcf(ImportSettings(input=vcf2, output=twk2, block_size=8))
+    two2 = str(tmp_path / "other.two")
+    compute_ld(CalcSettings(input=twk2, output=two2, force_phased=True,
+                            min_r2=0.02))
+    with pytest.raises(ValueError, match="sample list differs"):
+        sort_two([two, two2], str(tmp_path / "bad.two"))
+
+
 def test_concat(pipeline, tmp_path):
     d, twk, two = pipeline
     out = str(tmp_path / "cat.two")

@@ -80,6 +80,12 @@ def _add_calc(sub):
                    help="per-tile kernel: 'pallas' fuses unpack + MXU "
                    "contractions + prefilter in one VMEM pass; 'auto' "
                    "= pallas on TPU, xla elsewhere")
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "device", "cpu"),
+                   help="execution backend: 'auto' routes workloads "
+                   "too small to amortize device dispatch/compile "
+                   "overhead onto the XLA CPU backend; 'device'/'cpu' "
+                   "force one side")
     p.add_argument("-t", "--threads", type=int, default=0,
                    help="host threads for block unpacking (0 = all)")
     p.add_argument("-M", "--memory-gb", type=float, default=12.0,
@@ -126,6 +132,7 @@ def _cmd_calc(args):
         intervals=args.interval, b_size=args.b_size, c_level=args.c_level,
         performance=args.performance, mesh=args.mesh,
         tile_rows=args.tile_rows, tile_backend=args.tile_backend,
+        backend=args.backend,
         memory_gb=args.memory_gb, threads=args.threads,
         distributed=args.distributed, coordinator=args.coordinator,
         num_processes=args.num_processes, process_id=args.process_id,

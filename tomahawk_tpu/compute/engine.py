@@ -94,8 +94,15 @@ class CalcSettings:
     # + prefilter epilogue in one VMEM pass (ops/pallas_tiles.py);
     # "xla" is the dot+fused-elementwise path (ops/ld_kernels.py).
     # "auto" = pallas on TPU, xla elsewhere (pallas does not lower on
-    # CPU, and the samples-sharded mesh needs the XLA psum path).
+    # CPU; a samples-sharded mesh uses the parts-only pallas kernel
+    # with an XLA psum epilogue).
     tile_backend: str = "auto"
+    # execution backend: "auto" routes workloads too small to amortize
+    # device dispatch/compile overhead onto the XLA CPU backend (the
+    # regime where the reference's RLE kernels shine,
+    # reference: ld_engine.cpp:1011-1160 -- tiny N, few pairs);
+    # "device" / "cpu" force one side. Single-process runs only.
+    backend: str = "auto"
     # in-run checkpoint/resume (beyond the reference, whose only retry
     # unit is a whole -c/-C chunk, SURVEY §5.4): path of a sidecar
     # state file. If it exists, the run resumes after the last
@@ -249,11 +256,13 @@ class LdEngine:
         from ..parallel.distributed import mesh_is_multiprocess
         self._multiproc = mesh_is_multiprocess(mesh)
         self._samples_col = 0
+        self._n_procs = 1
         if self._multiproc:
             import jax
             procs = sorted({d.process_index
                             for d in mesh.devices.flat})
             self._samples_col = procs.index(jax.process_index())
+            self._n_procs = len(procs)
         self._jnp = jnp
         self._extract_fns = {}
         self.ticker = None           # optional ProgressTicker
@@ -446,9 +455,8 @@ class LdEngine:
         b = getattr(self.settings, "tile_backend", "auto")
         if b != "auto":
             return b
-        if self.mesh is not None and "samples" in self.mesh.shape \
-                and self.mesh.shape["samples"] > 1:
-            return "xla"          # prefilter needs psum-global counts
+        # samples-sharded meshes run the parts-only pallas kernel with
+        # a psum + jnp epilogue (sweeps.tile_prefilter psum path)
         plat = list(self._jnp.zeros(0).devices())[0].platform
         # the tunneled v5e plugin reports platform "axon", not "tpu"
         return "pallas" if plat in ("tpu", "axon") else "xla"
@@ -802,21 +810,82 @@ class LdEngine:
             data = self._phased_counts_from_parts(parts, meta)
         else:
             data = self._unphased_table_from_parts(parts, bi, bj, k, l)
-        out = ld_records(table, data, meta, filt)
-        if out is not None:
-            recs, rev = out[0], out[1]
-        elif table == "phased":
-            recs, _ = phased_math(data, meta, filt)
-            rev = None
+        if self._multiproc and self._n_procs > 1:
+            # dcn mode: every process holds identical survivor rows
+            # (counts are psum-replicated); instead of each deriving
+            # the full record stream, split the rows, compute 1/N of
+            # the math locally, and allgather the records
+            recs, rev = self._dcn_records(table, data, meta, filt)
         else:
-            recs = unphased_math(data, meta, filt)
-            rev = None
+            out = ld_records(table, data, meta, filt)
+            if out is not None:
+                recs, rev = out[0], out[1]
+            elif table == "phased":
+                recs, _ = phased_math(data, meta, filt)
+                rev = None
+            else:
+                recs = unphased_math(data, meta, filt)
+                rev = None
         stat["math_s"] += _time.perf_counter() - t0
         stat["n_records"] += len(recs)
         emit(recs, rev)
         if self.ticker:
             self.ticker.add(pairs=total_cand, records=len(recs))
         return total_cand
+
+    def _dcn_records(self, table, data, meta: PairMeta, filt):
+        """dcn host-math sharding (round-2 weakness 6): each process
+        runs the survivor -> record pipeline for its contiguous slice
+        of the K rows (host math time ∝ 1/N) and the variable-length
+        record chunks are allgathered in rank order, so every process
+        ends with the identical, order-preserved (fwd, rev) stream that
+        the single-process path would have produced."""
+        from dataclasses import fields as _dfields
+        import jax.experimental.multihost_utils as mhu
+        K = len(data)
+        step = -(-K // self._n_procs)
+        lo = min(K, self._samples_col * step)
+        hi = min(K, lo + step)
+        sl = slice(lo, hi)
+        meta_sl = PairMeta(**{f.name: getattr(meta, f.name)[sl]
+                              for f in _dfields(PairMeta)})
+        if hi <= lo:
+            # fewer rows than processes: this rank's slice is empty,
+            # but it must still join the allgathers below
+            from ..io.two import TWO_DTYPE
+            recs = rev = np.empty(0, TWO_DTYPE)
+        else:
+            out = ld_records(table, data[sl], meta_sl, filt)
+            if out is not None:
+                recs, rev = out[0], out[1]
+            elif table == "phased":
+                recs, _ = phased_math(data[sl], meta_sl, filt)
+                rev = None
+            else:
+                recs = unphased_math(data[sl], meta_sl, filt)
+                rev = None
+            if rev is None:
+                rev = _reverse_records(recs)
+        itemsize = recs.dtype.itemsize
+        dtype = recs.dtype
+        # allgather needs equal shapes: exchange lengths, pad to max
+        lens = np.asarray(mhu.process_allgather(
+            np.array([len(recs)], np.int64))).reshape(-1)
+        mx = int(lens.max())
+        if mx == 0:
+            return recs[:0], rev[:0]
+
+        def gather(arr):
+            buf = np.zeros(mx * itemsize, np.uint8)
+            raw = np.frombuffer(arr.tobytes(), np.uint8)
+            buf[:len(raw)] = raw
+            allb = np.asarray(mhu.process_allgather(buf))
+            allb = allb.reshape(self._n_procs, mx * itemsize)
+            return np.concatenate([
+                allb[p, :int(lens[p]) * itemsize].view(dtype)
+                for p in range(self._n_procs)])
+
+        return gather(recs), gather(rev)
 
     def _phased_counts_from_parts(self, parts, meta) -> np.ndarray:
         """[K, 4] (REFREF, REFALT, ALTREF, ALTALT) int64 from the raw
@@ -937,6 +1006,43 @@ def _plan_loads(super_ids, pairs, budget_supers: int):
     return bands, [((p, q), by_pair[(p, q)]) for p, q in sorted(by_pair)]
 
 
+def _route_backend(settings: CalcSettings, est_pairs: int,
+                   n_samples: int, n_procs: int) -> bool:
+    """True when this run should execute on the XLA CPU backend.
+
+    The device path pays a fixed compile + dispatch price (seconds on a
+    warm compilation cache, minutes cold, plus per-segment transfer
+    latency over tunneled links), which small-N / few-pair workloads --
+    the regime where the reference's RLE kernels shine
+    (reference: lib/ld/ld_engine.cpp:1011-1160) -- never amortize. The
+    CPU path computes roughly est_pairs * 2N one-hot MACs through
+    XLA:CPU, so below a work crossover the CPU finishes before the
+    accelerator warms up. Override with --backend device/cpu or the
+    TWK_CPU_ROUTE_WORK env var (unit: pair-haplotype ops)."""
+    import os
+    b = getattr(settings, "backend", "auto")
+    if n_procs > 1:
+        if b == "cpu":
+            raise ValueError("--backend cpu is single-process only")
+        return False
+    if b == "cpu":
+        return True
+    if b != "auto":
+        return False
+    if settings.mesh not in ("auto", "off", ""):
+        return False          # an explicit device mesh wins
+    try:
+        import jax
+        plat = jax.local_devices()[0].platform
+    except Exception:         # noqa: BLE001 - no backend at all
+        return False
+    if plat not in ("tpu", "axon"):
+        return False          # already on a host backend
+    work = est_pairs * 2 * n_samples
+    limit = float(os.environ.get("TWK_CPU_ROUTE_WORK", 2e11))
+    return work < limit
+
+
 def _ckpt_config_key(settings: CalcSettings, seg_effective: int) -> str:
     """Fingerprint of everything that determines the dispatch plan and
     the output stream; a resume under a different key would silently
@@ -1045,6 +1151,11 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     B = max((supers[s]["n"] for s in super_ids), default=0)
     if B == 0:
         raise ValueError("no valid data available")
+    # lane-align the tile row count: padding rows carry valid=0 (and
+    # all-missing planes) so results are unchanged, every tile satisfies
+    # Mosaic's 128-lane block rules (odd-sized runs used to force the
+    # XLA path, round-2 weakness 5), and XLA itself tiles better
+    B = _round_up(B, 128)
 
     if settings.window:
         minpos = {s: supers[s]["minpos"] for s in super_ids}
@@ -1066,7 +1177,20 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         log("LOG", f"Process {proc_id}: {len(pairs)} tiles over "
             f"{len(super_ids)} super-blocks", sub="DIST")
 
-    mesh = dist.resolve_mesh(settings.mesh, local_only=n_procs > 1)
+    # upper-bound pair estimate (ETA + backend routing; diagonal tiles
+    # carry ~half a tile's pairs)
+    est = sum(B * (B - 1) // 2 if d else B * B for _, _, d in pairs)
+    cpu_route = _route_backend(settings, est, n_samples, n_procs)
+    if cpu_route:
+        import jax as _jax_rt
+        log("LOG", f"Workload below the device crossover "
+            f"(~{pretty_int(est)} pairs x "
+            f"{pretty_int(2 * n_samples)} haplotypes): running on the "
+            f"XLA CPU backend (--backend device overrides)",
+            sub="ENGINE")
+        mesh = None
+    else:
+        mesh = dist.resolve_mesh(settings.mesh, local_only=n_procs > 1)
     if mesh is not None:
         log("LOG", f"Device mesh: {dict(mesh.shape)}", sub="MESH")
 
@@ -1095,8 +1219,6 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                      max_r2=settings.max_r2, min_dprime=settings.min_dprime,
                      max_dprime=settings.max_dprime)
 
-    # upper-bound pair estimate for the ETA (diag tiles ~ half a tile)
-    est = sum(B * (B - 1) // 2 if d else B * B for _, _, d in pairs)
     from ..utils.progress import ProgressTicker
     ticker = ProgressTicker(total_pairs=est, n_samples=n_samples).start()
 
@@ -1186,56 +1308,87 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
             else [inflate(blk) for blk in blocks]
         return stack_planes(planes)
 
+    # small-workload native path: the whole tile plan through the
+    # popcount tile engine (compute/cpu_engine.py) -- byte-identical
+    # output with none of the XLA:CPU compile/materialization overhead
+    # (the regime where the reference's per-pair kernels shine).
+    # Checkpointed runs keep the sweep-segment engine (its resume unit).
+    native_stats = None
+    if cpu_route and not settings.checkpoint and pairs:
+        from .cpu_engine import run_native_cpu
+        slot = {g: s for s, g in enumerate(super_ids)}
+        stacked_all = inflate_band(super_ids)
+        tiles_cpu = [(slot[i], slot[j], d) for i, j, d in pairs]
+        blk_missing = stacked_all["has_missing"].any(axis=1)
+        groups = group_tiles(tiles_cpu, mode, blk_missing)
+        native_stats = {}
+        n = run_native_cpu(stacked_all, groups, filt, emit, ticker,
+                           n_samples, settings, native_stats)
+        if n is not None:
+            result.n_pairs += n
+            pairs = []       # nothing left for the device engine
+        else:
+            native_stats = None
+
     # ONE engine for the whole run: jitted sweeps compile once, device
     # planes upload once per band residency (not once per band PAIR)
     # (a distributed process can draw an EMPTY tile partition when
     # there are fewer tiles than processes: it still writes a valid
     # empty shard and joins the barrier, but must not touch the device)
+    _cpu_ctx = None
+    if cpu_route:
+        _cpu_ctx = _jax_rt.default_device(_jax_rt.devices("cpu")[0])
+        _cpu_ctx.__enter__()
     engine = None
     load_cum = []            # units_done after each completed load
-    if pairs:
-        engine = LdEngine(None, n_samples, settings, mesh=mesh, B=B)
-        engine.ticker = ticker
-        if ck is not None:
-            engine.ckpt_skip = ck["units"]
-            engine.cand_total = ck["n_pairs"]
-            load_cum = list(ck["load_cum"])
-        if settings.checkpoint:
-            import time as _time_ck
-            last_ck = [_time_ck.monotonic()]
+    try:
+        if pairs:
+            engine = LdEngine(None, n_samples, settings, mesh=mesh, B=B)
+            engine.ticker = ticker
+            if ck is not None:
+                engine.ckpt_skip = ck["units"]
+                engine.cand_total = ck["n_pairs"]
+                load_cum = list(ck["load_cum"])
+            if settings.checkpoint:
+                import time as _time_ck
+                last_ck = [_time_ck.monotonic()]
 
-            def _maybe_checkpoint():
-                now = _time_ck.monotonic()
-                if now - last_ck[0] < settings.checkpoint_interval:
-                    return
-                last_ck[0] = now
-                _ckpt_write(settings.checkpoint, ck_key,
-                            engine.units_done, engine.cand_total,
-                            result.n_records, load_cum,
-                            writer.checkpoint_state())
-            engine.on_segment = _maybe_checkpoint
-    for li, ((p, q), load_tiles) in enumerate(loads if pairs else []):
-        if li < len(load_cum) and load_cum[li] <= engine.ckpt_skip:
-            # this whole load completed before the checkpoint: skip
-            # even the host-side unpack
-            engine.units_done = max(engine.units_done, load_cum[li])
-            continue
-        load = [(p, None if p in engine._band_host
-                 else inflate_band(bands[p]))]
-        if q != p:
-            load.append((q, None if q in engine._band_host
-                         else inflate_band(bands[q])))
-        engine.set_load(load)
-        load_ids = bands[p] if p == q else bands[p] + bands[q]
-        slot = {g: s for s, g in enumerate(load_ids)}
-        tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
-        result.n_pairs += dispatch_pairs(engine, tiles, mode, filt, emit,
-                                         engine.stacked)
-        if li < len(load_cum):
-            load_cum[li] = engine.units_done
-        else:
-            load_cum.append(engine.units_done)
-    all_stats = engine.stats if engine is not None else {}
+                def _maybe_checkpoint():
+                    now = _time_ck.monotonic()
+                    if now - last_ck[0] < settings.checkpoint_interval:
+                        return
+                    last_ck[0] = now
+                    _ckpt_write(settings.checkpoint, ck_key,
+                                engine.units_done, engine.cand_total,
+                                result.n_records, load_cum,
+                                writer.checkpoint_state())
+                engine.on_segment = _maybe_checkpoint
+        for li, ((p, q), load_tiles) in enumerate(loads if pairs else []):
+            if li < len(load_cum) and load_cum[li] <= engine.ckpt_skip:
+                # this whole load completed before the checkpoint: skip
+                # even the host-side unpack
+                engine.units_done = max(engine.units_done, load_cum[li])
+                continue
+            load = [(p, None if p in engine._band_host
+                     else inflate_band(bands[p]))]
+            if q != p:
+                load.append((q, None if q in engine._band_host
+                             else inflate_band(bands[q])))
+            engine.set_load(load)
+            load_ids = bands[p] if p == q else bands[p] + bands[q]
+            slot = {g: s for s, g in enumerate(load_ids)}
+            tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
+            result.n_pairs += dispatch_pairs(engine, tiles, mode, filt,
+                                             emit, engine.stacked)
+            if li < len(load_cum):
+                load_cum[li] = engine.units_done
+            else:
+                load_cum.append(engine.units_done)
+    finally:
+        if _cpu_ctx is not None:
+            _cpu_ctx.__exit__(None, None, None)
+    all_stats = engine.stats if engine is not None \
+        else (native_stats or {})
     if engine is not None and len(loads) > 1:
         log("LOG", f"Band uploads: {engine.n_band_uploads} device plane "
             f"transfers over {len(loads)} loads", sub="MEMORY")

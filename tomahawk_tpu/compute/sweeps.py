@@ -93,10 +93,34 @@ def tile_prefilter(dev, i, j, diag, cfg):
     kernel (ops/pallas_tiles.py) -- same outputs, ~half the HBM
     traffic; "xla" (default) is the portable dot + fused-epilogue
     path below."""
-    if cfg.get("backend") == "pallas" and cfg["psum_axis"] is None:
+    if cfg.get("backend") == "pallas":
         from ..ops import pallas_tiles as PT
-        if PT.supported(cfg, dev):
-            return PT.tile_prefilter_pallas(dev, i, j, diag, cfg)
+        if cfg["psum_axis"] is None:
+            if PT.supported(cfg, dev):
+                return PT.tile_prefilter_pallas(dev, i, j, diag, cfg)
+        elif PT.supported(cfg, dev):
+            # samples-sharded mesh: the fused VMEM kernel contracts the
+            # LOCAL word slice (parts only), the psum makes the counts
+            # global, and the same jnp epilogue as the XLA path runs on
+            # them -- so the flagship kernel serves sharded (incl. dcn)
+            # meshes instead of silently degrading (round-2 weakness 5)
+            parts = PT.tile_parts_pallas(dev, i, j, cfg)
+            parts = tuple(jax.lax.psum(jnp.stack(parts),
+                                       axis_name=cfg["psum_axis"]))
+            m = tile_mask(dev, i, j, diag, cfg["B"], cfg["window"],
+                          cfg["cls"])
+            if cfg["table"] == "phased":
+                cells = K.phased_cells(parts, dev["ac"][i], dev["ac"][j],
+                                       cfg["n_samples"])
+                pf = K.phased_prefilter_cells(cells, m, cfg["min_r2"],
+                                              cfg["max_r2"])
+            else:
+                cells = K.unphased_cells(
+                    parts, dev["n_het"][i], dev["n_hom"][i],
+                    dev["n_het"][j], dev["n_hom"][j], cfg["n_samples"])
+                pf = K.unphased_prefilter_cells(cells, m, cfg["min_r2"],
+                                                cfg["max_r2"])
+            return pf, m, parts
     m = tile_mask(dev, i, j, diag, cfg["B"], cfg["window"], cfg["cls"])
     miss = cfg["has_missing"]
     if cfg["table"] == "phased":

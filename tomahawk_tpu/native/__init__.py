@@ -147,6 +147,10 @@ def get_lib():
         lib.twk_ld_records.argtypes = (
             [ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64] +
             [ctypes.c_void_p] * 14 + [ctypes.c_int32])
+        lib.twk_ld_tile.restype = ctypes.c_int64
+        lib.twk_ld_tile.argtypes = (
+            [ctypes.c_int32] * 4 + [ctypes.c_int64] * 6 +
+            [ctypes.c_void_p] * 26)
         _lib = lib
         return _lib
 
@@ -300,6 +304,8 @@ def ld_records(table: int, data: np.ndarray, meta, params: np.ndarray,
     lib = get_lib()
     if lib is None:
         return None
+    if len(data) == 0:
+        return 0
     data = np.ascontiguousarray(data.reshape(len(data), -1), np.int64)
     ints = [np.ascontiguousarray(a, np.int64) for a in
             (meta.pos_a, meta.pos_b, meta.rid_a, meta.rid_b,
@@ -315,6 +321,44 @@ def ld_records(table: int, data: np.ndarray, meta, params: np.ndarray,
         vp(params.ctypes.data), vp(out_fwd.ctypes.data),
         vp(out_rev.ctypes.data), vp(out_idx.ctypes.data),
         int(n_threads))
+
+
+_TILE_META = ("pos", "rid", "ac", "an", "n_het", "n_hom", "hwe", "valid")
+
+
+def ld_tile(table: int, has_missing: bool, cls: int, diag: bool,
+            window: int, n_samples: int, B: int, W: int,
+            r0: int, r1: int, planes_i, planes_j, meta_i, meta_j,
+            params: np.ndarray, out_fwd: np.ndarray,
+            out_rev: np.ndarray):
+    """One [r0, r1) row chunk of a native CPU block-pair LD tile
+    (twk_ld_tile): candidate gating, popcount contingency counts, and
+    the full filter-ladder record assembly in one call. planes_* are
+    tuples of up to 3 contiguous uint32 [B, W] arrays (None for unused
+    slots: phased = (alt, miss), unphased = (het, hom, valid));
+    meta_* are dicts with pos/rid/ac/an/n_het/n_hom as int64 [B], hwe
+    float64 [B], valid uint8 [B]. out_fwd/out_rev must hold one
+    TWO_DTYPE record per candidate pair of the chunk. Returns
+    (n_records, n_candidates) or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vp = ctypes.c_void_p
+
+    def pp(a):
+        return vp(0) if a is None else vp(a.ctypes.data)
+
+    ncand = np.zeros(1, np.int64)
+    args = ([int(table), int(has_missing), int(cls), int(diag),
+             int(window), int(n_samples), int(B), int(W),
+             int(r0), int(r1)]
+            + [pp(a) for a in planes_i] + [pp(a) for a in planes_j]
+            + [vp(meta_i[k].ctypes.data) for k in _TILE_META]
+            + [vp(meta_j[k].ctypes.data) for k in _TILE_META]
+            + [vp(params.ctypes.data), vp(out_fwd.ctypes.data),
+               vp(out_rev.ctypes.data), vp(ncand.ctypes.data)])
+    n = lib.twk_ld_tile(*args)
+    return int(n), int(ncand[0])
 
 
 def hwe_exact(n_het: np.ndarray, n_hom1: np.ndarray, n_hom2: np.ndarray):

@@ -1816,6 +1816,168 @@ extern "C" int64_t twk_ld_records(
     }
     return w;
 }
+
+// ---------------------------------------------------------------------------
+// Native CPU tile LD engine: the small-workload execution path. Where
+// the device engine sweeps MXU tiles (compute/sweeps.py), this walks a
+// [B x B] block pair with uint64 AND+popcount contingency counts and
+// feeds each candidate pair straight through the same filter ladder /
+// record assembly as twk_ld_records above -- the CPU-regime analogue
+// of the reference's per-pair SSE kernels (reference:
+// lib/ld/ld_engine.cpp:84-1160, PhasedVectorized/UnphasedVectorized),
+// with candidate rules identical to sweeps.tile_mask.
+
+static inline int64_t twk_pc2(const uint32_t* a, const uint32_t* b,
+                              int64_t W) {
+    // planes are words_for()-padded to multiples of 4 uint32 words and
+    // numpy buffers are >= 8-byte aligned, so read as uint64 pairs
+    int64_t n = 0;
+    const uint64_t* a8 = (const uint64_t*)a;
+    const uint64_t* b8 = (const uint64_t*)b;
+    for (int64_t w = 0; w < W / 2; ++w)
+        n += __builtin_popcountll(a8[w] & b8[w]);
+    return n;
+}
+
+static inline int64_t twk_pc2_an(const uint32_t* a, const uint32_t* b,
+                                 int64_t W) {   // popcount(a & ~b)
+    int64_t n = 0;
+    const uint64_t* a8 = (const uint64_t*)a;
+    const uint64_t* b8 = (const uint64_t*)b;
+    for (int64_t w = 0; w < W / 2; ++w)
+        n += __builtin_popcountll(a8[w] & ~b8[w]);
+    return n;
+}
+
+static inline int64_t twk_pc2_nn(const uint32_t* a, const uint32_t* b,
+                                 int64_t W) {   // popcount(~a & ~b)
+    // miss planes carry 1s on every padding bit (bitpack pad_value=1),
+    // so ~a is zero beyond 2N and the complement popcount is exact
+    int64_t n = 0;
+    const uint64_t* a8 = (const uint64_t*)a;
+    const uint64_t* b8 = (const uint64_t*)b;
+    for (int64_t w = 0; w < W / 2; ++w)
+        n += __builtin_popcountll(~(a8[w] | b8[w]));
+    return n;
+}
+
+// One [r0, r1) x [0, B) row chunk of a block-pair tile.
+// table 0 = phased (p1 = alt, p2 = miss planes), 1 = unphased
+// (p1 = het, p2 = hom, p3 = valid). cls: 0 = all pairs, 1 = clean
+// (an == 0 both), 2 = missing (mixed-mode complement). out_fwd/out_rev
+// must hold one record per candidate pair of the chunk (worst case
+// (r1 - r0) * B). Returns records written; *n_cand_out = candidates.
+int64_t twk_ld_tile(
+        int32_t table, int32_t has_missing, int32_t cls, int32_t diag,
+        int64_t window, int64_t n_samples, int64_t B, int64_t W,
+        int64_t r0, int64_t r1,
+        const uint32_t* p1_i, const uint32_t* p2_i, const uint32_t* p3_i,
+        const uint32_t* p1_j, const uint32_t* p2_j, const uint32_t* p3_j,
+        const int64_t* pos_i, const int64_t* rid_i, const int64_t* ac_i,
+        const int64_t* an_i, const int64_t* nhet_i, const int64_t* nhom_i,
+        const double* hwe_i, const uint8_t* val_i,
+        const int64_t* pos_j, const int64_t* rid_j, const int64_t* ac_j,
+        const int64_t* an_j, const int64_t* nhet_j, const int64_t* nhom_j,
+        const double* hwe_j, const uint8_t* val_j,
+        const double* params,
+        uint8_t* out_fwd, uint8_t* out_rev, int64_t* n_cand_out) {
+    TwkLdParams P;
+    memcpy(&P, params, sizeof P);
+    TwkTwoRec* fwd = (TwkTwoRec*)out_fwd;
+    TwkTwoRec* rev = (TwkTwoRec*)out_rev;
+    // single-pair metadata views (k = 0) into the shared row code
+    int64_t mpa, mpb, mra, mrb, mca, mcb, mna, mnb;
+    double mha, mhb;
+    TwkPairMeta M{&mpa, &mpb, &mra, &mrb, &mca, &mcb, &mna, &mnb,
+                  &mha, &mhb};
+    int64_t w = 0, ncand = 0;
+    for (int64_t i = r0; i < r1; ++i) {
+        if (!val_i[i]) continue;
+        const uint32_t* a1 = p1_i + i * W;
+        const uint32_t* a2 = p2_i ? p2_i + i * W : nullptr;
+        const uint32_t* a3 = p3_i ? p3_i + i * W : nullptr;
+        const int64_t j0 = diag ? i + 1 : 0;
+        for (int64_t j = j0; j < B; ++j) {
+            if (!val_j[j]) continue;
+            if (ac_i[i] + ac_j[j] <= 2) continue;   // reference ac-skip
+            if (window > 0) {
+                if (rid_i[i] != rid_j[j]) continue;
+                const int64_t d = pos_i[i] > pos_j[j]
+                    ? pos_i[i] - pos_j[j] : pos_j[j] - pos_i[i];
+                if (d > window) continue;
+            }
+            if (cls == 1) {
+                if (an_i[i] != 0 || an_j[j] != 0) continue;
+            } else if (cls == 2) {
+                if (an_i[i] == 0 && an_j[j] == 0) continue;
+            }
+            ++ncand;
+            mpa = pos_i[i]; mpb = pos_j[j];
+            mra = rid_i[i]; mrb = rid_j[j];
+            mca = ac_i[i];  mcb = ac_j[j];
+            mna = an_i[i];  mnb = an_j[j];
+            mha = hwe_i[i]; mhb = hwe_j[j];
+            bool kept;
+            if (table == 0) {
+                const uint32_t* b1 = p1_j + j * W;
+                const int64_t aa = twk_pc2(a1, b1, W);
+                int64_t ar, ra, rr;
+                if (has_missing) {
+                    const uint32_t* b2 = p2_j + j * W;
+                    // (altalt, alt.val, val.alt, val.val) exactly as
+                    // engine._phased_counts_from_parts
+                    const int64_t av = twk_pc2_an(a1, b2, W);
+                    const int64_t va = twk_pc2_an(b1, a2, W);
+                    const int64_t vv = twk_pc2_nn(a2, b2, W);
+                    ar = av - aa;
+                    ra = va - aa;
+                    rr = vv - aa - ar - ra;
+                } else {
+                    ar = ac_i[i] - aa;
+                    ra = ac_j[j] - aa;
+                    rr = 2 * n_samples - (ac_i[i] + ac_j[j]) + aa;
+                }
+                // (REFREF, REFALT, ALTREF, ALTALT)
+                const int64_t ic[4] = {rr, ra, ar, aa};
+                const double c[4] = {(double)rr, (double)ra,
+                                     (double)ar, (double)aa};
+                kept = twk_phased_row(c, ic, M, 0, P, fwd + w, rev + w);
+            } else {
+                const uint32_t* b1 = p1_j + j * W;
+                const uint32_t* b2 = p2_j + j * W;
+                const int64_t T11 = twk_pc2(a1, b1, W);
+                const int64_t T12 = twk_pc2(a1, b2, W);
+                const int64_t T21 = twk_pc2(a2, b1, W);
+                const int64_t T22 = twk_pc2(a2, b2, W);
+                int64_t hv, vh, ov, vo, vv;
+                if (has_missing) {
+                    const uint32_t* b3 = p3_j + j * W;
+                    hv = twk_pc2(a1, b3, W);
+                    vh = twk_pc2(a3, b1, W);
+                    ov = twk_pc2(a2, b3, W);
+                    vo = twk_pc2(a3, b2, W);
+                    vv = twk_pc2(a3, b3, W);
+                } else {
+                    hv = nhet_i[i]; vh = nhet_j[j];
+                    ov = nhom_i[i]; vo = nhom_j[j];
+                    vv = n_samples;
+                }
+                const int64_t T10 = hv - T11 - T12;
+                const int64_t T20 = ov - T21 - T22;
+                const int64_t T01 = vh - T11 - T21;
+                const int64_t T02 = vo - T12 - T22;
+                const int64_t T00 = vv - (T01 + T02 + T10 + T11 + T12
+                                          + T20 + T21 + T22);
+                const int64_t t9[9] = {T00, T01, T02, T10, T11, T12,
+                                       T20, T21, T22};
+                kept = twk_unphased_row(t9, M, 0, P, fwd + w, rev + w);
+            }
+            if (kept) ++w;
+        }
+    }
+    *n_cand_out = ncand;
+    return w;
+}
 #pragma GCC pop_options
 
 }  // extern "C"

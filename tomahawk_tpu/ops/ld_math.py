@@ -121,6 +121,17 @@ def _record_scratch(K: int):
     return bufs
 
 
+def native_params(filt: LdFilters) -> np.ndarray:
+    """The TwkLdParams float64 vector the native kernels consume:
+    filters + flag thresholds, so io/constants.py stays the single
+    source of truth (layout: native/twk_native.cpp TwkLdParams)."""
+    return np.array([filt.min_p, filt.min_r2, filt.max_r2,
+                     filt.min_dprime, filt.max_dprime,
+                     LONG_RANGE_THRESHOLD, INVALID_HWE_THRESHOLD,
+                     LOW_AC_THRESHOLD, MINIMUM_ALLOWED_ALLELES],
+                    np.float64)
+
+
 def ld_records(table: str, data: np.ndarray, meta: PairMeta,
                filt: LdFilters, n_threads: int = 0):
     """The whole survivor -> record pipeline (filters, Fisher, flags,
@@ -133,11 +144,7 @@ def ld_records(table: str, data: np.ndarray, meta: PairMeta,
     from ..native import ld_records as native_ld_records
     K = len(data)
     fwd, rev, idx = _record_scratch(K)
-    params = np.array([filt.min_p, filt.min_r2, filt.max_r2,
-                       filt.min_dprime, filt.max_dprime,
-                       LONG_RANGE_THRESHOLD, INVALID_HWE_THRESHOLD,
-                       LOW_AC_THRESHOLD, MINIMUM_ALLOWED_ALLELES],
-                      np.float64)
+    params = native_params(filt)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
     n = native_ld_records(0 if table == "phased" else 1,

@@ -218,6 +218,82 @@ def _pair_mask_2d(mi, mj, BM, BN, window, cls):
     return m
 
 
+def _make_parts_kernel(table, has_missing, BM, nk, n_row_planes,
+                       interpret=False):
+    """Parts-only kernel: MXU contractions of the LOCAL word slice,
+    no epilogue. Used when the packed word axis is sharded over a mesh
+    'samples' axis: the caller psums the returned parts to global
+    counts and runs the (pure jnp) mask + prefilter epilogue outside
+    the kernel, so the fused VMEM unpack+dot path serves sharded meshes
+    too (round 2 dropped to the XLA path there)."""
+    P = n_parts(table, has_missing)
+
+    def kernel(*refs):
+        import jax.experimental.pallas as pl
+        plane_refs, parts_ref = refs[:-1], refs[-1]
+        k = pl.program_id(2) if nk > 1 else jnp.int32(0)
+        row_planes = [r[:] for r in plane_refs[:n_row_planes]]
+        col_planes = [r[:] for r in plane_refs[n_row_planes:]]
+        dots = _chunk_parts(table, has_missing, row_planes,
+                            col_planes, interpret)
+
+        @pl.when(k == 0)
+        def _():
+            for p in range(P):
+                parts_ref[p] = dots[p]
+
+        @pl.when(k > 0)
+        def _():
+            for p in range(P):
+                parts_ref[p] = parts_ref[p] + dots[p]
+
+    return kernel
+
+
+def _build_parts_call(table, has_missing, B, W, interpret=False):
+    """(planes...) -> parts i32 [P, B, B] pallas call (local words)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = n_parts(table, has_missing)
+    nrp = len(plane_keys(table, has_missing))
+    n_unpacked = nrp + (1 if (table == "phased" and has_missing) else 0)
+    BM, nk, wk, wpad = plan_layout(B, W, n_unpacked, P)
+    if BM == 0:
+        raise ValueError(f"tile rows {B} not blockable")
+
+    kernel = _make_parts_kernel(table, has_missing, BM, nk, nrp,
+                                interpret)
+    grid = (B // BM, B // BM, nk)
+    row_spec = pl.BlockSpec((BM, wk), lambda gi, gj, k: (gi, k),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((BM, wk), lambda gi, gj, k: (gj, k),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec] * nrp + [col_spec] * nrp,
+        out_specs=[pl.BlockSpec((P, BM, BM), lambda gi, gj, k: (0, gi, gj),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((P, B, B), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def run(*planes):
+        padded = []
+        for key, pl_arr in zip(
+                list(plane_keys(table, has_missing)) * 2, planes):
+            if wpad != W:
+                fill = (2**32 - 1) if key == "miss_bits" else 0
+                pl_arr = jnp.pad(pl_arr, ((0, 0), (0, wpad - W)),
+                                 constant_values=np.uint32(fill))
+            padded.append(pl_arr)
+        (parts,) = call(*padded)
+        return parts
+
+    return run
+
+
 def _make_kernel(table, has_missing, cls, window, n_samples,
                  min_r2, max_r2, BM, nk, n_row_planes, interpret):
     import jax.experimental.pallas as pl
@@ -383,6 +459,29 @@ def get_call(cfg, W, interpret=False):
             cfg["n_samples"], cfg["min_r2"], cfg["max_r2"], cfg["B"], W,
             interpret)
     return _CALL_CACHE[key]
+
+
+def get_parts_call(cfg, W, interpret=False):
+    key = ("parts", cfg["table"], cfg["has_missing"], cfg["B"], W,
+           interpret)
+    if key not in _CALL_CACHE:
+        _CALL_CACHE[key] = _build_parts_call(
+            cfg["table"], cfg["has_missing"], cfg["B"], W, interpret)
+    return _CALL_CACHE[key]
+
+
+def tile_parts_pallas(dev, i, j, cfg, interpret=False):
+    """Raw LOCAL-word contraction parts for one tile via the fused
+    VMEM kernel, as a tuple matching ld_kernels.*_parts_tile order.
+    The caller psums over the sharded word axis and applies the
+    mask/prefilter epilogue on the global counts (sweeps.tile_prefilter
+    psum path)."""
+    keys = plane_keys(cfg["table"], cfg["has_missing"])
+    W = dev[keys[0]].shape[-1]
+    call = get_parts_call(cfg, W, interpret)
+    planes = [dev[k][i] for k in keys] + [dev[k][j] for k in keys]
+    parts = call(*planes)
+    return tuple(parts[p] for p in range(parts.shape[0]))
 
 
 def tile_prefilter_pallas(dev, i, j, diag, cfg, interpret=False):

@@ -156,27 +156,21 @@ def sync_shards():
     mhu.sync_global_devices("twk_calc_shards_done")
 
 
-def merge_shards(shards, output: str, memory_gb: float = 1.0) -> int:
+def merge_shards(shards, output: str, memory_gb: float = 1.0,
+                 threads: int = 0) -> int:
     """Fold per-process (or per-chunk) .two shards into ONE
-
-    position-sorted .two: concat + external merge sort, the same
-    recipe the reference documents for multi-machine chunk outputs
-    (docs/job-balancing.md "concatenate and sort"). `shards` is a list
-    of paths or a glob pattern. Returns the merged record count."""
-    from ..post.concat import concat_two
+    position-sorted .two. The reference recipe is concat-then-sort
+    (docs/job-balancing.md "concatenate and sort"); here the shard list
+    streams STRAIGHT into the external sorter's run phase (sort_two
+    accepts multiple inputs), so the merge never writes or re-reads a
+    concatenated intermediate -- at N shards the rate matches the
+    single-file sort rate instead of paying an extra full IO pass.
+    `shards` is a list of paths or a glob pattern. Returns the merged
+    record count."""
     from ..post.sort import sort_two
     if isinstance(shards, str):
         shards = sorted(glob.glob(shards))
     if not shards:
         raise ValueError("no shards to merge")
-    if len(shards) == 1:               # concat needs >= 2 inputs
-        return sort_two(shards[0], output, memory_limit_gb=memory_gb)
-    tmp = output + ".concat.tmp.two"   # concat_two appends .two itself
-    concat_two(shards, tmp)
-    try:
-        n = sort_two(tmp, output, memory_limit_gb=memory_gb)
-    finally:
-        import os
-        if os.path.exists(tmp):
-            os.remove(tmp)
-    return n
+    return sort_two(shards, output, memory_limit_gb=memory_gb,
+                    threads=threads)

@@ -57,15 +57,32 @@ def _cut_at(k1, k2, b1, b2) -> int:
     return lo + int(np.searchsorted(k2[lo:hi], b2, "right"))
 
 
-def sort_two(input_path: str, output_path: str,
+def sort_two(input_path, output_path: str,
              memory_limit_gb: float = 0.5, run_chunk: int = 10000,
              c_level: int = 1, threads: int = 0) -> int:
+    """Sort one .two file -- or several header-compatible shards at
+    once (`input_path` may be a list): phase 1 streams blocks from
+    every input straight into sorted runs, so merging distributed
+    shards costs no concat round-trip through the disk (the reference
+    recipe is concat-then-sort, docs/job-balancing.md; feeding the
+    sorter directly halves the IO and is the `merge_shards` path)."""
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
     n_threads = threads if threads > 0 else (_os.cpu_count() or 1)
     pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
     timer = Timer()
-    reader = TwoReader(input_path)
+    inputs = ([input_path] if isinstance(input_path, str)
+              else list(input_path))
+    readers = [TwoReader(p) for p in inputs]
+    reader = readers[0]
+    for r in readers[1:]:
+        if r.header.samples != reader.header.samples:
+            raise ValueError(
+                f"{r.path}: sample list differs from {reader.path}")
+        if [c.name for c in r.header.contigs] != \
+                [c.name for c in reader.header.contigs]:
+            raise ValueError(
+                f"{r.path}: contig list differs from {reader.path}")
     if not output_path.endswith(".two"):
         output_path += ".two"
 
@@ -129,12 +146,13 @@ def sort_two(input_path: str, output_path: str,
             while pending and (final or len(pending) > 2):
                 _write_run(*pending.pop(0).result())
 
-        for blk in reader.blocks(threads=min(2, _os.cpu_count() or 1)):
-            buf.append(blk)
-            buf_n += len(blk)
-            n_total += len(blk)
-            if buf_n >= limit_recs:
-                flush_run()
+        for rd in readers:
+            for blk in rd.blocks(threads=min(2, _os.cpu_count() or 1)):
+                buf.append(blk)
+                buf_n += len(blk)
+                n_total += len(blk)
+                if buf_n >= limit_recs:
+                    flush_run()
         flush_run(final=True)
         tmp.flush()   # phase 2 reads via a separate handle
 
@@ -142,7 +160,7 @@ def sort_two(input_path: str, output_path: str,
         log("LOG", f"Merging {len(runs)} run(s), "
             f"{pretty_int(n_total)} records...", sub="SORT")
         from ..utils.logging import stamp_literals
-        stamp_literals(reader.header, "sort", input_path)
+        stamp_literals(reader.header, "sort", " ".join(inputs))
         writer = TwoWriter(output_path, reader.header,
                            c_level=c_level, state=TWK_IDX_SORTED)
         dctx = zstandard.ZstdDecompressor()
@@ -244,7 +262,8 @@ def sort_two(input_path: str, output_path: str,
     os.unlink(tmp_path)
     if pool is not None:
         pool.shutdown()
-    reader.close()
+    for rd in readers:
+        rd.close()
     log("LOG", f"Sorted {pretty_int(n_total)} records in "
         f"{timer.elapsed_string()}", sub="SORT")
     return n_total
