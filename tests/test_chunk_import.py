@@ -3,10 +3,12 @@ must take the exact fallback path and produce the same records as the
 pure single-site pipeline."""
 
 import gzip
+import os
 
 import numpy as np
 import pytest
 
+import tomahawk_tpu.io.importer as imp
 from tomahawk_tpu.io.importer import ImportSettings, import_vcf
 from tomahawk_tpu.io.twk import TwkReader
 
@@ -215,4 +217,33 @@ def test_randomized_irregular_lines(tmp_path):
             imp.VcfReader = orig
         _eq(chunked, plain)
         assert st1.filtered == st2.filtered, trial
+        assert st1.n_total == st2.n_total and st1.n_kept == st2.n_kept
+
+
+def test_multiworker_import_identical(tmp_path, monkeypatch):
+    """workers > 1 fans chunk parsing out to a spawn pool; record
+    streams, filter stats, and block layout must equal the serial run
+    exactly for BOTH formats (order-dependent semantics: block cuts,
+    duplicate-position filter)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_importer import make_vcf
+    from test_bcf import _vcf_to_bcf
+
+    vcf = str(tmp_path / "mw.vcf")
+    make_vcf(vcf, n_samples=30, n_sites=400, seed=17, miss_frac=0.05,
+             contigs=("20", "21"))
+    bcf = str(tmp_path / "mw.bcf")
+    _vcf_to_bcf(vcf, bcf)
+    # tiny chunks so the pool really sees many submissions
+    monkeypatch.setattr(imp, "_CHUNK_BYTES", 4096)
+    for path in (vcf, bcf):
+        serial, st1 = _records(path, tmp_path,
+                               "s" + os.path.basename(path),
+                               workers=1, block_size=32)
+        pooled, st2 = _records(path, tmp_path,
+                               "p" + os.path.basename(path),
+                               workers=2, block_size=32)
+        _eq(serial, pooled)
+        assert st1.filtered == st2.filtered
         assert st1.n_total == st2.n_total and st1.n_kept == st2.n_kept

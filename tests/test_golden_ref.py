@@ -538,6 +538,7 @@ def test_haplotype_parity(scalc_files, ref_bin):
     # oracle: our sequences equal the decoded genotype matrix
     with TwkReader(sf["twk"]) as r:
         recs = list(r.records())
+        n_samples = r.header.n_samples
     for s in (0, 1, 7):
         for hap in (0, 1):
             want = []
@@ -551,6 +552,49 @@ def test_haplotype_parity(scalc_files, ref_bin):
                         else (rec.alleles & 15)
                     want.append(BASE_MAP_INV[idx])
             assert ours[f"S{s}_{hap}"] == "".join(want), (s, hap)
+
+    # per-sample model of the reference bug (haplotype.h:164-165): its
+    # RLE walk passes the WITHIN-RUN sample offset to GetRefA/GetRefB,
+    # which index the RUN table -- so sample s at offset o inside its
+    # run receives run o's symbols (the "run-symbol prefix" replay).
+    # Pin the bug exactly: the reference's output for EVERY sample must
+    # equal this emulation wherever the bogus index stays inside the
+    # run table (beyond it the reference reads out of bounds).
+    def bug_allele(rec, s, hap):
+        runs = rec.gt_runs
+        shift = 2 + 2 * int(rec.gt_missing)
+        lens = (runs.astype(np.int64) >> shift)
+        ends = np.cumsum(lens)
+        r_idx = int(np.searchsorted(ends, s, side="right"))
+        o = s - (int(ends[r_idx - 1]) if r_idx else 0)
+        if o >= len(runs):
+            return None
+        sym = int(runs[o]) & ((1 << shift) - 1)
+        if rec.gt_missing:
+            allele = (sym >> 2) & 3 if hap == 0 else sym & 3
+        else:
+            allele = (sym >> 1) & 1 if hap == 0 else sym & 1
+        if allele == 2:
+            return "N"
+        idx = (rec.alleles >> 4) if allele == 0 else (rec.alleles & 15)
+        return BASE_MAP_INV[idx]
+
+    n_modeled = 0
+    for s in range(n_samples):
+        for hap in (0, 1):
+            want = []
+            for rec in recs:
+                a = bug_allele(rec, s, hap)
+                if a is None:
+                    break
+                want.append(a)
+            else:
+                assert ref[f"S{s}_{hap}"] == "".join(want), (s, hap)
+                n_modeled += 1
+    # the model must cover haplotypes beyond the trivially correct
+    # sample 0 (samples whose bogus index exceeds the run table read
+    # out of bounds in the reference and cannot be modeled)
+    assert n_modeled > 2
 
 
 def test_decay_parity(pipelines, ref_bin):

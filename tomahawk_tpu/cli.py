@@ -25,6 +25,10 @@ def _add_import(sub):
     p.add_argument("-r", "--keep-univariate", action="store_true",
                    help="retain invariant sites")
     p.add_argument("-f", "--flip-major-minor", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="parse worker processes (0 = auto; the "
+                   "reference's htslib decode-thread analogue). Output "
+                   "is byte-identical at any worker count")
 
 
 def _cmd_import(args):
@@ -33,7 +37,8 @@ def _cmd_import(args):
                        c_level=args.c_level, block_size=args.block_size,
                        threshold_miss=args.threshold_miss, hwe=args.hwe,
                        remove_univariate=not args.keep_univariate,
-                       flip_major_minor=args.flip_major_minor)
+                       flip_major_minor=args.flip_major_minor,
+                       workers=args.threads)
     import_vcf(s)
     return 0
 

@@ -293,6 +293,13 @@ class LdEngine:
         # per-config dispatch statistics, the analogue of the
         # reference's n_method[] kernel counters (ld_engine.h:313)
         self.stats = {}
+        # per-allele-count histogram (log2 buckets of min(ac_a, ac_b)):
+        # survivors and kept records per bucket, the analogue of the
+        # reference's AC-keyed twk_ld_perf cycle arrays
+        # (ld_engine.h:171-174, printed at ld.cpp:1047-1052) -- the
+        # introspection view its kernel-crossover fits came from.
+        # Filled only under settings.performance.
+        self.ac_hist = {}
         # band-granular device residency
         self._band_host = {}      # band_id -> host planes (word keys)
         self._band_dev = {}       # (key, band_id) -> device array
@@ -810,6 +817,7 @@ class LdEngine:
             data = self._phased_counts_from_parts(parts, meta)
         else:
             data = self._unphased_table_from_parts(parts, bi, bj, k, l)
+        kept_idx = None
         if self._multiproc and self._n_procs > 1:
             # dcn mode: every process holds identical survivor rows
             # (counts are psum-replicated); instead of each deriving
@@ -819,19 +827,39 @@ class LdEngine:
         else:
             out = ld_records(table, data, meta, filt)
             if out is not None:
-                recs, rev = out[0], out[1]
+                recs, rev, kept_idx = out[0], out[1], out[2]
             elif table == "phased":
-                recs, _ = phased_math(data, meta, filt)
+                recs, kept_idx = phased_math(data, meta, filt)
                 rev = None
             else:
                 recs = unphased_math(data, meta, filt)
                 rev = None
         stat["math_s"] += _time.perf_counter() - t0
+        if self.settings.performance:
+            self._tally_ac(meta, kept_idx)
         stat["n_records"] += len(recs)
         emit(recs, rev)
         if self.ticker:
             self.ticker.add(pairs=total_cand, records=len(recs))
         return total_cand
+
+    def _tally_ac(self, meta: PairMeta, kept_idx):
+        """Accumulate the per-allele-count histogram: log2 bucket of
+        min(ac_a, ac_b) -> [survivors, records]. See ac_hist."""
+        mn = np.asarray(np.minimum(meta.ac_a, meta.ac_b), np.int64)
+        if len(mn) == 0:
+            return
+        buck = np.frexp(np.maximum(mn, 1).astype(np.float64))[1] - 1
+        surv = np.bincount(buck)
+        kept = (np.bincount(buck[np.asarray(kept_idx, np.int64)],
+                            minlength=len(surv))
+                if kept_idx is not None and len(kept_idx)
+                else np.zeros(len(surv), np.int64))
+        for i in range(len(surv)):
+            if surv[i]:
+                h = self.ac_hist.setdefault(int(i), [0, 0])
+                h[0] += int(surv[i])
+                h[1] += int(kept[i])
 
     def _dcn_records(self, table, data, meta: PairMeta, filt):
         """dcn host-math sharding (round-2 weakness 6): each process
@@ -1416,7 +1444,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         f"({pretty_int(int(result.pairs_per_sec))} pairs/s)",
         sub="PROGRESS")
     if settings.performance:
-        report_performance(all_stats)
+        report_performance(engine if engine is not None else all_stats)
     reader.close()
     return result
 
@@ -1425,8 +1453,14 @@ def report_performance(stats):
     """Per-kernel-config dispatch and timing report, the analogue of the
     reference's ComputePerformance / n_method counters
     (reference: lib/ld/ld.cpp:878-1057, ld_engine.h:171-174,313).
-    Accepts an LdEngine or a stats dict."""
+    Accepts an LdEngine or a stats dict; with an engine, also prints
+    the per-allele-count histogram (the reference prints per-AC mean
+    cycles at ld.cpp:1047-1052; here: prefilter survivors and kept
+    records per log2 bucket of min(ac_a, ac_b), the same AC-resolved
+    view its kernel-crossover fits came from)."""
+    ac_hist = None
     if isinstance(stats, LdEngine):
+        ac_hist = stats.ac_hist or None
         stats = stats.stats
     log("LOG", f"{'config':<24}{'tiles':>8}{'cand pairs':>14}"
         f"{'prefilter pass':>15}{'count s':>9}{'extract s':>10}"
@@ -1440,3 +1474,11 @@ def report_performance(stats):
         if cs > 0 and s["n_cand"]:
             log("LOG", f"{'':<24}count-sweep rate "
                 f"{pretty_int(int(s['n_cand'] / cs))} pairs/s", sub="PERF")
+    if ac_hist:
+        log("LOG", f"{'min(ac) bucket':<18}{'survivors':>12}"
+            f"{'records':>10}{'kept %':>8}", sub="PERF")
+        for b in sorted(ac_hist):
+            s, k = ac_hist[b]
+            log("LOG", f"[{1 << b:>6}, {2 << b:>6}) "
+                f"{s:>15,}{k:>10,}{100.0 * k / max(s, 1):>7.1f}%",
+                sub="PERF")

@@ -38,6 +38,14 @@ class ImportSettings:
     hwe: float = 0.0
     remove_univariate: bool = True
     flip_major_minor: bool = False
+    # parse worker processes (the reference parallelizes decode with
+    # htslib threads, importer.cpp:33): chunks fan out to a process
+    # pool running the native chunk parser and results assemble in
+    # input order, so the .twk records are identical to a serial run.
+    # 0 = auto (cpu_count - 1, min 1); 1 (default) = in-process
+    # pipeline. The CLI passes 0, so command-line imports parallelize
+    # on multi-core hosts automatically.
+    workers: int = 1
 
 
 @dataclass
@@ -251,6 +259,107 @@ def import_vcf(settings: ImportSettings) -> ImportStats:
 
 
 _CHUNK_BYTES = 1 << 22   # bulk-import read size (patched in tests)
+
+
+def _resolve_workers(settings) -> int:
+    import os
+    w = getattr(settings, "workers", 1)
+    return w if w > 0 else max(1, (os.cpu_count() or 1) - 1)
+
+
+# -- process-pool parse workers ---------------------------------------------
+# The native chunk parse is the import's compute core; with workers > 1
+# newline-/record-aligned chunks fan out to a spawn pool (safe while a
+# TPU client is live in the parent) and span results assemble strictly
+# in input order, so the output .twk is byte-identical to a serial run
+# (reference analogue: htslib's decode thread pool, importer.cpp:33).
+
+_POOL_CI = None
+
+
+def _pool_init(n_samples: int):
+    global _POOL_CI
+    from ..native import ChunkImporter
+    _POOL_CI = ChunkImporter(n_samples)
+
+
+def _span_copy(meta, runs, n: int, off: int):
+    """Pickle-sized copy of one parse result: meta rows + the used
+    prefix of the runs buffer (row offsets stay valid)."""
+    mm = meta[:n].copy()
+    end = 0
+    ok = mm[:, 3] == 0
+    if ok.any():
+        rows = mm[ok]
+        end = int((rows[:, 10] + rows[:, 9] * rows[:, 6]).max())
+    return off, n, mm, runs[:end].copy()
+
+
+def _pool_parse_vcf(chunk: bytes):
+    out = []
+    off = 0
+    while off < len(chunk):
+        n, meta, runs, consumed = _POOL_CI.parse(chunk[off:])
+        if n == 0 and consumed == 0:
+            break
+        out.append(_span_copy(meta, runs, n, off))
+        if consumed <= 0:
+            break
+        off += consumed
+    return out
+
+
+def _pool_parse_bcf(chunk: bytes, gt_key: int):
+    out = []
+    off = 0
+    while off < len(chunk):
+        n, meta, runs, consumed = _POOL_CI.parse_bcf(chunk[off:], gt_key)
+        if n == 0 and consumed == 0:
+            break
+        out.append(_span_copy(meta, runs, n, off))
+        if consumed <= 0:
+            break
+        off += consumed
+    return out
+
+
+def _parallel_chunks(pool, chunks_iter, fn, in_flight: int, *args):
+    """Submit chunks keeping `in_flight` outstanding; yield
+    (chunk, spans) strictly in input order (assembly is order-dependent:
+    block cuts, the duplicate-position filter, and record layout)."""
+    from collections import deque
+    q = deque()
+    for chunk in chunks_iter:
+        q.append((chunk, pool.submit(fn, chunk, *args)))
+        while len(q) > in_flight:
+            c, f = q.popleft()
+            yield c, f.result()
+    while q:
+        c, f = q.popleft()
+        yield c, f.result()
+
+
+def _make_pool(n_workers: int, n_samples: int):
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    return ProcessPoolExecutor(n_workers,
+                               mp_context=mp.get_context("spawn"),
+                               initializer=_pool_init,
+                               initargs=(n_samples,))
+
+
+def _frame_bcf(buf: bytes) -> int:
+    """Byte length of the complete-record prefix of `buf` (each BCF
+    record is framed by its l_shared/l_indiv header)."""
+    off = 0
+    n = len(buf)
+    while off + 8 <= n:
+        l_shared, l_indiv = struct.unpack_from("<II", buf, off)
+        end = off + 8 + int(l_shared) + int(l_indiv)
+        if end > n:
+            break
+        off = end
+    return off
 
 
 class _BlockSink:
@@ -506,6 +615,25 @@ def _import_body_chunked(vcf, settings: ImportSettings,
         return consumed
 
     lineno = 0
+    n_workers = _resolve_workers(settings)
+    if n_workers > 1:
+        pool_p = _make_pool(n_workers, n_samples)
+        try:
+            def chunks():
+                while True:
+                    c = next_chunk()
+                    if c is None:
+                        return
+                    yield c
+            for chunk, spans in _parallel_chunks(
+                    pool_p, chunks(), _pool_parse_vcf, n_workers + 2):
+                for off, n, meta, runs in spans:
+                    handle(chunk[off:], (n, meta, runs,
+                                         len(chunk) - off))
+        finally:
+            pool_p.shutdown()
+            fh.close()
+        return
     pool = ThreadPoolExecutor(1)
     try:
         cur = next_chunk()
@@ -574,8 +702,9 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
         rec = chunk[off + 8:off + 8 + l_shared + l_indiv]
         return vcf.parse_record(rec[:l_shared], rec[l_shared:])
 
-    def handle(chunk):
-        n, meta, runs_buf, consumed = ci.parse_bcf(chunk, gt_key)
+    def handle(chunk, parsed=None):
+        n, meta, runs_buf, consumed = (
+            parsed if parsed is not None else ci.parse_bcf(chunk, gt_key))
         if n == 0:
             return consumed
         st = meta[:n, 3]
@@ -595,6 +724,36 @@ def _import_bcf_chunked(vcf, settings: ImportSettings,
               rids=map_rids(meta[prev_end:n, 1]))
         return consumed
 
+    n_workers = _resolve_workers(settings)
+    if n_workers > 1:
+        pool_p = _make_pool(n_workers, n_samples)
+        try:
+            def chunks():
+                carry = b""
+                while True:
+                    data = fh.read(_CHUNK_BYTES)
+                    buf = carry + data
+                    if not buf:
+                        return
+                    cut = _frame_bcf(buf)
+                    if cut == 0:
+                        if not data:
+                            raise ValueError(
+                                f"{settings.input}: truncated trailing "
+                                "BCF record")
+                        carry = buf
+                        continue
+                    carry = buf[cut:]
+                    yield buf[:cut]
+            for chunk, spans in _parallel_chunks(
+                    pool_p, chunks(), _pool_parse_bcf, n_workers + 2,
+                    gt_key):
+                for off, n, meta, runs in spans:
+                    handle(chunk[off:], (n, meta, runs,
+                                         len(chunk) - off))
+        finally:
+            pool_p.shutdown()
+        return
     carry = b""
     while True:
         data = fh.read(_CHUNK_BYTES)

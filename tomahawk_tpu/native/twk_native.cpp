@@ -607,31 +607,19 @@ int32_t twk_bcf_scan(const uint8_t* shared, int64_t l_shared,
 // sample in the given byte width; value = (allele+1)<<1 | phased,
 // 0/1 = missing. Returns 0, or -2 when a second slot holds the
 // END_OF_VECTOR sentinel (haploid-in-diploid => non-diploid site).
-int32_t twk_bcf_gt(const void* vals, int32_t width, int32_t n_samples,
-                   uint8_t* codes, uint8_t* phase) {
-    int64_t eov;
-    switch (width) {
-        case 1: eov = -127; break;
-        case 2: eov = -32767; break;
-        default: eov = -2147483647LL; break;
-    }
+}  // extern "C" (width-templated helper below needs C++ linkage)
+
+// Per-width GT decode loop: keeping the width dispatch OUTSIDE the
+// loop lets the compiler vectorize the common int8 case (the decode
+// runs once per sample per site, the hottest BCF-parse inner loop).
+template <class T>
+static int32_t twk_bcf_gt_t(const T* v, int32_t n_samples,
+                            uint8_t* codes, uint8_t* phase,
+                            int64_t eov) {
     for (int64_t s = 0; s < n_samples; ++s) {
-        int64_t a, b;
-        switch (width) {
-            case 1:
-                a = ((const int8_t*)vals)[2 * s];
-                b = ((const int8_t*)vals)[2 * s + 1];
-                break;
-            case 2:
-                a = ((const int16_t*)vals)[2 * s];
-                b = ((const int16_t*)vals)[2 * s + 1];
-                break;
-            default:
-                a = ((const int32_t*)vals)[2 * s];
-                b = ((const int32_t*)vals)[2 * s + 1];
-                break;
-        }
-        if (b == eov) return -2;
+        const int64_t a = v[2 * s];
+        const int64_t b = v[2 * s + 1];
+        if (b == eov) return -2;   // haploid-in-diploid row
         const int64_t aa = (a >> 1) - 1;
         const int64_t ab = (b >> 1) - 1;
         const uint8_t ca = aa < 0 ? 2 : (aa > 1 ? 1 : (uint8_t)aa);
@@ -640,6 +628,23 @@ int32_t twk_bcf_gt(const void* vals, int32_t width, int32_t n_samples,
         phase[s] = (uint8_t)(b & 1);
     }
     return 0;
+}
+
+extern "C" {
+
+int32_t twk_bcf_gt(const void* vals, int32_t width, int32_t n_samples,
+                   uint8_t* codes, uint8_t* phase) {
+    switch (width) {
+        case 1:
+            return twk_bcf_gt_t((const int8_t*)vals, n_samples, codes,
+                                phase, -127);
+        case 2:
+            return twk_bcf_gt_t((const int16_t*)vals, n_samples, codes,
+                                phase, -32767);
+        default:
+            return twk_bcf_gt_t((const int32_t*)vals, n_samples, codes,
+                                phase, -2147483647LL);
+    }
 }
 
 // Same fusion for already-parsed codes (the BCF reader decodes GT
