@@ -253,23 +253,33 @@ def test_calc_banded_streaming_matches_full(tmp_path):
     full = str(tmp_path / "full.two")
     compute_ld(CalcSettings(input=twk, output=full, min_r2=0.0,
                             tile_rows=10, mesh="off"))
+    # both banded variants: with the staging worker (3-way band split,
+    # next band uploaded during compute) and strictly serial
     banded = str(tmp_path / "banded.two")
     compute_ld(CalcSettings(input=twk, output=banded, min_r2=0.0,
                             tile_rows=10, mesh="off", memory_gb=1e-6))
+    serial = str(tmp_path / "serial.two")
+    compute_ld(CalcSettings(input=twk, output=serial, min_r2=0.0,
+                            tile_rows=10, mesh="off", memory_gb=1e-6,
+                            stage_prefetch=False))
 
-    ra, rb = TwoReader(full), TwoReader(banded)
-    a, b = ra.records(), rb.records()
+    ra = TwoReader(full)
+    a = ra.records()
     ra.close()
-    rb.close()
-    assert len(a) == len(b) > 0
 
     def key(r):
         return np.lexsort((r["packB"], r["packA"], r["ridB"], r["ridA"]))
-    a, b = a[key(a)], b[key(b)]
-    for f in ("ridA", "ridB", "packA", "packB", "controller"):
-        np.testing.assert_array_equal(a[f], b[f])
-    for f in ("D", "Dprime", "R2", "P"):
-        np.testing.assert_allclose(a[f], b[f], atol=1e-12)
+    a = a[key(a)]
+    for path in (banded, serial):
+        rb = TwoReader(path)
+        b = rb.records()
+        rb.close()
+        assert len(a) == len(b) > 0
+        b = b[key(b)]
+        for f in ("ridA", "ridB", "packA", "packB", "controller"):
+            np.testing.assert_array_equal(a[f], b[f])
+        for f in ("D", "Dprime", "R2", "P"):
+            np.testing.assert_allclose(a[f], b[f], atol=1e-12)
 
 
 def test_calc_multi_contig(tmp_path):

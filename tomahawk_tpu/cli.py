@@ -116,6 +116,10 @@ def _add_calc(sub):
     p.add_argument("--sweep-segment", type=int, default=4096,
                    help="tiles per device dispatch (also the "
                    "checkpoint granularity)")
+    p.add_argument("--no-stage-prefetch", action="store_true",
+                   help="banded runs: disable the background worker "
+                   "that inflates + uploads the next band while the "
+                   "current one computes")
 
 
 def _cmd_calc(args):
@@ -143,7 +147,8 @@ def _cmd_calc(args):
         num_processes=args.num_processes, process_id=args.process_id,
         checkpoint=args.checkpoint,
         checkpoint_interval=args.checkpoint_interval,
-        sweep_segment=args.sweep_segment)
+        sweep_segment=args.sweep_segment,
+        stage_prefetch=not args.no_stage_prefetch)
     compute_ld(s)
     return 0
 

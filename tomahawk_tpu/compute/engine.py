@@ -111,6 +111,12 @@ class CalcSettings:
     # Single-process runs only.
     checkpoint: str = ""
     checkpoint_interval: float = 60.0   # seconds between checkpoints
+    # banded (low-memory) runs: inflate + upload the NEXT load's band
+    # on a background worker while the current load computes, hiding
+    # host->device staging behind the sweep. Splits the plane budget 3
+    # ways instead of 2 (the third slot holds the in-flight band).
+    # Single-process runs only (global-array creation is collective).
+    stage_prefetch: bool = True
 
 
 @dataclass
@@ -308,6 +314,21 @@ class LdEngine:
         self._load_bands = []     # band ids of the current load, in order
         self._load_dev = {}       # per-load concatenated dev arrays
         self.n_band_uploads = 0   # telemetry: device uploads performed
+        # band staging: a single worker inflates + uploads the NEXT
+        # load's band while the current load computes (the host-DMA
+        # overlap the reference's low-memory mode lacks -- it
+        # re-inflates per tile on the compute threads,
+        # ld_engine.cpp:1871-1896). `exposed_s` is main-thread time
+        # blocked on uploads, `wait_s` main-thread time blocked on an
+        # unfinished prefetch, `hidden_s` worker upload time that
+        # overlapped compute.
+        import threading
+        self._stage_lock = threading.Lock()
+        self._stage_pool = None
+        self._stage_futures = []
+        self._seen_keys = set()
+        self.stage_stats = dict(hidden_s=0.0, exposed_s=0.0, wait_s=0.0,
+                                bytes=0, n_prefetched=0, n_blocking=0)
 
         self.stacked = None
         self.B = B
@@ -348,16 +369,7 @@ class LdEngine:
                 if band_id not in self._band_meta:
                     raise ValueError(f"band {band_id} not resident")
                 continue
-            host = self._pad_samples_axis(
-                {k: stacked[k] for k in self.sweeps.DEV_KEYS})
-            self._band_host[band_id] = host
-            self._band_meta[band_id] = {k: stacked[k]
-                                        for k in self.META_KEYS}
-            self._band_nb[band_id] = stacked["alt_bits"].shape[0]
-            if self.B is None:
-                self.B = stacked["alt_bits"].shape[1]
-            elif stacked["alt_bits"].shape[1] != self.B:
-                raise ValueError("band tile_rows mismatch")
+            self._register_band(band_id, stacked)
         self._load_bands = [b for b, _ in bands]
         self._load_dev = {}
         self.NB = sum(self._band_nb[b] for b in self._load_bands)
@@ -367,32 +379,143 @@ class LdEngine:
             for k in self.META_KEYS}
         # evict non-load bands beyond the residency limit (LRU-ish:
         # anything not in the current load is fair game)
-        resident = [b for b in self._band_host if b in self._load_bands]
-        others = [b for b in self._band_host if b not in self._load_bands]
-        for b in others[:max(0, len(resident) + len(others)
-                             - self.MAX_RESIDENT_BANDS)]:
-            self._evict(b)
+        with self._stage_lock:
+            resident = [b for b in self._band_host
+                        if b in self._load_bands]
+            others = [b for b in self._band_host
+                      if b not in self._load_bands]
+            for b in others[:max(0, len(resident) + len(others)
+                                 - self.MAX_RESIDENT_BANDS)]:
+                self._evict_locked(b)
 
-    def _evict(self, band_id):
+    def _register_band(self, band_id, stacked):
+        host = self._pad_samples_axis(
+            {k: stacked[k] for k in self.sweeps.DEV_KEYS})
+        if self.B is None:
+            self.B = stacked["alt_bits"].shape[1]
+        elif stacked["alt_bits"].shape[1] != self.B:
+            raise ValueError("band tile_rows mismatch")
+        with self._stage_lock:
+            self._band_host[band_id] = host
+            self._band_meta[band_id] = {k: stacked[k]
+                                        for k in self.META_KEYS}
+            self._band_nb[band_id] = stacked["alt_bits"].shape[0]
+
+    def _evict_locked(self, band_id):
         self._band_host.pop(band_id, None)
         self._band_meta.pop(band_id, None)
         self._band_nb.pop(band_id, None)
         for key in [k for k in self._band_dev if k[1] == band_id]:
             self._band_dev.pop(key)
 
+    def _upload(self, k, host):
+        if self._multiproc:
+            return self._global_upload(k, host)
+        if self.mesh is not None:
+            return self._mesh_upload(k, host)
+        return self._jnp.asarray(host)
+
     def _band_dev_get(self, k, band_id):
         key = (k, band_id)
-        if key not in self._band_dev:
+        self._seen_keys.add(k)
+        with self._stage_lock:
+            arr = self._band_dev.get(key)
+            if arr is not None:
+                return arr
             host = self._band_host[band_id][k]
-            if self._multiproc:
-                arr = self._global_upload(k, host)
-            elif self.mesh is not None:
-                arr = self._mesh_upload(k, host)
-            else:
-                arr = self._jnp.asarray(host)
+        import time as _t
+        t0 = _t.perf_counter()
+        arr = self._upload(k, host)
+        with self._stage_lock:
             self._band_dev[key] = arr
             self.n_band_uploads += 1
-        return self._band_dev[key]
+            self.stage_stats["exposed_s"] += _t.perf_counter() - t0
+            self.stage_stats["bytes"] += getattr(host, "nbytes", 0)
+            self.stage_stats["n_blocking"] += 1
+        return arr
+
+    # -- band staging (upload/compute overlap) ---------------------------
+    def stage_band(self, band_id, stacked):
+        """Register `stacked` as band `band_id` and push its device
+        planes ahead of use, so the following `set_load` finds the band
+        resident with its transfers already done. Runs on the staging
+        worker; evicts surplus non-load bands first so the staged band
+        never pushes residency past MAX_RESIDENT_BANDS."""
+        if band_id in self._band_meta:
+            return
+        with self._stage_lock:
+            others = [b for b in self._band_host
+                      if b not in self._load_bands and b != band_id]
+            for b in others[:max(0, len(self._band_host) + 1
+                                 - self.MAX_RESIDENT_BANDS)]:
+                self._evict_locked(b)
+        self._register_band(band_id, stacked)
+        # stage the planes the run has actually used (a phased sweep
+        # never pays for het/hom/valid planes); before any sweep ran,
+        # the alt plane is the one certainty
+        keys = (self._seen_keys & set(self.sweeps.DEV_KEYS)) \
+            or {"alt_bits"}
+        import time as _t
+        for k in keys:
+            with self._stage_lock:
+                if (k, band_id) in self._band_dev:
+                    continue
+                host = self._band_host[band_id][k]
+            t0 = _t.perf_counter()
+            arr = self._upload(k, host)
+            try:
+                arr.block_until_ready()
+            except AttributeError:
+                pass
+            with self._stage_lock:
+                self._band_dev[(k, band_id)] = arr
+                self.n_band_uploads += 1
+                self.stage_stats["hidden_s"] += _t.perf_counter() - t0
+                self.stage_stats["bytes"] += getattr(host, "nbytes", 0)
+        self.stage_stats["n_prefetched"] += 1
+
+    def stage_band_async(self, band_id, provider):
+        """Queue background staging of one band: `provider()` builds
+        its stacked host planes (e.g. RLE inflation) and `stage_band`
+        uploads them, all overlapping the current load's compute. The
+        single worker thread doubles as backpressure: at most one band
+        stages at a time. Not used on multi-process meshes (global
+        array creation is a collective and must stay on the main
+        thread, in program order)."""
+        if band_id in self._band_meta or self._multiproc:
+            return
+        if self._stage_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._stage_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="twk-stage")
+
+        def work():
+            if band_id not in self._band_meta:
+                self.stage_band(band_id, provider())
+        self._stage_futures.append((band_id, self._stage_pool.submit(work)))
+
+    def stage_wait(self):
+        """Drain outstanding staging work before the next `set_load`
+        touches the residency maps. A failed staging job degrades to
+        the on-demand inflate+upload path instead of killing the run."""
+        import time as _t
+        t0 = _t.perf_counter()
+        for band_id, fut in self._stage_futures:
+            try:
+                fut.result()
+            except Exception as e:   # noqa: BLE001 - degrade, don't die
+                log("WARNING", f"staging band {band_id} failed "
+                    f"({type(e).__name__}: {str(e)[:120]}); falling "
+                    f"back to on-demand load", sub="MEMORY")
+        if self._stage_futures:
+            self.stage_stats["wait_s"] += _t.perf_counter() - t0
+        self._stage_futures = []
+
+    def stage_close(self):
+        self.stage_wait()
+        if self._stage_pool is not None:
+            self._stage_pool.shutdown(wait=False)
+            self._stage_pool = None
 
     def _mesh_upload(self, k, host):
         """Local mesh: commit each band plane with the sweep's sharding
@@ -1009,18 +1132,21 @@ def dispatch_pairs(engine: "LdEngine", pairs, mode: str, filt: LdFilters,
     return n
 
 
-def _plan_loads(super_ids, pairs, budget_supers: int):
+def _plan_loads(super_ids, pairs, budget_supers: int, parts: int = 2):
     """Partition the run into device loads. If all supers fit the
     budget, one load covers everything; otherwise supers split into
-    bands of budget/2 and every band pair becomes a load containing its
-    slice of the tile list (classic blocked streaming). Returns
-    (bands, loads): bands is a list of super-id lists; each load is
-    ((p, q), tiles) over band indices. The engine keeps bands resident
-    across consecutive loads, so with the row-major (p, q) order each
-    row band uploads once per row and only the column band churns."""
+    bands of budget/`parts` and every band pair becomes a load
+    containing its slice of the tile list (classic blocked streaming).
+    Returns (bands, loads): bands is a list of super-id lists; each
+    load is ((p, q), tiles) over band indices. The engine keeps bands
+    resident across consecutive loads, so with the row-major (p, q)
+    order each row band uploads once per row and only the column band
+    churns. `parts=3` reserves budget for a THIRD resident band so the
+    staging worker can upload the next load's band while the current
+    one computes (LdEngine.stage_band_async)."""
     if len(super_ids) <= budget_supers:
         return [list(super_ids)], [((0, 0), list(pairs))]
-    band = max(1, budget_supers // 2)
+    band = max(1, budget_supers // parts)
     bands = [list(super_ids[k:k + band])
              for k in range(0, len(super_ids), band)]
     of_band = {}
@@ -1096,7 +1222,10 @@ def _ckpt_config_key(settings: CalcSettings, seg_effective: int) -> str:
         intervals=list(settings.intervals), b_size=settings.b_size,
         c_level=settings.c_level, sweep_segment=settings.sweep_segment,
         tile_rows=settings.tile_rows, mesh=settings.mesh,
-        memory_gb=settings.memory_gb)
+        memory_gb=settings.memory_gb,
+        # the load plan's band size depends on it, and segment counting
+        # follows the plan
+        stage_prefetch=settings.stage_prefetch)
     blob = _json.dumps(fields, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()
 
@@ -1237,7 +1366,13 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # concatenation, so the banding budget is half the configured one
     budget = max(2, int(settings.memory_gb * (1 << 30) / 2
                         / max(per_super, 1)))
-    bands, loads = _plan_loads(super_ids, pairs, budget)
+    # staging prefetch needs a third resident band slot (the in-flight
+    # upload) -- bands shrink to budget/3 so peak residency stays
+    # inside the budget
+    prefetch_on = settings.stage_prefetch and n_procs == 1 \
+        and len(super_ids) > budget
+    bands, loads = _plan_loads(super_ids, pairs, budget,
+                               parts=3 if prefetch_on else 2)
     if len(loads) > 1:
         log("LOG", f"Streaming {len(super_ids)} super-blocks in "
             f"{len(loads)} band-pair loads over {len(bands)} bands "
@@ -1391,18 +1526,28 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                                 result.n_records, load_cum,
                                 writer.checkpoint_state())
                 engine.on_segment = _maybe_checkpoint
+        if engine is not None and prefetch_on:
+            engine.MAX_RESIDENT_BANDS = 3
         for li, ((p, q), load_tiles) in enumerate(loads if pairs else []):
             if li < len(load_cum) and load_cum[li] <= engine.ckpt_skip:
                 # this whole load completed before the checkpoint: skip
                 # even the host-side unpack
                 engine.units_done = max(engine.units_done, load_cum[li])
                 continue
+            engine.stage_wait()
             load = [(p, None if p in engine._band_host
                      else inflate_band(bands[p]))]
             if q != p:
                 load.append((q, None if q in engine._band_host
                              else inflate_band(bands[q])))
             engine.set_load(load)
+            if prefetch_on and li + 1 < len(loads):
+                # inflate + upload the next load's band on the staging
+                # worker while this load's sweeps run
+                for b in set(loads[li + 1][0]):
+                    if b not in engine._band_host:
+                        engine.stage_band_async(
+                            b, lambda b=b: inflate_band(bands[b]))
             load_ids = bands[p] if p == q else bands[p] + bands[q]
             slot = {g: s for s, g in enumerate(load_ids)}
             tiles = [(slot[i], slot[j], d) for i, j, d in load_tiles]
@@ -1413,13 +1558,20 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
             else:
                 load_cum.append(engine.units_done)
     finally:
+        if engine is not None:
+            engine.stage_close()
         if _cpu_ctx is not None:
             _cpu_ctx.__exit__(None, None, None)
     all_stats = engine.stats if engine is not None \
         else (native_stats or {})
     if engine is not None and len(loads) > 1:
+        ss = engine.stage_stats
         log("LOG", f"Band uploads: {engine.n_band_uploads} device plane "
-            f"transfers over {len(loads)} loads", sub="MEMORY")
+            f"transfers over {len(loads)} loads "
+            f"({ss['bytes'] / 2**20:.0f} MB; "
+            f"{ss['hidden_s']:.1f}s overlapped with compute, "
+            f"{ss['exposed_s'] + ss['wait_s']:.1f}s exposed)",
+            sub="MEMORY")
 
     if pool is not None:
         pool.shutdown()
