@@ -185,3 +185,38 @@ def test_fused_sweep_offset_clamps_at_outcap():
             buf[lo:lo + cnt], ref[lo:lo + cnt],
             err_msg=f"tile {t} intact-prefix rows corrupted")
     assert ok[:3].any(), "test data produced no intact-prefix tiles"
+
+
+def test_survivor_payload_pack_roundtrip():
+    """Survivor buffer payload packing: two uint16 parts per int32
+    column when counts fit (phased parts <= 2N, unphased <= N);
+    unpack_payload must invert it exactly, including parts at the
+    count ceiling and the 16-bit sign boundary. Above the ceiling the
+    buffer must stay unpacked."""
+    rng = np.random.default_rng(5)
+    for table in ("phased", "unphased"):
+        for miss in (False, True):
+            for n_samples in (4 * 128, 70_000):
+                cfg = sweeps.make_cfg(table, miss, "all", 8, n_samples,
+                                      0, 0.0, 100.0)
+                p = sweeps.payload_cols(table, miss)
+                lim = (2 if table == "phased" else 1) * n_samples
+                packed = sweeps.pack16_ok(cfg)
+                assert packed == (lim < (1 << 16))
+                assert sweeps.buf_cols(cfg) == \
+                    1 + ((p + 1) // 2 if packed else p)
+                n = 33
+                vals = rng.integers(0, lim + 1, size=(p, n))
+                # force boundary values into row 0: the ceiling and
+                # the 16-bit sign bit
+                vals[:, 0] = lim
+                vals[: min(p, 2), 1] = 0x8000 if lim >= 0x8000 else lim
+                parts = [jnp.asarray(v, jnp.int32) for v in vals]
+                idx = jnp.arange(n, dtype=jnp.int32)
+                rec = np.asarray(sweeps._pack_cols(idx, parts, idx, cfg))
+                assert rec.shape == (n, sweeps.buf_cols(cfg))
+                np.testing.assert_array_equal(rec[:, 0], np.arange(n))
+                out = sweeps.unpack_payload(rec[:, 1:], table, miss,
+                                            n_samples)
+                assert out.dtype == np.int64
+                np.testing.assert_array_equal(out, vals.T)

@@ -838,7 +838,7 @@ class LdEngine:
         Tpad, cap, outcap = st["Tpad"], st["cap"], st["outcap"]
         pi, pj, dg, live = st["pi"], st["pj"], st["dg"], st["live"]
         dev = st["dev"]
-        ncol = 1 + self.sweeps.payload_cols(table, has_missing)
+        ncol = self.sweeps.buf_cols(self._cfg(table, has_missing, cls))
         stat["count_s"] += _time.perf_counter() - t0
         total_cand = int(n_cand.sum())
         stat["n_cand"] += total_cand
@@ -931,7 +931,8 @@ class LdEngine:
         bi = pi[hit][tile_of].astype(np_.int64)
         bj = pj[hit][tile_of].astype(np_.int64)
         meta = _pair_meta_from(self.stacked, bi, bj, k, l)
-        parts = rows[:, 1:].astype(np_.int64)
+        parts = self.sweeps.unpack_payload(rows[:, 1:], table,
+                                           has_missing, self.n_samples)
         t0 = _time.perf_counter()
         # the whole survivor -> record pipeline (filters, Fisher,
         # flags, fwd+rev assembly) is ONE native batch call; the numpy

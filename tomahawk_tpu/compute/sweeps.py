@@ -83,6 +83,54 @@ def payload_cols(table: str, has_missing: bool) -> int:
     return 9 if has_missing else 4
 
 
+def pack16_ok(cfg) -> bool:
+    """Whether survivor payload parts fit uint16 so two can ride one
+    int32 buffer column. Phased parts are haplotype-level counts
+    (<= 2N), unphased genotype-level (<= N). Halving the survivor
+    buffer width halves the device->host payload in record-dense
+    regimes, where that transfer -- not the sweep -- is the ceiling
+    (round-2 weakness 1 residual)."""
+    lim = (2 if cfg["table"] == "phased" else 1) * cfg["n_samples"]
+    return lim < (1 << 16)
+
+
+def buf_cols(cfg) -> int:
+    """Survivor buffer columns: 1 index col + (possibly pair-packed)
+    payload cols."""
+    p = payload_cols(cfg["table"], cfg["has_missing"])
+    return 1 + ((p + 1) // 2 if pack16_ok(cfg) else p)
+
+
+def _pack_cols(idx, parts, safe, cfg):
+    """[cap, buf_cols] survivor rows: index + payload, with payload
+    pairs packed (lo | hi << 16) when they fit uint16."""
+    vals = [p.reshape(-1)[safe] for p in parts]
+    if pack16_ok(cfg):
+        vals = [vals[k] | (vals[k + 1] << 16)
+                if k + 1 < len(vals) else vals[k]
+                for k in range(0, len(vals), 2)]
+    return jnp.concatenate([idx[:, None]] + [v[:, None] for v in vals],
+                           axis=1)
+
+
+def unpack_payload(cols, table: str, has_missing: bool,
+                   n_samples: int):
+    """Host inverse of _pack_cols' payload packing: [K, buf_cols-1]
+    int32 buffer columns -> [K, payload_cols] int64 parts."""
+    import numpy as np
+    p = payload_cols(table, has_missing)
+    cfg = dict(table=table, n_samples=n_samples)
+    if not pack16_ok(cfg):
+        return cols.astype(np.int64)
+    out = np.empty((len(cols), p), np.int64)
+    for k in range(cols.shape[1]):
+        v = cols[:, k].astype(np.int64) & 0xFFFFFFFF
+        out[:, 2 * k] = v & 0xFFFF
+        if 2 * k + 1 < p:
+            out[:, 2 * k + 1] = (v >> 16) & 0xFFFF
+    return out
+
+
 def tile_prefilter(dev, i, j, diag, cfg):
     """(prefilter_mask, candidate_mask, parts) for one tile. parts are
     the raw [I, J] contractions; counts/tables are formed only as fused
@@ -173,7 +221,7 @@ def fused_sweep(dev, pi, pj, dg, live, *, cfg, cap, outcap):
     can slice each tile's rows without any index column round trip.
     Writes clamp at outcap - cap; rows at or beyond the clamp boundary
     are garbage whenever the total spills (detectable from n_pass)."""
-    ncol = 1 + payload_cols(cfg["table"], cfg["has_missing"])
+    ncol = buf_cols(cfg)
     BB = cfg["B"] * cfg["B"]
 
     def body(carry, inp):
@@ -187,9 +235,7 @@ def fused_sweep(dev, pi, pj, dg, live, *, cfg, cap, outcap):
         def hit(buf):
             _, idx = K.compact_indices_small(pf, cap)
             safe = jnp.minimum(idx, BB - 1)
-            cols = [idx[:, None]] + [p.reshape(-1)[safe][:, None]
-                                     for p in parts]
-            rec = jnp.concatenate(cols, axis=1)
+            rec = _pack_cols(idx, parts, safe, cfg)
             return jax.lax.dynamic_update_slice(
                 buf, rec, (jnp.minimum(off, outcap - cap), 0))
 
@@ -212,7 +258,7 @@ def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
     exact offsets into one [outcap, ncol] buffer. Rows past each tile's
     survivor count are junk that later tiles overwrite; the caller
     slices the buffer to the exact total."""
-    ncol = 1 + payload_cols(cfg["table"], cfg["has_missing"])
+    ncol = buf_cols(cfg)
     BB = cfg["B"] * cfg["B"]
 
     def body(buf, inp):
@@ -220,9 +266,7 @@ def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
         pf, _, parts = tile_prefilter(dev, i, j, diag, cfg)
         _, idx = K.compact_indices(pf, cap)
         safe = jnp.minimum(idx, BB - 1)
-        cols = [idx[:, None]] + [p.reshape(-1)[safe][:, None]
-                                 for p in parts]
-        rec = jnp.concatenate(cols, axis=1)
+        rec = _pack_cols(idx, parts, safe, cfg)
         buf = jax.lax.dynamic_update_slice(buf, rec, (o, 0))
         return buf, None
 
