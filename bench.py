@@ -119,10 +119,12 @@ def main():
         writer = TwoWriter(out, hdr)
         n_rec = [0]
 
-        def emit(recs):
+        def emit(recs, rev=None):
             if len(recs):
                 writer.add(recs)
-                n_rec[0] += len(recs)
+                if rev is not None:
+                    writer.add(rev)
+                n_rec[0] += len(recs) * (2 if rev is not None else 1)
 
         t = time.perf_counter()
         engine.run_phased_pairs(pairs, False, filt, emit)
