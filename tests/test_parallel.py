@@ -220,3 +220,70 @@ def test_survivor_payload_pack_roundtrip():
                                             n_samples)
                 assert out.dtype == np.int64
                 np.testing.assert_array_equal(out, vals.T)
+
+
+@pytest.mark.parametrize("n_pairs,n_shards", [(2, 1), (2, 2)])
+def test_banded_staging_prefetch_on_mesh(n_pairs, n_shards):
+    """Banded streaming with the staging worker on a multi-device mesh:
+    the worker-thread uploads (device_put with NamedSharding, word
+    planes split on the samples axis) must produce the same records as
+    the all-resident single-load run."""
+    rng = np.random.default_rng(17)
+    n_samples = 4 * 128
+    stacked = _stacked(rng, NB=6, n_samples=n_samples, miss_rate=0.03)
+    # unique positions across supers so the comparison sort has no ties
+    stacked["pos"] = (np.arange(6 * 8, dtype=np.int32) * 37).reshape(6, 8)
+    mesh = _mesh_or_skip(n_pairs, n_shards)
+    n_ref, ref = _records_for(stacked, n_samples, mesh=mesh)
+
+    # split the supers into 3 bands of 2 and run the engine's banded
+    # residency loop with async staging of the next load's band
+    sub = {}
+    for k, v in stacked.items():
+        sub[k] = v   # stacked dict: leading axis = super blocks
+    bands = [(0, 2), (2, 4), (4, 6)]
+
+    def band_stacked(b):
+        lo, hi = bands[b]
+        return {k: v[lo:hi] for k, v in stacked.items()}
+
+    settings = CalcSettings(min_r2=0.0, min_p=1.0)
+    engine = LdEngine(None, n_samples, settings, mesh=mesh, B=8)
+    engine.MAX_RESIDENT_BANDS = 3
+    filt = LdFilters(min_r2=0.0, min_p=1.0)
+    loads = [((p, q), None) for p in range(3) for q in range(p, 3)]
+    got = []
+    n = 0
+    for li, ((p, q), _) in enumerate(loads):
+        engine.stage_wait()
+        load = [(p, None if p in engine._band_host else band_stacked(p))]
+        if q != p:
+            load.append((q, None if q in engine._band_host
+                         else band_stacked(q)))
+        engine.set_load(load)
+        if li + 1 < len(loads):
+            for b in set(loads[li + 1][0]):
+                if b not in engine._band_host:
+                    engine.stage_band_async(b, lambda b=b: band_stacked(b))
+        # tiles local to this load: slots 0/1 = band p, 2/3 = band q
+        local = []
+        for i in range(bands[p][0], bands[p][1]):
+            for j in range(bands[q][0], bands[q][1]):
+                if q == p and j < i:
+                    continue
+                si = i - bands[p][0]
+                sj = (j - bands[q][0]) + (0 if q == p else 2)
+                local.append((si, sj, i == j))
+        n += dispatch_pairs(engine, local, "mixed", filt,
+                            lambda recs, rev=None: got.append(recs.copy()),
+                            engine.stacked)
+    engine.stage_close()
+    assert engine.stage_stats["n_prefetched"] > 0
+    assert n == n_ref
+    recs = np.concatenate([g for g in got if len(g)])
+    assert len(recs) == len(ref)
+    a, b = _sorted(ref), _sorted(recs)
+    for f in ("ridA", "ridB", "packA", "packB", "controller"):
+        np.testing.assert_array_equal(a[f], b[f])
+    for f in ("D", "Dprime", "R2", "P"):
+        np.testing.assert_allclose(a[f], b[f], atol=1e-12)
