@@ -287,3 +287,35 @@ def test_banded_staging_prefetch_on_mesh(n_pairs, n_shards):
         np.testing.assert_array_equal(a[f], b[f])
     for f in ("D", "Dprime", "R2", "P"):
         np.testing.assert_allclose(a[f], b[f], atol=1e-12)
+
+
+def test_staging_failure_degrades_to_on_demand():
+    """A staging provider that raises must not kill the run: stage_wait
+    swallows the failure (with a warning) and the band loads on demand
+    at the next set_load."""
+    rng = np.random.default_rng(23)
+    n_samples = 4 * 128
+    stacked = _stacked(rng, NB=4, n_samples=n_samples)
+
+    def band_stacked(b):
+        return {k: v[2 * b:2 * b + 2] for k, v in stacked.items()}
+
+    settings = CalcSettings(min_r2=0.0, min_p=1.0)
+    engine = LdEngine(None, n_samples, settings, mesh=None, B=8)
+    engine.MAX_RESIDENT_BANDS = 3
+
+    def boom():
+        raise RuntimeError("inflate exploded")
+
+    engine.stage_band_async(1, boom)
+    engine.stage_wait()                      # must not raise
+    assert 1 not in engine._band_host
+    # the band still loads on demand and computes
+    engine.set_load([(0, band_stacked(0)), (1, band_stacked(1))])
+    filt = LdFilters(min_r2=0.0, min_p=1.0)
+    got = []
+    n = dispatch_pairs(engine, [(0, 2, False)], "mixed", filt,
+                       lambda recs, rev=None: got.append(recs.copy()),
+                       engine.stacked)
+    engine.stage_close()
+    assert n == 64 and len(np.concatenate(got)) > 0
