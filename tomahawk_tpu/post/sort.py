@@ -12,6 +12,15 @@ every iteration takes the minimum of the loaded chunk tails as a safe
 boundary, slices each run up to it with a searchsorted on packed sort
 keys, and lexsorts the combined batch -- each record passes through one
 vectorized lexsort instead of a Python heap operation.
+
+ALREADY-SORTED inputs (index state TWK_IDX_SORTED, e.g. per-process
+shards each sorted where they were produced) skip phase 1 entirely:
+each input file becomes one merge run consumed directly through the
+same boundary-cut batched merge -- the analogue of the reference's
+phase-2 priority-queue merge over presorted runs
+(reference: lib/two_reader.cpp:272-421). This is the distributed
+shard-merge path: phase-1 sorting parallelizes across the processes
+that produced the shards, and the merge is a single sequential pass.
 """
 
 import os
@@ -57,20 +66,94 @@ def _cut_at(k1, k2, b1, b2) -> int:
     return lo + int(np.searchsorted(k2[lo:hi], b2, "right"))
 
 
-def sort_two(input_path, output_path: str,
-             memory_limit_gb: float = 0.5, run_chunk: int = 10000,
-             c_level: int = 1, threads: int = 0) -> int:
-    """Sort one .two file -- or several header-compatible shards at
-    once (`input_path` may be a list): phase 1 streams blocks from
-    every input straight into sorted runs, so merging distributed
-    shards costs no concat round-trip through the disk (the reference
-    recipe is concat-then-sort, docs/job-balancing.md; feeding the
-    sorter directly halves the IO and is the `merge_shards` path)."""
-    import os as _os
-    from concurrent.futures import ThreadPoolExecutor
-    n_threads = threads if threads > 0 else (_os.cpu_count() or 1)
-    pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
-    timer = Timer()
+class _MergeCursor:
+    """Streams one sorted run chunk-by-chunk from a chunk iterator,
+    keeping several chunks buffered so boundary batches stay large."""
+    __slots__ = ("_chunks", "recs", "k1", "k2", "bufs", "cur", "done")
+    BUFFER_CHUNKS = 8
+
+    def __init__(self, chunk_iter):
+        self._chunks = chunk_iter
+        self.done = False
+        self.recs = np.zeros(0, TWO_DTYPE)
+        self.k1 = np.zeros(0, np.uint64)
+        self.k2 = np.zeros(0, np.uint32)
+        # ping-pong record buffers: refill() concatenates the
+        # unconsumed tail with new chunks into the OTHER buffer
+        # (never overlapping its own source views) and reuses
+        # pages instead of re-faulting fresh allocations
+        self.bufs = [np.zeros(0, TWO_DTYPE), np.zeros(0, TWO_DTYPE)]
+        self.cur = 0
+        self.refill()
+
+    def refill(self):
+        parts = [self.recs]
+        for _ in range(self.BUFFER_CHUNKS):
+            if self.done:
+                break
+            try:
+                parts.append(next(self._chunks))
+            except StopIteration:
+                self.done = True
+        if len(parts) > 1:
+            total = sum(len(p) for p in parts)
+            dst = 1 - self.cur
+            if len(self.bufs[dst]) < total:
+                self.bufs[dst] = np.empty(total + 4096, TWO_DTYPE)
+            self.recs = concat_records(parts, out=self.bufs[dst])
+            self.cur = dst
+            self.k1, self.k2 = _pack_keys(self.recs)
+
+    def consume(self, cut: int):
+        self.recs = self.recs[cut:]
+        self.k1 = self.k1[cut:]
+        self.k2 = self.k2[cut:]
+        if len(self.recs) == 0 and not self.done:
+            self.refill()
+
+    def exhausted(self):
+        return len(self.recs) == 0 and self.done
+
+
+def _kway_merge(cursors, writer):
+    """Boundary-cut batched merge of sorted cursors into `writer`."""
+    from ..native import gather_rows
+    if len(cursors) == 1:
+        cur = cursors[0]
+        while not cur.exhausted():
+            writer.add(cur.recs)
+            cur.consume(len(cur.recs))
+        return
+    mbuf = np.zeros(0, TWO_DTYPE)
+    gbuf = np.zeros(0, TWO_DTYPE)
+    while True:
+        live = [c for c in cursors if not c.exhausted()]
+        if not live:
+            break
+        # safe boundary: the smallest loaded tail key -- every
+        # record <= it is already in memory across all runs
+        tails = [(c.k1[-1], c.k2[-1]) for c in live]
+        b1, b2 = min(tails)
+        batch = []
+        for c in live:
+            cut = (len(c.recs) if (c.k1[-1], c.k2[-1]) == (b1, b2)
+                   else _cut_at(c.k1, c.k2, b1, b2))
+            if cut:
+                batch.append(c.recs[:cut])
+                c.consume(cut)
+        total = sum(len(b) for b in batch)
+        if len(mbuf) < total:
+            mbuf = np.empty(total + 4096, TWO_DTYPE)
+            gbuf = np.empty(total + 4096, TWO_DTYPE)
+        merged = concat_records(batch, out=mbuf)
+        order = _sort_indices(merged)
+        gathered = gather_rows(merged, order, out=gbuf)
+        # safe: writer.add copies the tail and writes full
+        # blocks before returning, retaining no reference
+        writer.add(gathered if gathered is not None else merged[order])
+
+
+def _open_readers(input_path):
     inputs = ([input_path] if isinstance(input_path, str)
               else list(input_path))
     readers = [TwoReader(p) for p in inputs]
@@ -83,6 +166,66 @@ def sort_two(input_path, output_path: str,
                 [c.name for c in reader.header.contigs]:
             raise ValueError(
                 f"{r.path}: contig list differs from {reader.path}")
+    return inputs, readers
+
+
+def merge_sorted_two(input_path, output_path: str, c_level: int = 1,
+                     threads: int = 0) -> int:
+    """K-way merge of ALREADY-SORTED .two files (presorted shards) into
+    one sorted .two: no phase-1 re-sort, one sequential pass. Each
+    input streams through the same boundary-cut batched merge the
+    external sort's phase 2 uses (reference analogue: the
+    priority-queue run merge, lib/two_reader.cpp:272-421)."""
+    timer = Timer()
+    inputs, readers = _open_readers(input_path)
+    for r in readers:
+        if r.index.state != TWK_IDX_SORTED:
+            raise ValueError(f"{r.path}: not sorted (state="
+                             f"{r.index.state}); use sort_two")
+    if not output_path.endswith(".two"):
+        output_path += ".two"
+    n_total = sum(r.n_records for r in readers)
+    log("LOG", f"Merging {len(readers)} presorted file(s), "
+        f"{pretty_int(n_total)} records (no re-sort)...", sub="SORT")
+    from ..utils.logging import stamp_literals
+    stamp_literals(readers[0].header, "sort", " ".join(inputs))
+    writer = TwoWriter(output_path, readers[0].header,
+                       c_level=c_level, state=TWK_IDX_SORTED)
+    dec_threads = min(2, os.cpu_count() or 1) if threads == 0 else threads
+    cursors = [_MergeCursor(r.blocks(threads=dec_threads))
+               for r in readers]
+    _kway_merge(cursors, writer)
+    writer.close()
+    for r in readers:
+        r.close()
+    log("LOG", f"Merged {pretty_int(n_total)} records in "
+        f"{timer.elapsed_string()}", sub="SORT")
+    return n_total
+
+
+def sort_two(input_path, output_path: str,
+             memory_limit_gb: float = 0.5, run_chunk: int = 10000,
+             c_level: int = 1, threads: int = 0) -> int:
+    """Sort one .two file -- or several header-compatible shards at
+    once (`input_path` may be a list): phase 1 streams blocks from
+    every input straight into sorted runs, so merging distributed
+    shards costs no concat round-trip through the disk (the reference
+    recipe is concat-then-sort, docs/job-balancing.md; feeding the
+    sorter directly halves the IO and is the `merge_shards` path).
+    Inputs that are ALL already sorted skip phase 1 and k-way merge
+    directly (merge_sorted_two)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    inputs, readers = _open_readers(input_path)
+    if all(r.index.state == TWK_IDX_SORTED for r in readers):
+        for r in readers:
+            r.close()
+        return merge_sorted_two(inputs, output_path, c_level=c_level,
+                                threads=threads)
+    n_threads = threads if threads > 0 else (_os.cpu_count() or 1)
+    pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
+    timer = Timer()
+    reader = readers[0]
     if not output_path.endswith(".two"):
         output_path += ".two"
 
@@ -163,101 +306,23 @@ def sort_two(input_path, output_path: str,
         stamp_literals(reader.header, "sort", " ".join(inputs))
         writer = TwoWriter(output_path, reader.header,
                            c_level=c_level, state=TWK_IDX_SORTED)
-        dctx = zstandard.ZstdDecompressor()
 
-        class RunCursor:
-            """Streams one sorted run chunk-by-chunk, keeping several
-            chunks buffered so boundary batches stay large."""
-            __slots__ = ("fh", "pos", "end", "recs", "k1", "k2",
-                         "bufs", "cur")
-            BUFFER_CHUNKS = 8
-
-            def __init__(self, path, foff, fend):
-                self.fh = open(path, "rb")
-                self.pos = foff
-                self.end = fend
-                self.recs = np.zeros(0, TWO_DTYPE)
-                self.k1 = np.zeros(0, np.uint64)
-                self.k2 = np.zeros(0, np.uint32)
-                # ping-pong record buffers: refill() concatenates the
-                # unconsumed tail with new chunks into the OTHER buffer
-                # (never overlapping its own source views) and reuses
-                # pages instead of re-faulting fresh allocations
-                self.bufs = [np.zeros(0, TWO_DTYPE),
-                             np.zeros(0, TWO_DTYPE)]
-                self.cur = 0
-                self.refill()
-
-            def refill(self):
-                parts = [self.recs]
-                for _ in range(self.BUFFER_CHUNKS):
-                    if self.pos >= self.end:
-                        break
-                    self.fh.seek(self.pos)
-                    n, nc = struct.unpack("<II", self.fh.read(8))
+        def run_chunks(foff, fend):
+            """Decompressed chunk iterator over one temp-file run."""
+            dctx = zstandard.ZstdDecompressor()
+            with open(tmp_path, "rb") as fh:
+                pos = foff
+                while pos < fend:
+                    fh.seek(pos)
+                    n, nc = struct.unpack("<II", fh.read(8))
                     data = dctx.decompress(
-                        self.fh.read(nc),
+                        fh.read(nc),
                         max_output_size=n * TWO_DTYPE.itemsize)
-                    self.pos = self.fh.tell()
-                    parts.append(np.frombuffer(data, TWO_DTYPE))
-                if len(parts) > 1:
-                    total = sum(len(p) for p in parts)
-                    dst = 1 - self.cur
-                    if len(self.bufs[dst]) < total:
-                        self.bufs[dst] = np.empty(total + 4096, TWO_DTYPE)
-                    self.recs = concat_records(parts, out=self.bufs[dst])
-                    self.cur = dst
-                    self.k1, self.k2 = _pack_keys(self.recs)
+                    pos = fh.tell()
+                    yield np.frombuffer(data, TWO_DTYPE)
 
-            def consume(self, cut: int):
-                self.recs = self.recs[cut:]
-                self.k1 = self.k1[cut:]
-                self.k2 = self.k2[cut:]
-                if len(self.recs) == 0 and self.pos < self.end:
-                    self.refill()
-
-            def exhausted(self):
-                return len(self.recs) == 0 and self.pos >= self.end
-
-        if len(runs) == 1:
-            cur = RunCursor(tmp_path, runs[0][0], runs[0][1])
-            while not cur.exhausted():
-                writer.add(cur.recs)
-                cur.consume(len(cur.recs))
-            cur.fh.close()
-        else:
-            cursors = [RunCursor(tmp_path, f, e) for f, e, _ in runs]
-            from ..native import gather_rows
-            mbuf = np.zeros(0, TWO_DTYPE)
-            gbuf = np.zeros(0, TWO_DTYPE)
-            while True:
-                live = [c for c in cursors if not c.exhausted()]
-                if not live:
-                    break
-                # safe boundary: the smallest loaded tail key -- every
-                # record <= it is already in memory across all runs
-                tails = [(c.k1[-1], c.k2[-1]) for c in live]
-                b1, b2 = min(tails)
-                batch = []
-                for c in live:
-                    cut = (len(c.recs) if (c.k1[-1], c.k2[-1]) == (b1, b2)
-                           else _cut_at(c.k1, c.k2, b1, b2))
-                    if cut:
-                        batch.append(c.recs[:cut])
-                        c.consume(cut)
-                total = sum(len(b) for b in batch)
-                if len(mbuf) < total:
-                    mbuf = np.empty(total + 4096, TWO_DTYPE)
-                    gbuf = np.empty(total + 4096, TWO_DTYPE)
-                merged = concat_records(batch, out=mbuf)
-                order = _sort_indices(merged)
-                gathered = gather_rows(merged, order, out=gbuf)
-                # safe: writer.add copies the tail and writes full
-                # blocks before returning, retaining no reference
-                writer.add(gathered if gathered is not None
-                           else merged[order])
-            for c in cursors:
-                c.fh.close()
+        cursors = [_MergeCursor(run_chunks(f, e)) for f, e, _ in runs]
+        _kway_merge(cursors, writer)
         writer.close()
     os.unlink(tmp_path)
     if pool is not None:
