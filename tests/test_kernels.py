@@ -222,3 +222,44 @@ def test_flipped_import_unphased_counts_vs_oracle(tmp_path):
             _, T_want = counts_from_codes(flipped[i], flipped[j])
             np.testing.assert_array_equal(T[i, j], T_want,
                                           err_msg=f"pair {i},{j}")
+
+
+def test_dprime_prefilter_superset_of_keep():
+    """The in-sweep D' filter (round-4: device-side survivor
+    statistics) must keep a superset of the f64 keep set for any D'
+    range, including cancellation-dominated tables it must pass
+    through untouched."""
+    from tomahawk_tpu.ops.ld_kernels import (dprime_prefilter_cells,
+                                             phased_prefilter_cells)
+    from tomahawk_tpu.ops.ld_math import LdFilters, PairMeta, phased_math
+    rng = np.random.default_rng(11)
+    # mixed scale counts incl. large (f32-inexact products) and tiny
+    cnt = np.concatenate([
+        rng.integers(0, 50, (4000, 4)),
+        rng.integers(0, 100_000, (4000, 4)),
+        rng.integers(0, 4, (4000, 4)) * rng.integers(0, 50_000, (4000, 4)),
+    ]).astype(np.int64)
+    k = len(cnt)
+    z = np.zeros(k, np.int64)
+    meta = PairMeta(pos_a=z, pos_b=z + 1, rid_a=z, rid_b=z,
+                    ac_a=cnt[:, 2] + cnt[:, 3], ac_b=cnt[:, 1] + cnt[:, 3],
+                    an_a=z, an_b=z, hwe_a=np.ones(k), hwe_b=np.ones(k))
+    cells = tuple(jnp.asarray(cnt[:, c].reshape(1, -1), jnp.int32)
+                  for c in range(4))
+    pm = jnp.ones((1, k), bool)
+    for lo, hi in [(0.2, 100.0), (0.0, 0.9), (0.5, 0.8), (-0.5, 0.5)]:
+        dev = np.array(phased_prefilter_cells(
+            cells, pm, 0.0, 100.0, lo, hi)).ravel()
+        filt = LdFilters(min_r2=0.0, min_dprime=lo, max_dprime=hi)
+        recs, kept = phased_math(cnt, meta, filt)
+        missing = set(kept.tolist()) - set(np.flatnonzero(dev).tolist())
+        assert not missing, (lo, hi, sorted(missing)[:5])
+        # and it really filters: with a non-trivial range, fewer pairs
+        # survive than with the default pass-through
+        full = np.array(phased_prefilter_cells(
+            cells, pm, 0.0, 100.0)).ravel()
+        assert dev.sum() < full.sum()
+    # direct superset property of the raw D' mask
+    dp = np.array(dprime_prefilter_cells(cells, 0.3, 0.9)).ravel()
+    assert set(kept.tolist()) <= set(np.flatnonzero(dev).tolist())
+    assert dp.dtype == bool

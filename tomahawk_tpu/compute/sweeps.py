@@ -157,20 +157,22 @@ def tile_prefilter(dev, i, j, diag, cfg):
                                        axis_name=cfg["psum_axis"]))
             m = tile_mask(dev, i, j, diag, cfg["B"], cfg["window"],
                           cfg["cls"])
+            dp = (cfg.get("min_dprime", 0.0), cfg.get("max_dprime", 100.0))
             if cfg["table"] == "phased":
                 cells = K.phased_cells(parts, dev["ac"][i], dev["ac"][j],
                                        cfg["n_samples"])
                 pf = K.phased_prefilter_cells(cells, m, cfg["min_r2"],
-                                              cfg["max_r2"])
+                                              cfg["max_r2"], *dp)
             else:
                 cells = K.unphased_cells(
                     parts, dev["n_het"][i], dev["n_hom"][i],
                     dev["n_het"][j], dev["n_hom"][j], cfg["n_samples"])
                 pf = K.unphased_prefilter_cells(cells, m, cfg["min_r2"],
-                                                cfg["max_r2"])
+                                                cfg["max_r2"], *dp)
             return pf, m, parts
     m = tile_mask(dev, i, j, diag, cfg["B"], cfg["window"], cfg["cls"])
     miss = cfg["has_missing"]
+    dp = (cfg.get("min_dprime", 0.0), cfg.get("max_dprime", 100.0))
     if cfg["table"] == "phased":
         miss_i = dev["miss_bits"][i] if miss else dev["alt_bits"][i]
         miss_j = dev["miss_bits"][j] if miss else dev["alt_bits"][j]
@@ -180,7 +182,7 @@ def tile_prefilter(dev, i, j, diag, cfg):
         cells = K.phased_cells(parts, dev["ac"][i], dev["ac"][j],
                                cfg["n_samples"])
         pf = K.phased_prefilter_cells(cells, m, cfg["min_r2"],
-                                      cfg["max_r2"])
+                                      cfg["max_r2"], *dp)
         return pf, m, parts
     val_i = dev["valid_bits"][i] if miss else dev["het_bits"][i]
     val_j = dev["valid_bits"][j] if miss else dev["het_bits"][j]
@@ -192,7 +194,7 @@ def tile_prefilter(dev, i, j, diag, cfg):
                              dev["n_het"][j], dev["n_hom"][j],
                              cfg["n_samples"])
     pf = K.unphased_prefilter_cells(cells, m, cfg["min_r2"],
-                                    cfg["max_r2"])
+                                    cfg["max_r2"], *dp)
     return pf, m, parts
 
 
@@ -277,10 +279,12 @@ def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
 
 def make_cfg(table: str, has_missing: bool, cls: str, B: int,
              n_samples: int, window: int, min_r2: float, max_r2: float,
-             psum_axis: str = None, backend: str = "xla") -> dict:
+             psum_axis: str = None, backend: str = "xla",
+             min_dprime: float = 0.0, max_dprime: float = 100.0) -> dict:
     return dict(table=table, has_missing=has_missing, cls=cls, B=B,
                 n_samples=n_samples, window=window, min_r2=min_r2,
-                max_r2=max_r2, psum_axis=psum_axis, backend=backend)
+                max_r2=max_r2, psum_axis=psum_axis, backend=backend,
+                min_dprime=min_dprime, max_dprime=max_dprime)
 
 
 def jit_count_sweep(cfg):

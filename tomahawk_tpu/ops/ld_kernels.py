@@ -212,8 +212,43 @@ def phased_r2_f32(counts):
                            counts[..., 2], counts[..., 3])
 
 
+def dprime_prefilter_cells(cells, min_dprime: float, max_dprime: float):
+    """In-sweep D' range filter (f32) for non-default D' bounds: the
+    same normalized-by-t**2 trick as the r2 test (D and Dmax share the
+    t**2 factor, so D' = d_num / dmax_num needs no marginal
+    normalization). Pairs whose f32 d_num is cancellation-dominated
+    (|rr*aa - ar*ra| within 8 ulps of the product magnitudes) are
+    passed through untouched -- their f32 D' sign/magnitude is not
+    trustworthy, and the host recomputes survivors exactly in f64
+    anyway, so the device decision only has to be a superset
+    (reference thresholds: lib/ld/ld_engine.cpp:1231-1238)."""
+    refref, refalt, altref, altalt = cells
+    rr = refref.astype(jnp.float32)
+    ra = refalt.astype(jnp.float32)
+    ar = altref.astype(jnp.float32)
+    aa = altalt.astype(jnp.float32)
+    p1, p2 = rr * aa, ar * ra
+    d_num = p1 - p2
+    # marginal products in t**2 units: dmax = D>=0 ? min(g0*h1, h0*g1)
+    #                                          : -min(g0*g1, h0*h1)
+    g0, g1 = rr + ra, ar + aa
+    h0, h1 = rr + ar, ra + aa
+    dmax_num = jnp.where(d_num >= 0,
+                         jnp.minimum(g0 * h1, h0 * g1),
+                         -jnp.minimum(g0 * g1, h0 * h1))
+    dprime = jnp.where(dmax_num != 0,
+                       d_num / jnp.where(dmax_num != 0, dmax_num, 1.0),
+                       0.0)
+    lo = jnp.float32(min_dprime) - 1e-3
+    hi = jnp.float32(max_dprime) + 1e-3
+    trusted = jnp.abs(d_num) > 8.0 * jnp.float32(1.2e-7) * (p1 + p2)
+    ok = (dprime >= lo) & (dprime <= hi)
+    return ok | ~trusted
+
+
 def phased_prefilter_cells(cells, pair_mask, min_r2: float,
-                           max_r2: float):
+                           max_r2: float, min_dprime: float = 0.0,
+                           max_dprime: float = 100.0):
     """Conservative device filter mirroring PhasedMath's integer guards
     and the r2 range with an f32 safety margin. Takes the four cell
     expressions so no [I, J, 4] tensor is ever materialized.
@@ -248,7 +283,12 @@ def phased_prefilter_cells(cells, pair_mask, min_r2: float,
         # zero-marginal tables (denom = 0 implies d_num = 0), which the
         # division form excluded via r2 = inf.
         m &= d_num != 0
-    return m & (d2 >= lo * denom) & (d2 <= hi * denom)
+    m &= (d2 >= lo * denom) & (d2 <= hi * denom)
+    if (min_dprime, max_dprime) != (0.0, 100.0):
+        # in-sweep D' filtering: only pairs inside the (guarded) D'
+        # range survive to the host when a D' filter is configured
+        m &= dprime_prefilter_cells(cells, min_dprime, max_dprime)
+    return m
 
 
 def phased_prefilter_mask(counts, pair_mask, min_r2: float, max_r2: float):
@@ -342,7 +382,8 @@ def compact_indices_small(mask, cap: int):
 
 
 def unphased_prefilter_cells(cells, pair_mask, min_r2: float,
-                             max_r2: float):
+                             max_r2: float, min_dprime: float = 0.0,
+                             max_dprime: float = 100.0):
     """Conservative device prefilter for the unphased path: an f32
     re-derivation of the reference's cubic-EM estimator
     (reference: ld_engine.cpp:1312-1740) that passes a pair when ANY
@@ -373,6 +414,12 @@ def unphased_prefilter_cells(cells, pair_mask, min_r2: float,
     r2_fold = phased_r2_cells(refref, refalt, altref, altalt)
     t = refref + refalt + altref + altalt
     fold_ok = (t >= 5) & (r2_fold >= lo) & (r2_fold <= hi)
+    if (min_dprime, max_dprime) != (0.0, 100.0):
+        # the fold case has an exact phased table, so the in-sweep D'
+        # filter applies; the EM case stays a pass-through superset
+        # (D' varies with the root choice, which the host makes)
+        fold_ok &= dprime_prefilter_cells(
+            (refref, refalt, altref, altalt), min_dprime, max_dprime)
 
     # ---- EM case: exact r2 range over the plausible f11 interval ----
     # D(f11) = f11*f22 - f12*f21 collapses to f11 - p*q (linear!), so
