@@ -29,12 +29,24 @@ class TestRouteDecision:
     def test_explicit_device_wins(self):
         assert not _route_backend(_settings(backend="device"), 1, 2, 1)
 
-    def test_distributed_never_routes(self):
-        assert not _route_backend(_settings(backend="auto"), 1, 2, 4)
+    def test_distributed_routes_like_single_process(self, monkeypatch):
+        """Round 4: distributed tile-partition processes route their
+        own (per-process) partitions; only a dcn mesh is device-only."""
+        import jax
+        plat = jax.local_devices()[0].platform
+        if plat in ("tpu", "axon"):
+            monkeypatch.setenv("TWK_CPU_ROUTE_WORK", "1e9")
+            assert _route_backend(_settings(backend="auto"), 10**6, 64, 4)
+        # forced cpu is honored in distributed mode
+        assert _route_backend(_settings(backend="cpu"), 1, 2, 4)
 
-    def test_distributed_rejects_forced_cpu(self):
+    def test_dcn_never_routes(self):
+        assert not _route_backend(_settings(backend="auto"), 1, 2, 4,
+                                  dcn=True)
+
+    def test_dcn_rejects_forced_cpu(self):
         with pytest.raises(ValueError):
-            _route_backend(_settings(backend="cpu"), 1, 2, 4)
+            _route_backend(_settings(backend="cpu"), 1, 2, 4, dcn=True)
 
     def test_explicit_mesh_wins(self):
         assert not _route_backend(

@@ -127,18 +127,22 @@ def test_checkpoint_config_mismatch(tmp_path, archive, monkeypatch):
         compute_ld(_settings(archive, out, ckpt, min_r2=0.5))
 
 
-def test_checkpoint_rejects_stdout_and_distributed(tmp_path, archive,
-                                                   monkeypatch):
+def test_checkpoint_rejects_stdout_and_dcn(tmp_path, archive,
+                                           monkeypatch):
     with pytest.raises(ValueError, match="file output"):
         compute_ld(_settings(archive, "-", str(tmp_path / "c.ckpt")))
 
-    # distributed + checkpoint must refuse (shards retry at shard
-    # granularity); fake the rendezvous so no real process group spawns
+    # a dcn mesh cannot checkpoint (every process runs the same
+    # collective program -- no process can skip segments independently);
+    # tile-partition distributed runs checkpoint per process instead.
+    # Fake the rendezvous so no real process group spawns; the refusal
+    # must fire before any mesh/device work.
     from tomahawk_tpu.parallel import distributed as dist
     monkeypatch.setattr(dist, "init_distributed", lambda *a: (0, 2))
-    with pytest.raises(ValueError, match="single-process"):
+    with pytest.raises(ValueError, match="dcn mesh"):
         compute_ld(_settings(archive, str(tmp_path / "o.two"),
-                             str(tmp_path / "c.ckpt"), distributed=True))
+                             str(tmp_path / "c.ckpt"), distributed=True,
+                             mesh="dcn"))
 
 
 def test_checkpoint_rejects_output_change(tmp_path, archive, monkeypatch):

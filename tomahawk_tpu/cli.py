@@ -101,6 +101,11 @@ def _add_calc(sub):
                    help="multi-host run via jax.distributed: tiles are "
                    "round-robined across processes, each writes a .two "
                    "shard; merge with concat + sort")
+    p.add_argument("--sort-shards", action="store_true",
+                   help="sort this run's output (shard) in place "
+                   "before exiting, so a distributed run's shards "
+                   "k-way merge in one pass (no re-sort) via "
+                   "merge_shards / twk sort")
     p.add_argument("--coordinator", default="",
                    help="coordinator host:port (default: jax "
                    "auto-detection, e.g. on TPU pods)")
@@ -110,7 +115,8 @@ def _add_calc(sub):
                    help="sidecar state file for in-run checkpoint/"
                    "resume: if it exists the run resumes after the "
                    "last checkpointed sweep segment; deleted on "
-                   "success (single-process runs)")
+                   "success (distributed runs keep one sidecar per "
+                   "process)")
     p.add_argument("--checkpoint-interval", type=float, default=60.0,
                    help="seconds between checkpoints")
     p.add_argument("--sweep-segment", type=int, default=4096,
@@ -148,6 +154,7 @@ def _cmd_calc(args):
         checkpoint=args.checkpoint,
         checkpoint_interval=args.checkpoint_interval,
         sweep_segment=args.sweep_segment,
+        sort_shards=args.sort_shards,
         stage_prefetch=not args.no_stage_prefetch)
     compute_ld(s)
     return 0

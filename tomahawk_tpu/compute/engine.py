@@ -108,15 +108,28 @@ class CalcSettings:
     # state file. If it exists, the run resumes after the last
     # checkpointed sweep segment, truncating the output to the
     # checkpointed offset; it is deleted on successful completion.
-    # Single-process runs only.
+    # Distributed tile-partition runs checkpoint per process (sidecar
+    # `<path>.pKofN`, each shard resumes independently behind a resume
+    # barrier); a dcn mesh cannot checkpoint (collective program order
+    # cannot skip segments per process).
     checkpoint: str = ""
     checkpoint_interval: float = 60.0   # seconds between checkpoints
     # banded (low-memory) runs: inflate + upload the NEXT load's band
     # on a background worker while the current load computes, hiding
     # host->device staging behind the sweep. Splits the plane budget 3
     # ways instead of 2 (the third slot holds the in-flight band).
-    # Single-process runs only (global-array creation is collective).
+    # Works in distributed tile-partition mode (each process stages its
+    # own next band); a dcn mesh stays on-demand -- global-array
+    # creation is collective and must run on the main thread in
+    # program order.
     stage_prefetch: bool = True
+    # sort this run's output (shard) in place before returning: in
+    # distributed mode every process then ships a PRESORTED shard, so
+    # `merge_shards` skips its re-sort phase and k-way merges the
+    # shards in one sequential pass (the reference's phase-2 merge over
+    # presorted runs, lib/two_reader.cpp:272-421) -- phase-1 sort work
+    # parallelizes across the processes that produced the shards.
+    sort_shards: bool = False
 
 
 @dataclass
@@ -124,6 +137,10 @@ class CalcResult:
     n_pairs: int = 0
     n_records: int = 0
     elapsed: float = 0.0
+    # banded-run staging telemetry (LdEngine.stage_stats): upload time
+    # hidden behind compute vs exposed on the main thread, bytes moved,
+    # bands prefetched by the background worker vs loaded on demand
+    stage_stats: dict = None
 
     @property
     def pairs_per_sec(self) -> float:
@@ -274,6 +291,11 @@ class LdEngine:
         self.ticker = None           # optional ProgressTicker
         # fused-sweep survivor buffer, grown when a segment spills
         self._outcap = 1 << 18
+        # per-tile survivor cap for the fused sweep, raised when tiles
+        # overflow it (record-dense regimes): the repair sweep re-runs
+        # the overflowed tiles' full MXU contractions, so chronic
+        # overflow nearly doubles device work on hit tiles
+        self._fused_cap = self.FUSED_CAP
         self._prefetched = None      # one-segment sweep lookahead
         self._prefetch_enabled = True
         # after a force-time failure disables prefetch, this many
@@ -595,7 +617,9 @@ class LdEngine:
         return self.sweeps.make_cfg(
             table, has_missing, cls, self.B, self.n_samples, self.window,
             self.settings.min_r2, self.settings.max_r2,
-            backend=self._resolve_backend())
+            backend=self._resolve_backend(),
+            min_dprime=self.settings.min_dprime,
+            max_dprime=self.settings.max_dprime)
 
     def _extract_fn(self, table, has_missing, cls, cap, outcap):
         key = (table, has_missing, cls, cap, outcap)
@@ -654,7 +678,7 @@ class LdEngine:
         processed in fixed-size segments (one compiled shape for runs of
         any size; progress advances between segments). Returns the
         number of candidate pairs evaluated."""
-        seg = max(self.settings.sweep_segment, 16 * self.n_pair_shards)
+        seg = self._segment_size(len(tiles))
         starts = [s for s in range(0, len(tiles), seg)]
         n = 0
         for i, s in enumerate(starts):
@@ -678,8 +702,30 @@ class LdEngine:
         return n
 
     # survivors extracted per tile inside the fused sweep; tiles with
-    # more go through the exact-offset repair pass
+    # more go through the exact-offset repair pass. The cap adapts
+    # upward (see _run_segment) when a run's tiles overflow it.
     FUSED_CAP = 256
+    FUSED_CAP_MAX = 32768
+
+    # target sweep segments per tile group: transfer + host math of
+    # segment k overlap the device sweep of segment k+1 (the lookahead
+    # in run_group), so a group swept as ONE segment serializes the
+    # whole host pipeline after the sweep -- the round-3 dense-output
+    # ceiling. Splitting into ~8 segments hides all but the last
+    # segment's host work behind device compute.
+    PIPELINE_SEGMENTS = 8
+
+    def _segment_size(self, n_tiles: int) -> int:
+        """Resolved sweep segment size for an n_tiles group: at most
+        settings.sweep_segment, at least one 16*n_shards quantum, and
+        small enough to split the group into ~PIPELINE_SEGMENTS pieces
+        (deterministic in (n_tiles, settings, mesh shape) -- checkpoint
+        segment counting depends on that)."""
+        quant = 16 * self.n_pair_shards
+        seg = max(self.settings.sweep_segment, quant)
+        want = -(-n_tiles // self.PIPELINE_SEGMENTS)
+        want = _round_up(want, quant)
+        return max(quant, min(seg, want))
 
     @staticmethod
     def _seg_key(tiles, table, has_missing, cls):
@@ -699,7 +745,7 @@ class LdEngine:
         live = np_.array([True] * len(tiles) + [False] * pad, bool)
 
         dev = self._dev_for(self._cfg(table, has_missing, cls))
-        cap = min(self.FUSED_CAP, self.B * self.B)
+        cap = min(self._fused_cap, self.B * self.B)
         outcap = max(self._outcap, cap * 2)
 
         if not getattr(self, "_warmed", None):
@@ -883,6 +929,14 @@ class LdEngine:
             # at least one tile spilled the shared buffer (rather than
             # overflowing the per-tile cap): grow it for later segments
             self._outcap = min(self._outcap * 4, 1 << 23)
+        if len(bad):
+            over = int(n_pass[bad].max())
+            if over > cap:
+                # adapt the fused cap so later segments in this regime
+                # compact in-pass instead of paying the repair re-sweep
+                self._fused_cap = min(_bucket(over, self.FUSED_CAP),
+                                      self.FUSED_CAP_MAX,
+                                      self.B * self.B)
         if len(bad):
             ns_bad = n_pass[bad]
             rcap = min(_bucket(int(ns_bad.max()), 1024), self.B * self.B)
@@ -1162,7 +1216,8 @@ def _plan_loads(super_ids, pairs, budget_supers: int, parts: int = 2):
 
 
 def _route_backend(settings: CalcSettings, est_pairs: int,
-                   n_samples: int, n_procs: int) -> bool:
+                   n_samples: int, n_procs: int,
+                   dcn: bool = False) -> bool:
     """True when this run should execute on the XLA CPU backend.
 
     The device path pays a fixed compile + dispatch price (seconds on a
@@ -1176,9 +1231,13 @@ def _route_backend(settings: CalcSettings, est_pairs: int,
     TWK_CPU_ROUTE_WORK env var (unit: pair-haplotype ops)."""
     import os
     b = getattr(settings, "backend", "auto")
-    if n_procs > 1:
+    if dcn:
+        # the dcn mesh's purpose is device planes sharded over
+        # processes; routing to host CPU would defeat it
         if b == "cpu":
-            raise ValueError("--backend cpu is single-process only")
+            raise ValueError("--backend cpu is incompatible with a dcn "
+                             "mesh (its device planes span processes); "
+                             "use the default distributed mode")
         return False
     if b == "cpu":
         return True
@@ -1198,7 +1257,8 @@ def _route_backend(settings: CalcSettings, est_pairs: int,
     return work < limit
 
 
-def _ckpt_config_key(settings: CalcSettings, seg_effective: int) -> str:
+def _ckpt_config_key(settings: CalcSettings, seg_effective: int,
+                     proc_id: int = 0, n_procs: int = 1) -> str:
     """Fingerprint of everything that determines the dispatch plan and
     the output stream; a resume under a different key would silently
     mix incompatible runs, so it is rejected. `seg_effective` is the
@@ -1210,6 +1270,11 @@ def _ckpt_config_key(settings: CalcSettings, seg_effective: int) -> str:
     import os as _os
     st = _os.stat(settings.input)
     fields = dict(
+        # bump when the segment-size derivation changes (run_group
+        # splits groups into ~PIPELINE_SEGMENTS pieces since round 4):
+        # resumed runs must count segments identically
+        plan=2,
+        proc=f"{proc_id}/{n_procs}",
         input=_os.path.abspath(settings.input), size=st.st_size,
         mtime=st.st_mtime,
         output=_os.path.abspath(settings.output),
@@ -1328,6 +1393,20 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # output file (written by process 0). Default distributed mode
     # partitions the tile grid instead, with per-process shards.
     dcn = n_procs > 1 and settings.mesh.split(":")[0] == "dcn"
+    # checkpoint validation, before any mesh/device work: a dcn mesh
+    # cannot checkpoint (every process runs the same collective program,
+    # so no process can skip segments independently), and resume needs a
+    # seekable file output
+    if settings.checkpoint:
+        if dcn:
+            raise ValueError(
+                "checkpointing is unsupported on a dcn mesh (every "
+                "process runs the same collective program, so no "
+                "process can skip segments independently); use the "
+                "default distributed mode, which checkpoints per "
+                "process")
+        if settings.output == "-":
+            raise ValueError("checkpointing needs a file output")
     if n_procs > 1 and not dcn:
         pairs, touched = dist.partition_tiles(pairs, proc_id, n_procs)
         # only this process's supers need loading
@@ -1338,7 +1417,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # upper-bound pair estimate (ETA + backend routing; diagonal tiles
     # carry ~half a tile's pairs)
     est = sum(B * (B - 1) // 2 if d else B * B for _, _, d in pairs)
-    cpu_route = _route_backend(settings, est, n_samples, n_procs)
+    cpu_route = _route_backend(settings, est, n_samples, n_procs, dcn)
     if cpu_route:
         import jax as _jax_rt
         log("LOG", f"Workload below the device crossover "
@@ -1370,7 +1449,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # staging prefetch needs a third resident band slot (the in-flight
     # upload) -- bands shrink to budget/3 so peak residency stays
     # inside the budget
-    prefetch_on = settings.stage_prefetch and n_procs == 1 \
+    prefetch_on = settings.stage_prefetch and not dcn \
         and len(super_ids) > budget
     bands, loads = _plan_loads(super_ids, pairs, budget,
                                parts=3 if prefetch_on else 2)
@@ -1401,26 +1480,31 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                      f"##tomahawk_tpu_calcCommand=calc; "
                      f"Date={datetime.datetime.now().isoformat()}\n")
 
-    # in-run checkpoint/resume (single-process only)
+    # in-run checkpoint/resume; distributed tile-partition runs keep a
+    # sidecar PER PROCESS (each shard's segment stream is independent)
     import os as _os_ck
     ck = None
     ck_key = ""
+    ck_path = settings.checkpoint
     if settings.checkpoint:
         if n_procs > 1:
-            raise ValueError("checkpointing is single-process only "
-                             "(distributed runs retry at shard "
-                             "granularity)")
-        if out == "-":
-            raise ValueError("checkpointing needs a file output")
+            ck_path = f"{settings.checkpoint}.p{proc_id}of{n_procs}"
         seg_eff = max(settings.sweep_segment,
                       16 * (1 if mesh is None else mesh.shape["pairs"]))
-        ck_key = _ckpt_config_key(settings, seg_eff)
-        if _os_ck.path.exists(settings.checkpoint):
-            ck = _ckpt_read(settings.checkpoint, ck_key)
-            log("LOG", f"Resuming from {settings.checkpoint}: "
+        ck_key = _ckpt_config_key(settings, seg_eff, proc_id, n_procs)
+        if _os_ck.path.exists(ck_path):
+            ck = _ckpt_read(ck_path, ck_key)
+            log("LOG", f"Resuming from {ck_path}: "
                 f"{ck['units']} segments, "
                 f"{pretty_int(ck['n_records'])} records already on "
                 f"disk", sub="CKPT")
+        if n_procs > 1:
+            # resume barrier: no process proceeds until every process
+            # has read and key-validated its sidecar, so a
+            # partially-restarted job fails loudly at the rendezvous
+            # instead of mixing run generations
+            import jax.experimental.multihost_utils as mhu
+            mhu.sync_global_devices("twk_calc_resume_barrier")
 
     # dcn: every process derives identical records (counts are
     # samples-replicated); only process 0 writes the single output
@@ -1522,7 +1606,7 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                     if now - last_ck[0] < settings.checkpoint_interval:
                         return
                     last_ck[0] = now
-                    _ckpt_write(settings.checkpoint, ck_key,
+                    _ckpt_write(ck_path, ck_key,
                                 engine.units_done, engine.cand_total,
                                 result.n_records, load_cum,
                                 writer.checkpoint_state())
@@ -1565,6 +1649,10 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
             _cpu_ctx.__exit__(None, None, None)
     all_stats = engine.stats if engine is not None \
         else (native_stats or {})
+    if engine is not None:
+        result.stage_stats = dict(engine.stage_stats,
+                                  n_loads=len(loads),
+                                  n_uploads=engine.n_band_uploads)
     if engine is not None and len(loads) > 1:
         ss = engine.stage_stats
         log("LOG", f"Band uploads: {engine.n_band_uploads} device plane "
@@ -1578,9 +1666,17 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         pool.shutdown()
     if writer is not None:
         writer.close()
-    if settings.checkpoint and _os_ck.path.exists(settings.checkpoint):
+    if writer is not None and settings.sort_shards and out != "-":
+        from ..post.sort import sort_two as _shard_sort
+        tmp_sorted = (out[:-4] if out.endswith(".two") else out) \
+            + ".sorting.two"
+        _shard_sort(out, tmp_sorted, threads=settings.threads)
+        _os_ck.replace(tmp_sorted, out)
+        log("LOG", f"Shard {out} sorted in place (presorted merge "
+            f"ready)", sub="SORT")
+    if settings.checkpoint and _os_ck.path.exists(ck_path):
         # the output is complete and footered; the sidecar is obsolete
-        _os_ck.remove(settings.checkpoint)
+        _os_ck.remove(ck_path)
     if n_procs > 1:
         # every shard exists before any process returns, so a driving
         # script can merge immediately after rank 0 finishes
