@@ -9,6 +9,13 @@ processes instead: each process holds half of every genotype plane,
 counts psum over the process boundary, and process 0 writes the ONE
 output file.
 
+Env knobs (the kill/resume + banded-staging distributed tests):
+  TWK_WORKER_CHECKPOINT   checkpoint sidecar base path (per-process
+                          suffixes are added by compute_ld)
+  TWK_WORKER_CRASH_AFTER  os._exit(3) after this many sweep segments
+                          (simulated kill; checkpoints every segment)
+  TWK_WORKER_SEGMENT      sweep_segment override (default 16)
+
 Run: python dist_calc_worker.py <proc_id> <port> <in.twk> <out_base> [mesh]
 """
 
@@ -31,13 +38,48 @@ import jax  # noqa: E402
 
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
-from tomahawk_tpu.compute.engine import CalcSettings, compute_ld  # noqa: E402
+from tomahawk_tpu.compute.engine import (CalcSettings, LdEngine,  # noqa: E402
+                                         compute_ld)
+
+ckpt = os.environ.get("TWK_WORKER_CHECKPOINT", "")
+crash_after = int(os.environ.get("TWK_WORKER_CRASH_AFTER", "0"))
+if crash_after:
+    _orig = LdEngine._run_segment
+    _n = [0]
+
+    def _crashing(self, *a, **kw):
+        if _n[0] >= crash_after:
+            # wait for the PEER's sidecar before dying: process 0 is
+            # the jax.distributed coordinator, so its exit tears the
+            # other process down through the coordination service --
+            # without this gate the peer could die before writing any
+            # checkpoint and the resume test would race
+            if ckpt:
+                import time
+                peer = f"{ckpt}.p{1 - proc_id}of2"
+                deadline = time.time() + 120
+                while not os.path.exists(peer) and time.time() < deadline:
+                    time.sleep(0.05)
+            sys.stdout.flush()
+            os._exit(3)   # hard kill: no cleanup, like SIGKILL
+        _n[0] += 1
+        return _orig(self, *a, **kw)
+
+    LdEngine._run_segment = _crashing
 
 res = compute_ld(CalcSettings(
     input=twk, output=out_base, min_r2=0.0, min_p=1.0, mesh=mesh,
     tile_rows=16,    # many tiles, so the round-robin split is exercised
+    sweep_segment=int(os.environ.get("TWK_WORKER_SEGMENT", "16")),
     memory_gb=memory_gb, distributed=True,
+    checkpoint=ckpt, checkpoint_interval=0.0,
     coordinator=f"127.0.0.1:{port}",
     num_processes=2, process_id=proc_id))
 
-print(f"DIST_CALC_OK proc={proc_id} records={res.n_records}")
+ss = res.stage_stats or {}
+print(f"DIST_CALC_OK proc={proc_id} records={res.n_records} "
+      f"pairs={res.n_pairs} elapsed={res.elapsed:.3f} "
+      f"loads={ss.get('n_loads', 0)} "
+      f"prefetched={ss.get('n_prefetched', 0)} "
+      f"hidden_s={ss.get('hidden_s', 0.0):.4f} "
+      f"blocking={ss.get('n_blocking', 0)}")
