@@ -662,13 +662,22 @@ class LdEngine:
         """Host copy of rows [lo, hi) of a sweep output buffer. dcn
         mode reads from the addressable replica of the owning 'pairs'
         shard (outputs are samples-replicated by the psum)."""
+        return np.asarray(self._buf_slice(buf, lo, hi))
+
+    def _buf_slice(self, buf, lo, hi):
+        """ASYNC device slice of rows [lo, hi) of a sweep output buffer
+        (no host transfer). Enqueueing the slice op BEFORE the next
+        segment's sweep is dispatched is what lets the host transfer
+        overlap that sweep -- a slice enqueued after it would wait for
+        the whole sweep to finish (the round-3 dense-output
+        serialization)."""
         if not self._multiproc:
-            return np.asarray(buf[lo:hi])
+            return buf[lo:hi]
         for sh in buf.addressable_shards:
             start = sh.index[0].start or 0
             stop = start + sh.data.shape[0]
             if start <= lo and hi <= stop:
-                return np.asarray(sh.data[lo - start:hi - start])
+                return sh.data[lo - start:hi - start]
         raise AssertionError(f"rows [{lo},{hi}) span no addressable "
                              f"shard of {buf.shape}")
 
@@ -813,17 +822,28 @@ class LdEngine:
             self._prefetched = None
         else:
             st = self._dispatch_fused(tiles, table, has_missing, cls)
-        # queue the NEXT segment on the device before forcing this one
-        # (skipped while the survivor buffer is huge: two in-flight
-        # buffers at the 1<<23 growth cap would hold ~2/3 GB of HBM;
-        # also skipped when HBM headroom can't hold a second sweep's
-        # transient workspace -- the memory-banded huge-N regime)
-        if prefetch is not None and self._prefetch_enabled \
-                and self._outcap <= (1 << 21) \
-                and self._prefetch_headroom_ok():
-            self._prefetched = (
-                self._seg_key(prefetch, table, has_missing, cls),
-                self._dispatch_fused(prefetch, table, has_missing, cls))
+
+        def queue_prefetch():
+            # queue the NEXT segment's sweep. Called only after THIS
+            # segment's extraction ops (survivor-slice + repair
+            # dispatches) are enqueued, so their host transfers run
+            # AHEAD of the next sweep and overlap it -- a slice
+            # enqueued after the sweep waits for the whole sweep
+            # (device programs execute in dispatch order), which
+            # serialized the dense-output regimes in round 3.
+            # Skipped while the survivor buffer is huge (two in-flight
+            # buffers at the 1<<23 growth cap would hold ~2/3 GB of
+            # HBM) and when HBM headroom can't hold a second sweep's
+            # transient workspace (the memory-banded huge-N regime).
+            if prefetch is not None and self._prefetch_enabled \
+                    and self._prefetched is None \
+                    and self._outcap <= (1 << 21) \
+                    and self._prefetch_headroom_ok():
+                self._prefetched = (
+                    self._seg_key(prefetch, table, has_missing, cls),
+                    self._dispatch_fused(prefetch, table, has_missing,
+                                         cls))
+
         try:
             n_pass = np_.asarray(st["n_pass"])
             n_cand = np_.asarray(st["n_cand"])
@@ -890,6 +910,7 @@ class LdEngine:
         stat["n_cand"] += total_cand
         self.cand_total += total_cand
         if int(n_pass.sum()) == 0:
+            queue_prefetch()
             if self.ticker:
                 self.ticker.add(pairs=total_cand)
             return total_cand
@@ -909,19 +930,19 @@ class LdEngine:
             (offs - shard_of * outcap + n_pass <= boundary)
         ok &= live
 
-        # fetch the intact prefix of every shard buffer in one slice
-        rows_by_tile = {}
+        # enqueue the intact prefix of every shard buffer as one ASYNC
+        # device slice (no transfer yet)
         t0 = _time.perf_counter()
+        slice_handles = []
         for s in range(S):
             sl = slice(s * per_shard, (s + 1) * per_shard)
             sel = np_.flatnonzero(ok[sl] & (n_pass[sl] > 0)) + s * per_shard
             if len(sel) == 0:
                 continue
             end = int(offs[sel[-1]] + n_pass[sel[-1]]) - s * outcap
-            shard_buf = self._buf_rows(buf, s * outcap, s * outcap + end)
-            for t in sel:
-                lo = int(offs[t]) - s * outcap
-                rows_by_tile[int(t)] = shard_buf[lo:lo + int(n_pass[t])]
+            slice_handles.append(
+                (s, sel,
+                 self._buf_slice(buf, s * outcap, s * outcap + end)))
 
         # repair pass: tiles that overflowed cap or spilled the buffer
         bad = np_.flatnonzero(live & (n_pass > 0) & ~ok)
@@ -937,6 +958,7 @@ class LdEngine:
                 self._fused_cap = min(_bucket(over, self.FUSED_CAP),
                                       self.FUSED_CAP_MAX,
                                       self.B * self.B)
+        repair_handles = []
         if len(bad):
             ns_bad = n_pass[bad]
             rcap = min(_bucket(int(ns_bad.max()), 1024), self.B * self.B)
@@ -960,16 +982,29 @@ class LdEngine:
             rbuf = self._extract_fn(table, has_missing, cls, rcap,
                                     routcap)(
                 dev, *self._tiles_in(hpi, hpj, hdg, hoff))
-            for s, g in enumerate(groups):
-                if not len(g):
-                    continue
-                shard_buf = self._buf_rows(
-                    rbuf, s * routcap, s * routcap + totals[s])
-                o = 0
-                for gi in g:
-                    t = int(bad[gi])
-                    rows_by_tile[t] = shard_buf[o:o + int(ns_bad[gi])]
-                    o += int(ns_bad[gi])
+            repair_handles = [
+                (g, self._buf_slice(rbuf, s * routcap,
+                                    s * routcap + totals[s]))
+                for s, g in enumerate(groups) if len(g)]
+
+        # with this segment's extraction ops in the device queue, the
+        # next sweep can follow them; the np.asarray transfers below
+        # then overlap it
+        queue_prefetch()
+
+        rows_by_tile = {}
+        for s, sel, handle in slice_handles:
+            shard_buf = np_.asarray(handle)
+            for t in sel:
+                lo = int(offs[t]) - s * outcap
+                rows_by_tile[int(t)] = shard_buf[lo:lo + int(n_pass[t])]
+        for g, handle in repair_handles:
+            shard_buf = np_.asarray(handle)
+            o = 0
+            for gi in g:
+                t = int(bad[gi])
+                rows_by_tile[t] = shard_buf[o:o + int(ns_bad[gi])]
+                o += int(ns_bad[gi])
         stat["extract_s"] += _time.perf_counter() - t0
 
         hit = np_.array(sorted(rows_by_tile), np_.int64)

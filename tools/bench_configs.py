@@ -122,10 +122,14 @@ def config3(n_blocks=13, B=4096, n_samples=10_000):
         engine.run_unphased_pairs(pairs, False, filt, emit)
         return time.perf_counter() - t
 
+    def snap():
+        return {k: dict(s) for k, s in engine.stats.items()}
+
     wdt = run()
     print(f"# warmup (incl. compile): {wdt:.1f}s", flush=True)
     best = None
     for rep in range(2):
+        before = snap()
         dt = run()
         rate = n_pairs / dt
         best = rate if best is None else max(best, rate)
@@ -133,6 +137,13 @@ def config3(n_blocks=13, B=4096, n_samples=10_000):
               f"({n_rec[0]} records, "
               f"{rate / REF_ALLVSALL:.0f}x the reference's phased "
               f"8-thread rate)", flush=True)
+        for k, s in engine.stats.items():
+            b = before.get(k, {})
+            parts = " ".join(
+                f"{f}={s.get(f, 0.0) - b.get(f, 0.0):.2f}s"
+                for f in ("count_s", "extract_s", "math_s")
+                if isinstance(s.get(f), float))
+            print(f"#     rep{rep} {k}: {parts}", flush=True)
     for k, s in engine.stats.items():
         print(f"#   {k}: tiles={s['n_tiles']} sweep={s['count_s']:.1f}s "
               f"extract={s['extract_s']:.1f}s math={s['math_s']:.1f}s",
