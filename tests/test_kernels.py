@@ -259,7 +259,9 @@ def test_dprime_prefilter_superset_of_keep():
         full = np.array(phased_prefilter_cells(
             cells, pm, 0.0, 100.0)).ravel()
         assert dev.sum() < full.sum()
-    # direct superset property of the raw D' mask
+    # direct superset property of the raw D' mask at (0.3, 0.9)
     dp = np.array(dprime_prefilter_cells(cells, 0.3, 0.9)).ravel()
-    assert set(kept.tolist()) <= set(np.flatnonzero(dev).tolist())
     assert dp.dtype == bool
+    _, kept_dp = phased_math(
+        cnt, meta, LdFilters(min_r2=0.0, min_dprime=0.3, max_dprime=0.9))
+    assert set(kept_dp.tolist()) <= set(np.flatnonzero(dp).tolist())

@@ -1701,6 +1701,12 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         pool.shutdown()
     if writer is not None:
         writer.close()
+    if settings.checkpoint and _os_ck.path.exists(ck_path):
+        # the output is complete and footered; the sidecar is obsolete.
+        # Remove it BEFORE the in-place shard sort below: a crash
+        # mid-sort must restart from scratch, not resume a stale
+        # writer offset against the rewritten (sorted) block layout
+        _os_ck.remove(ck_path)
     if writer is not None and settings.sort_shards and out != "-":
         from ..post.sort import sort_two as _shard_sort
         tmp_sorted = (out[:-4] if out.endswith(".two") else out) \
@@ -1709,9 +1715,6 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         _os_ck.replace(tmp_sorted, out)
         log("LOG", f"Shard {out} sorted in place (presorted merge "
             f"ready)", sub="SORT")
-    if settings.checkpoint and _os_ck.path.exists(ck_path):
-        # the output is complete and footered; the sidecar is obsolete
-        _os_ck.remove(ck_path)
     if n_procs > 1:
         # every shard exists before any process returns, so a driving
         # script can merge immediately after rank 0 finishes

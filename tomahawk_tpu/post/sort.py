@@ -170,34 +170,47 @@ def _open_readers(input_path):
 
 
 def merge_sorted_two(input_path, output_path: str, c_level: int = 1,
-                     threads: int = 0) -> int:
+                     threads: int = 0, _readers=None) -> int:
     """K-way merge of ALREADY-SORTED .two files (presorted shards) into
     one sorted .two: no phase-1 re-sort, one sequential pass. Each
     input streams through the same boundary-cut batched merge the
     external sort's phase 2 uses (reference analogue: the
-    priority-queue run merge, lib/two_reader.cpp:272-421)."""
+    priority-queue run merge, lib/two_reader.cpp:272-421).
+
+    `_readers`: already-open TwoReaders for input_path (sort_two hands
+    its own over instead of paying a second open/header parse). The
+    readers are closed here in every path, including validation
+    errors."""
     timer = Timer()
-    inputs, readers = _open_readers(input_path)
-    for r in readers:
-        if r.index.state != TWK_IDX_SORTED:
-            raise ValueError(f"{r.path}: not sorted (state="
-                             f"{r.index.state}); use sort_two")
-    if not output_path.endswith(".two"):
-        output_path += ".two"
-    n_total = sum(r.n_records for r in readers)
-    log("LOG", f"Merging {len(readers)} presorted file(s), "
-        f"{pretty_int(n_total)} records (no re-sort)...", sub="SORT")
-    from ..utils.logging import stamp_literals
-    stamp_literals(readers[0].header, "sort", " ".join(inputs))
-    writer = TwoWriter(output_path, readers[0].header,
-                       c_level=c_level, state=TWK_IDX_SORTED)
-    dec_threads = min(2, os.cpu_count() or 1) if threads == 0 else threads
-    cursors = [_MergeCursor(r.blocks(threads=dec_threads))
-               for r in readers]
-    _kway_merge(cursors, writer)
-    writer.close()
-    for r in readers:
-        r.close()
+    if _readers is not None:
+        inputs = ([input_path] if isinstance(input_path, str)
+                  else list(input_path))
+        readers = _readers
+    else:
+        inputs, readers = _open_readers(input_path)
+    try:
+        for r in readers:
+            if r.index.state != TWK_IDX_SORTED:
+                raise ValueError(f"{r.path}: not sorted (state="
+                                 f"{r.index.state}); use sort_two")
+        if not output_path.endswith(".two"):
+            output_path += ".two"
+        n_total = sum(r.n_records for r in readers)
+        log("LOG", f"Merging {len(readers)} presorted file(s), "
+            f"{pretty_int(n_total)} records (no re-sort)...", sub="SORT")
+        from ..utils.logging import stamp_literals
+        stamp_literals(readers[0].header, "sort", " ".join(inputs))
+        writer = TwoWriter(output_path, readers[0].header,
+                           c_level=c_level, state=TWK_IDX_SORTED)
+        dec_threads = min(2, os.cpu_count() or 1) if threads == 0 \
+            else threads
+        cursors = [_MergeCursor(r.blocks(threads=dec_threads))
+                   for r in readers]
+        _kway_merge(cursors, writer)
+        writer.close()
+    finally:
+        for r in readers:
+            r.close()
     log("LOG", f"Merged {pretty_int(n_total)} records in "
         f"{timer.elapsed_string()}", sub="SORT")
     return n_total
@@ -218,10 +231,10 @@ def sort_two(input_path, output_path: str,
     from concurrent.futures import ThreadPoolExecutor
     inputs, readers = _open_readers(input_path)
     if all(r.index.state == TWK_IDX_SORTED for r in readers):
-        for r in readers:
-            r.close()
+        # hand the open readers over (no second open/header parse);
+        # merge_sorted_two closes them in every path
         return merge_sorted_two(inputs, output_path, c_level=c_level,
-                                threads=threads)
+                                threads=threads, _readers=readers)
     n_threads = threads if threads > 0 else (_os.cpu_count() or 1)
     pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
     timer = Timer()
