@@ -296,21 +296,26 @@ class LdEngine:
         # the overflowed tiles' full MXU contractions, so chronic
         # overflow nearly doubles device work on hit tiles
         self._fused_cap = self.FUSED_CAP
-        self._prefetched = None      # one-segment sweep lookahead
-        self._prefetch_enabled = True
-        # after a force-time failure disables prefetch, this many
-        # consecutive successful serial segments re-enable it: the
-        # failure may have been a one-off transient (tunneled devices
-        # report no usable memory_stats, so the headroom gate can't
-        # tell), and a permanently serial run leaves the device idle
-        # during host math
-        self._prefetch_retry_after = 8
+        # segment pipeline (run_group): a single consumer thread
+        # processes dispatched segments in order while the main thread
+        # keeps the device queue fed. After a consumer failure the run
+        # degrades to serial; this many consecutive clean serial
+        # segments re-enable pipelining (each disable doubles the
+        # threshold, so a genuinely memory-tight run converges serial)
+        self._pipeline_enabled = True
+        self._pipeline_retry_after = 8
         self._serial_ok_streak = 0
+        self._seg_error = None       # first consumer failure, if any
+        self._seg_pool_ = None       # lazy 1-thread consumer pool
+        # per-(table, miss, cls) survivor-buffer prefix rows pulled per
+        # shard ahead of the counts (see _submit_segment)
+        self._prefix_rows = {}
         # checkpoint/resume accounting: sweep segments are the resume
         # unit; the dispatch plan (group_tiles order, segment size) is
         # deterministic, so `units_done` counts identically across runs
         self.ckpt_skip = 0        # segments to skip (restored progress)
         self.units_done = 0       # segments completed or skipped
+        self._units_planned = 0   # segments skipped or dispatched
         self.cand_total = 0       # cumulative candidate pairs
         self.on_segment = None    # callback after each executed segment
         # set when a pallas kernel fails to compile at runtime: the run
@@ -538,6 +543,11 @@ class LdEngine:
         if self._stage_pool is not None:
             self._stage_pool.shutdown(wait=False)
             self._stage_pool = None
+        if self._seg_pool_ is not None:
+            # run_group drains its in-flight segments before returning,
+            # so the consumer pool is idle here
+            self._seg_pool_.shutdown(wait=True)
+            self._seg_pool_ = None
 
     def _mesh_upload(self, k, host):
         """Local mesh: commit each band plane with the sweep's sharding
@@ -592,7 +602,8 @@ class LdEngine:
         key = f"{table}/{'miss' if has_missing else 'nomiss'}/{cls}"
         return self.stats.setdefault(key, dict(
             n_tiles=0, n_cand=0, n_pass=0, n_records=0,
-            count_s=0.0, extract_s=0.0, math_s=0.0))
+            count_s=0.0, extract_s=0.0, math_s=0.0,
+            n_supp=0, n_repair=0))
 
     def _can_degrade(self) -> bool:
         """Whether a kernel failure may degrade this run to the XLA
@@ -682,33 +693,162 @@ class LdEngine:
                              f"shard of {buf.shape}")
 
     # -- orchestration ---------------------------------------------------
+    def _seg_pool(self):
+        if self._seg_pool_ is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._seg_pool_ = ThreadPoolExecutor(
+                1, thread_name_prefix="twk-seg")
+        return self._seg_pool_
+
+    def _pipeline_depth(self) -> int:
+        """In-flight segment limit. 1 = strictly serial (dispatch,
+        process, dispatch, ...); 2 keeps the device sweeping segment
+        k+1 while the consumer thread transfers + maths + writes
+        segment k -- the TPU-native analogue of the reference's
+        compute/output overlap across slave threads
+        (reference: ld_engine.cpp:1742-1810). Gated on HBM headroom
+        (two in-flight sweeps double the transient one-hot unpack
+        workspace) and on survivor-buffer size (two in-flight buffers
+        at the growth cap would hold ~2/3 GB of HBM). Multi-process
+        meshes stay serial: collective programs must be issued from one
+        thread in program order on every process."""
+        if self._multiproc or not self._pipeline_enabled:
+            return 1
+        if self._outcap > (1 << 21) or not self._prefetch_headroom_ok():
+            return 1
+        return 2
+
     def run_group(self, tiles, table, has_missing, cls, filt, emit) -> int:
-        """Two-pass sweep of one (table, missing, class) tile group,
-        processed in fixed-size segments (one compiled shape for runs of
-        any size; progress advances between segments). Returns the
-        number of candidate pairs evaluated."""
+        """Sweep one (table, missing, cls) tile group in fixed-size
+        segments (one compiled shape serves runs of any size; progress
+        and checkpoints advance between segments). Returns the number
+        of candidate pairs evaluated.
+
+        Segments are dispatched AHEAD of consumption: _submit_segment
+        enqueues the sweep plus prefix slices of its survivor buffer
+        with no host round trip in between, and a single consumer
+        thread forces counts, pulls survivors, runs the exact host math
+        and emits records in segment order. The per-segment
+        force->dispatch latency (a ~30 ms round trip per segment on a
+        tunneled link, the round-4 headline regression) thus overlaps
+        device compute instead of serializing with it."""
+        from collections import deque
         seg = self._segment_size(len(tiles))
-        starts = [s for s in range(0, len(tiles), seg)]
-        n = 0
-        for i, s in enumerate(starts):
-            if self.units_done < self.ckpt_skip:
+        todo = []
+        for s in range(0, len(tiles), seg):
+            if self._units_planned < self.ckpt_skip:
                 # resumed run: this segment's records are already in
                 # the checkpointed output
+                self._units_planned += 1
                 self.units_done += 1
                 continue
-            # one-segment lookahead: the NEXT segment's sweep is
-            # dispatched (async) before this segment's results are
-            # forced, so the device computes ahead while the host does
-            # extraction + exact math (the analogue of the reference's
-            # compute/output overlap across slave threads)
-            nxt = (tiles[starts[i + 1]:starts[i + 1] + seg]
-                   if i + 1 < len(starts) else None)
-            n += self._run_segment(tiles[s:s + seg], table, has_missing,
-                                   cls, filt, emit, prefetch=nxt)
-            self.units_done += 1
-            if self.on_segment is not None:
-                self.on_segment()
+            self._units_planned += 1
+            todo.append(tiles[s:s + seg])
+        n = 0
+        inflight = deque()       # (todo index, future)
+        k = 0
+        while k < len(todo) or inflight:
+            if self._seg_error is not None and not inflight:
+                self._seg_error = None     # stale: nothing in flight
+            depth = self._pipeline_depth()
+            if k < len(todo) and len(inflight) < depth \
+                    and self._seg_error is None:
+                if depth == 1 and not inflight:
+                    try:
+                        n += self._run_segment(todo[k], table,
+                                               has_missing, cls, filt,
+                                               emit)
+                    except Exception as e:  # noqa: BLE001 - ladder
+                        n += self._degrade_or_raise(
+                            todo[k], table, has_missing, cls, filt,
+                            emit, e)
+                    self._note_serial_ok()
+                else:
+                    st = self._submit_segment(todo[k], table,
+                                              has_missing, cls)
+                    fut = self._seg_pool().submit(
+                        self._seg_job, todo[k], table, has_missing,
+                        cls, filt, emit, st)
+                    inflight.append((k, fut))
+                k += 1
+                continue
+            j, fut = inflight.popleft()
+            try:
+                n += fut.result()
+            except Exception as e:  # noqa: BLE001 - recovery ladder
+                # segment j failed on the consumer (an HBM
+                # RESOURCE_EXHAUSTED from overlapped workspace, or a
+                # runtime Mosaic failure surfacing at force time).
+                # Later in-flight segments skipped themselves without
+                # emitting (emissions must stay in segment order), so
+                # re-run everything from j serially; pipelining
+                # re-enables after a clean streak.
+                for _, f2 in inflight:
+                    try:
+                        f2.result()
+                    except Exception:   # noqa: BLE001 - already skipped
+                        pass
+                inflight.clear()
+                self._seg_error = None
+                self._pipeline_enabled = False
+                self._serial_ok_streak = 0
+                self._pipeline_retry_after = min(
+                    self._pipeline_retry_after * 2, 1 << 12)
+                log("WARNING", f"device sweep failed in the segment "
+                    f"pipeline ({type(e).__name__}: {str(e)[:160]}); "
+                    f"retrying serially", sub="ENGINE")
+                try:
+                    n += self._run_segment(todo[j], table, has_missing,
+                                           cls, filt, emit)
+                except Exception as e2:  # noqa: BLE001 - last rung
+                    n += self._degrade_or_raise(
+                        todo[j], table, has_missing, cls, filt, emit, e2)
+                k = j + 1
         return n
+
+    def _degrade_or_raise(self, seg_tiles, table, has_missing, cls,
+                          filt, emit, err) -> int:
+        """Last recovery rung: degrade the run to the XLA tile backend
+        (identical outputs by construction) and re-run the segment, or
+        re-raise when no degradation is available."""
+        if not self._can_degrade():
+            raise err
+        log("WARNING", f"pallas tile kernel failed "
+            f"({type(err).__name__}: {str(err)[:160]}); falling back "
+            f"to the XLA backend", sub="ENGINE")
+        self._backend_forced = "xla"
+        self._extract_fns.clear()
+        return self._run_segment(seg_tiles, table, has_missing, cls,
+                                 filt, emit)
+
+    def _note_serial_ok(self):
+        """A segment forced cleanly without overlap; after enough
+        consecutive successes, retry pipelining (transient OOMs on
+        stats-less tunneled devices shouldn't serialize the rest of a
+        long run)."""
+        if self._pipeline_enabled:
+            return
+        self._serial_ok_streak += 1
+        if self._serial_ok_streak >= self._pipeline_retry_after:
+            log("LOG", f"re-enabling the segment pipeline after "
+                f"{self._serial_ok_streak} clean serial segments",
+                sub="ENGINE")
+            self._pipeline_enabled = True
+            self._serial_ok_streak = 0
+
+    def _seg_job(self, tiles, table, has_missing, cls, filt, emit, state):
+        """Consumer-thread wrapper around _run_segment: skip (without
+        emitting) when an earlier segment already failed, so emissions
+        stay in segment order and the retry ladder can replay from the
+        failure point."""
+        if self._seg_error is not None:
+            return 0
+        try:
+            return self._run_segment(tiles, table, has_missing, cls,
+                                     filt, emit, state=state)
+        except BaseException as e:
+            self._seg_error = e
+            raise
 
     # survivors extracted per tile inside the fused sweep; tiles with
     # more go through the exact-offset repair pass. The cap adapts
@@ -716,13 +856,16 @@ class LdEngine:
     FUSED_CAP = 256
     FUSED_CAP_MAX = 32768
 
-    # target sweep segments per tile group: transfer + host math of
-    # segment k overlap the device sweep of segment k+1 (the lookahead
-    # in run_group), so a group swept as ONE segment serializes the
-    # whole host pipeline after the sweep -- the round-3 dense-output
-    # ceiling. Splitting into ~8 segments hides all but the last
-    # segment's host work behind device compute.
+    # target sweep segments per tile group: the consumer thread handles
+    # transfer + host math of segment k while the device sweeps k+1, so
+    # a group swept as ONE segment serializes the whole host pipeline
+    # after the sweep -- the round-3 dense-output ceiling. ~8 segments
+    # hide all but the last segment's host work behind device compute.
     PIPELINE_SEGMENTS = 8
+
+    # initial survivor-buffer prefix rows pulled per shard before the
+    # sweep's counts are known (see _submit_segment); adapts per group
+    PREFIX_ROWS0 = 4096
 
     def _segment_size(self, n_tiles: int) -> int:
         """Resolved sweep segment size for an n_tiles group: at most
@@ -736,9 +879,32 @@ class LdEngine:
         want = _round_up(want, quant)
         return max(quant, min(seg, want))
 
-    @staticmethod
-    def _seg_key(tiles, table, has_missing, cls):
-        return (table, has_missing, cls, len(tiles), tiles[0], tiles[-1])
+    def _submit_segment(self, tiles, table, has_missing, cls):
+        """Dispatch one segment's fused sweep AND enqueue the device
+        ops whose results the consumer will read: per-shard survivor
+        buffer PREFIX slices, sized from this group's recent survivor
+        volume. The prefix size is static per call, so the slices have
+        no data dependency on the sweep's counts -- they enter the
+        device queue right behind their sweep, BEFORE the next
+        segment's sweep, and their host transfers proceed the moment
+        the sweep finishes (a slice enqueued after later sweeps would
+        wait for them -- the round-3 serialization). Survivor rows that
+        land beyond the prefix are pulled by the consumer with an
+        exact-offset supplementary slice once the counts are known."""
+        st = self._dispatch_fused(tiles, table, has_missing, cls)
+        outcap = st["outcap"]
+        X = min(self._prefix_rows.get((table, has_missing, cls),
+                                      self.PREFIX_ROWS0), outcap)
+        st["X"] = X
+        st["prefix"] = [self._buf_slice(st["buf"], s * outcap,
+                                        s * outcap + X)
+                        for s in range(self.n_pair_shards)]
+        for h in (st["n_pass"], st["n_cand"], *st["prefix"]):
+            try:
+                h.copy_to_host_async()
+            except Exception:   # noqa: BLE001 - transfers force later
+                pass
+        return st
 
     def _dispatch_fused(self, tiles, table, has_missing, cls):
         """Dispatch one segment's fused sweep. The jitted call returns
@@ -806,7 +972,13 @@ class LdEngine:
             return True
 
     def _run_segment(self, tiles, table, has_missing, cls, filt,
-                     emit, prefetch=None) -> int:
+                     emit, state=None) -> int:
+        """Process one dispatched segment: force counts, pull survivor
+        rows (prefix + supplementary slices, exact-offset repair
+        re-sweeps for cap/buffer overflows), run the exact host math,
+        and emit records. Runs on the consumer thread in pipelined
+        mode, inline otherwise; `state=None` dispatches the sweep here
+        (the serial path)."""
         if not tiles:
             return 0
         import time as _time
@@ -815,93 +987,14 @@ class LdEngine:
         np_ = np
 
         t0 = _time.perf_counter()
-        key = self._seg_key(tiles, table, has_missing, cls)
-        cached = getattr(self, "_prefetched", None)
-        if cached is not None and cached[0] == key:
-            st = cached[1]
-            self._prefetched = None
-        else:
-            st = self._dispatch_fused(tiles, table, has_missing, cls)
-
-        def queue_prefetch():
-            # queue the NEXT segment's sweep. Called only after THIS
-            # segment's extraction ops (survivor-slice + repair
-            # dispatches) are enqueued, so their host transfers run
-            # AHEAD of the next sweep and overlap it -- a slice
-            # enqueued after the sweep waits for the whole sweep
-            # (device programs execute in dispatch order), which
-            # serialized the dense-output regimes in round 3.
-            # Skipped while the survivor buffer is huge (two in-flight
-            # buffers at the 1<<23 growth cap would hold ~2/3 GB of
-            # HBM) and when HBM headroom can't hold a second sweep's
-            # transient workspace (the memory-banded huge-N regime).
-            if prefetch is not None and self._prefetch_enabled \
-                    and self._prefetched is None \
-                    and self._outcap <= (1 << 21) \
-                    and self._prefetch_headroom_ok():
-                self._prefetched = (
-                    self._seg_key(prefetch, table, has_missing, cls),
-                    self._dispatch_fused(prefetch, table, has_missing,
-                                         cls))
-
-        try:
-            n_pass = np_.asarray(st["n_pass"])
-            n_cand = np_.asarray(st["n_cand"])
-        except Exception as e:
-            # force-time failures: an HBM RESOURCE_EXHAUSTED from the
-            # doubled prefetch workspace, or a runtime (Mosaic) kernel
-            # failure that only surfaces when the result is read.
-            # Recovery ladder: (1) drop the in-flight prefetch and run
-            # strictly serially from here on; (2) if that does not
-            # save the retry -- or nothing was overlapped -- degrade
-            # to the XLA tile backend like the dispatch-time fallback
-            # (identical outputs); then re-raise only if both fail.
-            log("WARNING", f"device sweep failed at force time "
-                f"({type(e).__name__}: {str(e)[:160]}); retrying "
-                f"without prefetch", sub="ENGINE")
-            had_overlap = self._prefetched is not None \
-                or (cached is not None and cached[0] == key)
-            self._prefetched = None
-            self._prefetch_enabled = False
-            self._serial_ok_streak = 0
-            # each disable doubles the re-enable threshold so a
-            # genuinely memory-tight run converges to serial
-            self._prefetch_retry_after = min(
-                self._prefetch_retry_after * 2, 1 << 12)
-            st = None   # release this segment's handles before retrying
-            try:
-                if not had_overlap:
-                    raise
-                st = self._dispatch_fused(tiles, table, has_missing, cls)
-                n_pass = np_.asarray(st["n_pass"])
-                n_cand = np_.asarray(st["n_cand"])
-            except Exception as e2:
-                if not self._can_degrade():
-                    raise
-                log("WARNING", f"pallas tile kernel failed at force "
-                    f"time ({type(e2).__name__}: {str(e2)[:160]}); "
-                    f"falling back to the XLA backend", sub="ENGINE")
-                self._backend_forced = "xla"
-                self._extract_fns.clear()
-                st = None
-                st = self._dispatch_fused(tiles, table, has_missing, cls)
-                n_pass = np_.asarray(st["n_pass"])
-                n_cand = np_.asarray(st["n_cand"])
-        if not self._prefetch_enabled:
-            # the segment forced cleanly without overlap; after enough
-            # consecutive successes, retry prefetch (transient OOMs on
-            # stats-less tunneled devices shouldn't serialize the rest
-            # of a long run)
-            self._serial_ok_streak += 1
-            if self._serial_ok_streak >= self._prefetch_retry_after:
-                log("LOG", f"re-enabling sweep prefetch after "
-                    f"{self._serial_ok_streak} clean serial segments",
-                    sub="ENGINE")
-                self._prefetch_enabled = True
-                self._serial_ok_streak = 0
+        st = state if state is not None \
+            else self._submit_segment(tiles, table, has_missing, cls)
+        n_pass = np_.asarray(st["n_pass"])
+        n_cand = np_.asarray(st["n_cand"])
         buf = st["buf"]
         S = self.n_pair_shards
         Tpad, cap, outcap = st["Tpad"], st["cap"], st["outcap"]
+        X = st["X"]
         pi, pj, dg, live = st["pi"], st["pj"], st["dg"], st["live"]
         dev = st["dev"]
         ncol = self.sweeps.buf_cols(self._cfg(table, has_missing, cls))
@@ -910,9 +1003,9 @@ class LdEngine:
         stat["n_cand"] += total_cand
         self.cand_total += total_cand
         if int(n_pass.sum()) == 0:
-            queue_prefetch()
             if self.ticker:
                 self.ticker.add(pairs=total_cand)
+            self._finish_segment()
             return total_cand
         stat["n_pass"] += int(n_pass[:len(tiles)].sum())
 
@@ -930,19 +1023,38 @@ class LdEngine:
             (offs - shard_of * outcap + n_pass <= boundary)
         ok &= live
 
-        # enqueue the intact prefix of every shard buffer as one ASYNC
-        # device slice (no transfer yet)
+        # per-shard survivor rows: the pre-enqueued prefix covers rows
+        # [0, X); rows of intact tiles beyond it come from one exact
+        # supplementary slice (enqueued now, so it may wait behind an
+        # already-dispatched next sweep -- the prefix adaptation below
+        # makes that rare)
         t0 = _time.perf_counter()
         slice_handles = []
+        max_end = 0
         for s in range(S):
             sl = slice(s * per_shard, (s + 1) * per_shard)
             sel = np_.flatnonzero(ok[sl] & (n_pass[sl] > 0)) + s * per_shard
             if len(sel) == 0:
                 continue
             end = int(offs[sel[-1]] + n_pass[sel[-1]]) - s * outcap
-            slice_handles.append(
-                (s, sel,
-                 self._buf_slice(buf, s * outcap, s * outcap + end)))
+            max_end = max(max_end, end)
+            sup = None
+            if end > X:
+                stat["n_supp"] += 1
+                sup = self._buf_slice(buf, s * outcap + X,
+                                      s * outcap + end)
+            slice_handles.append((s, sel, st["prefix"][s], sup, end))
+
+        # adapt the prefix so the next segments of this regime fit it
+        # (grow immediately, decay by halves when oversized). 8192-row
+        # quanta bound the distinct eager-slice shapes (each costs one
+        # tiny compile) without the 2x over-transfer a power-of-two
+        # bucket costs at steady survivor volume.
+        key = (table, has_missing, cls)
+        cur = self._prefix_rows.get(key, self.PREFIX_ROWS0)
+        want = min(_round_up(max(2048, max_end + (max_end >> 2)), 8192),
+                   1 << 20)
+        self._prefix_rows[key] = max(want, cur // 2)
 
         # repair pass: tiles that overflowed cap or spilled the buffer
         bad = np_.flatnonzero(live & (n_pass > 0) & ~ok)
@@ -951,6 +1063,7 @@ class LdEngine:
             # overflowing the per-tile cap): grow it for later segments
             self._outcap = min(self._outcap * 4, 1 << 23)
         if len(bad):
+            stat["n_repair"] += len(bad)
             over = int(n_pass[bad].max())
             if over > cap:
                 # adapt the fused cap so later segments in this regime
@@ -987,14 +1100,13 @@ class LdEngine:
                                     s * routcap + totals[s]))
                 for s, g in enumerate(groups) if len(g)]
 
-        # with this segment's extraction ops in the device queue, the
-        # next sweep can follow them; the np.asarray transfers below
-        # then overlap it
-        queue_prefetch()
-
         rows_by_tile = {}
-        for s, sel, handle in slice_handles:
-            shard_buf = np_.asarray(handle)
+        for s, sel, prefix, sup, end in slice_handles:
+            if sup is None:
+                shard_buf = np_.asarray(prefix)[:end]
+            else:
+                shard_buf = np_.concatenate([np_.asarray(prefix),
+                                             np_.asarray(sup)])
             for t in sel:
                 lo = int(offs[t]) - s * outcap
                 rows_by_tile[int(t)] = shard_buf[lo:lo + int(n_pass[t])]
@@ -1054,7 +1166,17 @@ class LdEngine:
         emit(recs, rev)
         if self.ticker:
             self.ticker.add(pairs=total_cand, records=len(recs))
+        self._finish_segment()
         return total_cand
+
+    def _finish_segment(self):
+        """Segment bookkeeping shared by the early-exit and full paths:
+        progress and the checkpoint callback advance here, on whichever
+        thread processed the segment, AFTER its records were emitted --
+        so checkpoint state always describes a whole-segment boundary."""
+        self.units_done += 1
+        if self.on_segment is not None:
+            self.on_segment()
 
     def _tally_ac(self, meta: PairMeta, kept_idx):
         """Accumulate the per-allele-count histogram: log2 bucket of
@@ -1545,13 +1667,18 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # samples-replicated); only process 0 writes the single output
     writer = None
     if not (dcn and proc_id != 0):
+        # async block compression: the engine's consumer thread is the
+        # only writer, and its zstd CPU then overlaps the next
+        # segment's survivor transfer (IO-bound)
         if ck is not None:
             writer = TwoWriter.resume(out, hdr, ck["writer"],
                                       c_level=settings.c_level,
-                                      block_limit=settings.b_size)
+                                      block_limit=settings.b_size,
+                                      async_blocks=True)
         else:
             writer = TwoWriter(out, hdr, c_level=settings.c_level,
-                               block_limit=settings.b_size)
+                               block_limit=settings.b_size,
+                               async_blocks=True)
 
     result = CalcResult()
     if ck is not None:
@@ -1651,8 +1778,11 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
         for li, ((p, q), load_tiles) in enumerate(loads if pairs else []):
             if li < len(load_cum) and load_cum[li] <= engine.ckpt_skip:
                 # this whole load completed before the checkpoint: skip
-                # even the host-side unpack
+                # even the host-side unpack (planned count must follow,
+                # or later loads would re-skip against the wrong base)
                 engine.units_done = max(engine.units_done, load_cum[li])
+                engine._units_planned = max(engine._units_planned,
+                                            load_cum[li])
                 continue
             engine.stage_wait()
             load = [(p, None if p in engine._band_host
@@ -1751,12 +1881,14 @@ def report_performance(stats):
         stats = stats.stats
     log("LOG", f"{'config':<24}{'tiles':>8}{'cand pairs':>14}"
         f"{'prefilter pass':>15}{'count s':>9}{'extract s':>10}"
-        f"{'math s':>8}{'records':>9}", sub="PERF")
+        f"{'math s':>8}{'records':>9}{'repair':>7}{'supp':>5}",
+        sub="PERF")
     for key, s in sorted(stats.items()):
         log("LOG", f"{key:<24}{s['n_tiles']:>8}{s['n_cand']:>14,}"
             f"{s['n_pass']:>15,}{s['count_s']:>9.3f}"
             f"{s['extract_s']:>10.3f}{s['math_s']:>8.3f}"
-            f"{s['n_records']:>9,}", sub="PERF")
+            f"{s['n_records']:>9,}{s.get('n_repair', 0):>7}"
+            f"{s.get('n_supp', 0):>5}", sub="PERF")
         cs = s["count_s"]
         if cs > 0 and s["n_cand"]:
             log("LOG", f"{'':<24}count-sweep rate "

@@ -120,10 +120,20 @@ class _CountingWriter:
 
 
 class TwoWriter:
-    """Streaming block writer for .two files."""
+    """Streaming block writer for .two files.
+
+    `async_blocks=True` moves block zstd compression + file writes onto
+    a single background worker (FIFO, so block order and index offsets
+    are unchanged): `add` then costs the caller one memcpy into the
+    block payload, and the compression CPU overlaps whatever the caller
+    does next -- on the LD engine's consumer thread that is the next
+    segment's survivor transfer (IO-bound), which is exactly the
+    overlap the reference gets from compressing on its N slave threads
+    (reference: ld_engine.cpp:1742-1764)."""
 
     def __init__(self, path: str, header: VcfHeader, c_level: int = 1,
-                 block_limit: int = 10000, state: int = TWK_IDX_UNSORTED):
+                 block_limit: int = 10000, state: int = TWK_IDX_UNSORTED,
+                 async_blocks: bool = False):
         self.path = path
         self.header = header
         self.c_level = c_level
@@ -135,6 +145,10 @@ class TwoWriter:
         self._pending_n = 0
         self._tail_rid = None
         self._cctx = zstandard.ZstdCompressor(level=c_level)
+        self._wq = None         # async worker queue
+        self._wthread = None
+        self._werr = None
+        self._async = bool(async_blocks)
         # "-" = stdout, like the reference's twk_two_writer_t::Open
         # (writer.h:173-174); offsets come from a counting wrapper so
         # the (unseekable) footer index stays internally consistent
@@ -197,11 +211,26 @@ class TwoWriter:
 
     def write_block(self, recs: np.ndarray,
                     ent: Optional[IndexEntry] = None):
-        """Write one block immediately (bypasses pending buffering)."""
+        """Write one block immediately (bypasses pending buffering).
+        In async mode the payload is snapshotted here (so callers may
+        reuse their record buffers) and compressed + written in block
+        order on the worker."""
         if len(recs) == 0:
             return
-        payload = two_records_to_bytes(recs)
-        comp = self._cctx.compress(payload)
+        if self._async:
+            # snapshot into a recycled payload buffer: fresh ~1MB bytes
+            # objects are mmap'd and page-fault on first touch, which
+            # dominates the copy at full block rate
+            recs = np.ascontiguousarray(recs, dtype=TWO_DTYPE)
+            size = 8 + len(recs) * TWO_DTYPE.itemsize
+            payload = self._payload_buf(size)
+            struct.pack_into("<II", payload, 0, len(recs),
+                             max(len(recs), 1))
+            np.frombuffer(payload, np.uint8, size - 8, 8)[:] = \
+                recs.view(np.uint8).ravel()
+            payload = memoryview(payload)[:size]
+        else:
+            payload = two_records_to_bytes(recs)
         if ent is None:
             ent = IndexEntry()
             if self.index.state == 2:  # TWK_IDX_SORTED
@@ -217,6 +246,25 @@ class TwoWriter:
                 ent.ridB = -1
         ent.n = len(recs)
         ent.b_unc = len(payload)
+        self.n_records += len(recs)
+        if self._async:
+            if self._werr is not None:
+                raise RuntimeError("async .two writer failed") \
+                    from self._werr
+            if self._wq is None:
+                import queue
+                import threading
+                self._wq = queue.Queue(maxsize=8)
+                self._wthread = threading.Thread(
+                    target=self._write_worker, name="twk-two-write",
+                    daemon=True)
+                self._wthread.start()
+            self._wq.put((payload, ent))
+            return
+        self._emit_block(payload, ent)
+
+    def _emit_block(self, payload: bytes, ent: IndexEntry):
+        comp = self._cctx.compress(payload)
         ent.b_cmp = len(comp)
         ent.foff = self._fh.tell()
         self._fh.write(struct.pack("<BII", 1, len(payload), len(comp)))
@@ -225,7 +273,44 @@ class TwoWriter:
         self.index.add(ent)
         if self.index.state == 2 and ent.rid >= 0:
             self.index.add_meta(ent)
-        self.n_records += len(recs)
+
+    def _payload_buf(self, size: int) -> bytearray:
+        """A recycled payload bytearray of at least `size` bytes (the
+        worker returns buffers after writing them)."""
+        free = getattr(self, "_free_bufs", None)
+        if free is None:
+            free = self._free_bufs = []
+        for i, b in enumerate(free):
+            if len(b) >= size:
+                return free.pop(i)
+        return bytearray(max(size, 1 << 20))
+
+    def _write_worker(self):
+        while True:
+            item = self._wq.get()
+            if item is None:
+                self._wq.task_done()
+                return
+            try:
+                if self._werr is None:
+                    self._emit_block(*item)
+            except Exception as e:  # noqa: BLE001 - reraised on add/close
+                self._werr = e
+            finally:
+                payload = item[0]
+                if isinstance(payload, memoryview) \
+                        and len(self._free_bufs) < 16:
+                    self._free_bufs.append(payload.obj)
+                self._wq.task_done()
+
+    def _drain_async(self):
+        """Block until every queued block is compressed, written, and
+        indexed (the writer state is then a plain synchronous one)."""
+        if self._wq is not None:
+            self._wq.join()
+        if self._werr is not None:
+            err, self._werr = self._werr, None
+            raise RuntimeError("async .two writer failed") from err
 
 
     def checkpoint_state(self) -> dict:
@@ -236,6 +321,7 @@ class TwoWriter:
         are indifferent to block sizes."""
         import os
         self._flush_tail()
+        self._drain_async()
         self._fh.flush()
         os.fsync(self._fh.fileno())
         return {
@@ -246,7 +332,8 @@ class TwoWriter:
 
     @classmethod
     def resume(cls, path: str, header: VcfHeader, state: dict,
-               c_level: int = 1, block_limit: int = 10000):
+               c_level: int = 1, block_limit: int = 10000,
+               async_blocks: bool = False):
         """Reopen `path` for appending from a `checkpoint_state` dict:
         the file is truncated to the checkpointed offset (dropping any
         torn tail a crash left) and the block index restored."""
@@ -261,6 +348,10 @@ class TwoWriter:
         w._pending_n = 0
         w._tail_rid = None
         w._cctx = zstandard.ZstdCompressor(level=c_level)
+        w._wq = None
+        w._wthread = None
+        w._werr = None
+        w._async = bool(async_blocks)
         try:
             w._fh = open(path, "r+b")
         except FileNotFoundError:
@@ -279,6 +370,14 @@ class TwoWriter:
 
     def close(self):
         self._flush_tail()
+        if self._wq is not None:
+            self._wq.put(None)
+            self._wthread.join()
+            self._wq = None
+            self._wthread = None
+        if self._werr is not None:
+            err, self._werr = self._werr, None
+            raise RuntimeError("async .two writer failed") from err
         idx_buf = self.index.serialize()
         comp = self._cctx.compress(idx_buf)
         index_offset = self._fh.tell()

@@ -36,7 +36,8 @@ def main():
     import jax.numpy as jnp
 
     # --- tunnel probe: device->host transfer rate at a few sizes ---
-    for mb in (1, 4, 16):
+    probe = os.environ.get("PROFILE_PROBES", "1") == "1"
+    for mb in ((1, 4, 16) if probe else ()):
         n = mb * (1 << 20) // 4
         arr = jnp.zeros(n, jnp.int32) + 1
         arr.block_until_ready()
@@ -45,15 +46,15 @@ def main():
         dt = time.perf_counter() - t
         print(f"# d2h {mb:3d} MB: {dt*1e3:8.1f} ms  "
               f"({mb/dt:6.1f} MB/s)", file=sys.stderr)
-    # dispatch latency probe
-    f = jax.jit(lambda x: x + 1)
-    x = jnp.zeros(8, jnp.int32)
-    f(x).block_until_ready()
-    t = time.perf_counter()
-    for _ in range(10):
+    if probe:
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros(8, jnp.int32)
         f(x).block_until_ready()
-    print(f"# dispatch+force roundtrip: "
-          f"{(time.perf_counter()-t)/10*1e3:.1f} ms", file=sys.stderr)
+        t = time.perf_counter()
+        for _ in range(10):
+            f(x).block_until_ready()
+        print(f"# dispatch+force roundtrip: "
+              f"{(time.perf_counter()-t)/10*1e3:.1f} ms", file=sys.stderr)
 
     t0 = time.perf_counter()
     stacked = build_planes_grouped(nbd, B, n_samples)
