@@ -89,7 +89,15 @@ class TestForcedCpuEndToEnd:
         assert len(a) == len(b) and len(a) > 0
         # --backend cpu runs the native tile engine, whose emit
         # granularity (per tile chunk) differs from the sweep engine's
-        # (per segment): compare as multisets, like a `sort` would
-        order = list(a.dtype.names)
-        assert np.array_equal(np.sort(a, order=order),
-                              np.sort(b, order=order))
+        # (per segment): compare as multisets, like a `sort` would.
+        # P differs at f32 noise between the backends (the sweep
+        # engine's P rides the in-sweep device bracket, the native
+        # tile engine's rides the exact f64 scan) -- compare it to
+        # 2e-6 relative, 10x inside the 1e-5 golden contract; all
+        # other fields must be bit-identical.
+        order = [f for f in a.dtype.names if f != "P"]
+        sa = np.sort(a, order=order)
+        sb = np.sort(b, order=order)
+        for f in order:
+            assert np.array_equal(sa[f], sb[f]), f
+        np.testing.assert_allclose(sa["P"], sb["P"], rtol=2e-6, atol=0)

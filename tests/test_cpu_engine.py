@@ -21,7 +21,10 @@ from tomahawk_tpu.io.two import TwoReader
 
 def _sorted(path):
     r = np.concatenate(list(TwoReader(path).blocks()))
-    return np.sort(r, order=list(r.dtype.names))
+    # P is excluded from the sort key: the sweep engine's P rides the
+    # in-sweep f32 device bracket while the native tile engine's is
+    # the exact f64 scan, so P carries f32 noise across backends
+    return np.sort(r, order=[f for f in r.dtype.names if f != "P"])
 
 
 @pytest.fixture(scope="module")
@@ -61,7 +64,13 @@ def test_native_matches_xla(archive, tmp_path, kw):
     b = _sorted(paths["cpu"])
     assert len(a) == len(b) > 0
     for f in a.dtype.names:
-        np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+        if f == "P":
+            # device-bracket vs exact-scan Fisher: f32 noise, 10x
+            # inside the 1e-5 golden contract
+            np.testing.assert_allclose(a[f], b[f], rtol=5e-6,
+                                       atol=1e-12, err_msg=f)
+        else:
+            np.testing.assert_array_equal(a[f], b[f], err_msg=f)
 
 
 def test_native_row_chunking(archive, tmp_path, monkeypatch):

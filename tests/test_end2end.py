@@ -388,5 +388,11 @@ def test_fused_cap_overflow_and_spill_repair(tmp_path, monkeypatch):
     assert len(big) == len(tiny) > 100
     for f in ("ridA", "ridB", "packA", "packB", "controller"):
         np.testing.assert_array_equal(big[f], tiny[f])
-    for f in ("D", "R2", "P"):
+    for f in ("D", "R2"):
         np.testing.assert_allclose(big[f], tiny[f], atol=1e-14)
+    # P rides the in-sweep device bracket (f32) in both runs, but the
+    # two compiled shapes may group lanes differently and XLA's
+    # vectorized-vs-scalar exp paths differ by ~1 ulp, so P is
+    # shape-invariant only to f32 noise -- still 10x inside the 1e-5
+    # golden contract (TWK_ALLOWED_ROUNDING_ERROR)
+    np.testing.assert_allclose(big["P"], tiny["P"], rtol=2e-6, atol=0)

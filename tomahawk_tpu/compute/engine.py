@@ -296,6 +296,14 @@ class LdEngine:
         # the overflowed tiles' full MXU contractions, so chronic
         # overflow nearly doubles device work on hit tiles
         self._fused_cap = self.FUSED_CAP
+        # in-sweep Fisher: the fused sweep appends a bitcast-f32
+        # bracket column per survivor (sweeps.append_fisher_col) and
+        # the host multiplies by the exact f64 q -- phased tables only
+        import os as _os
+        self._device_fisher = \
+            _os.environ.get("TWK_DEVICE_FISHER", "1") == "1"
+        self._lf_dev = None
+        self._lf_host = None
         # segment pipeline (run_group): a single consumer thread
         # processes dispatched segments in order while the main thread
         # keeps the device queue fed. After a consumer failure the run
@@ -417,7 +425,7 @@ class LdEngine:
 
     def _register_band(self, band_id, stacked):
         host = self._pad_samples_axis(
-            {k: stacked[k] for k in self.sweeps.DEV_KEYS})
+            {k: stacked[k] for k in self.sweeps.BAND_KEYS})
         if self.B is None:
             self.B = stacked["alt_bits"].shape[1]
         elif stacked["alt_bits"].shape[1] != self.B:
@@ -480,7 +488,7 @@ class LdEngine:
         # stage the planes the run has actually used (a phased sweep
         # never pays for het/hom/valid planes); before any sweep ran,
         # the alt plane is the one certainty
-        keys = (self._seen_keys & set(self.sweeps.DEV_KEYS)) \
+        keys = (self._seen_keys & set(self.sweeps.BAND_KEYS)) \
             or {"alt_bits"}
         import time as _t
         for k in keys:
@@ -590,6 +598,9 @@ class LdEngine:
         caching works identically."""
         out = {}
         for k in self.sweeps.dev_keys_for(cfg):
+            if k in ("lf_hi", "lf_lo"):
+                out[k] = self._lf_dev_get(k)
+                continue
             if k not in self._load_dev:
                 parts = [self._band_dev_get(k, b)
                          for b in self._load_bands]
@@ -630,7 +641,26 @@ class LdEngine:
             self.settings.min_r2, self.settings.max_r2,
             backend=self._resolve_backend(),
             min_dprime=self.settings.min_dprime,
-            max_dprime=self.settings.max_dprime)
+            max_dprime=self.settings.max_dprime,
+            fisher=self._device_fisher)
+
+    def _lf_dev_get(self, k):
+        """Device half of the double-single log-factorial table for the
+        in-sweep Fisher epilogue (built once; replicated on meshes)."""
+        if self._lf_dev is None:
+            from ..ops import fisher_dev as F
+            self._lf_host = F.log_factorial_table(2 * self.n_samples + 1)
+            hi, lo = F.split_ds(self._lf_host)
+            up = {}
+            for key, arr in (("lf_hi", hi), ("lf_lo", lo)):
+                if self._multiproc:
+                    up[key] = self._global_upload(key, arr)
+                elif self.mesh is not None:
+                    up[key] = self._mesh_upload(key, arr)
+                else:
+                    up[key] = self._jnp.asarray(arr)
+            self._lf_dev = up
+        return self._lf_dev[k]
 
     def _extract_fn(self, table, has_missing, cls, cap, outcap):
         key = (table, has_missing, cls, cap, outcap)
@@ -997,7 +1027,13 @@ class LdEngine:
         X = st["X"]
         pi, pj, dg, live = st["pi"], st["pj"], st["dg"], st["live"]
         dev = st["dev"]
-        ncol = self.sweeps.buf_cols(self._cfg(table, has_missing, cls))
+        cfg_seg = self._cfg(table, has_missing, cls)
+        ncol = self.sweeps.buf_cols(cfg_seg)
+        # in-sweep Fisher: the sweep carries a bracket per survivor --
+        # bf16 packed into the payload column's top bits (phased
+        # no-missing) or an appended bitcast-f32 column
+        fish = self.sweeps.fisher_on(cfg_seg)
+        ncol_out = ncol + self.sweeps.fisher_cols(cfg_seg)
         stat["count_s"] += _time.perf_counter() - t0
         total_cand = int(n_cand.sum())
         stat["n_cand"] += total_cand
@@ -1083,6 +1119,7 @@ class LdEngine:
             hpj = np_.zeros(Hpad * S, np_.int32)
             hdg = np_.ones(Hpad * S, bool)
             hoff = np_.full(Hpad * S, routcap - rcap, np_.int32)
+            hcnt = np_.zeros(Hpad * S, np_.int32)
             for s, g in enumerate(groups):
                 lo = s * Hpad
                 hpi[lo:lo + len(g)] = pi[bad[g]]
@@ -1092,9 +1129,10 @@ class LdEngine:
                 if len(g):
                     o[1:] = np_.cumsum(ns_bad[g])[:-1]
                 hoff[lo:lo + len(g)] = o
+                hcnt[lo:lo + len(g)] = ns_bad[g]
             rbuf = self._extract_fn(table, has_missing, cls, rcap,
                                     routcap)(
-                dev, *self._tiles_in(hpi, hpj, hdg, hoff))
+                dev, *self._tiles_in(hpi, hpj, hdg, hoff, hcnt))
             repair_handles = [
                 (g, self._buf_slice(rbuf, s * routcap,
                                     s * routcap + totals[s]))
@@ -1122,7 +1160,7 @@ class LdEngine:
         hit = np_.array(sorted(rows_by_tile), np_.int64)
         ns = n_pass[hit]
         rows = (np_.concatenate([rows_by_tile[int(t)] for t in hit])
-                if len(hit) else np_.zeros((0, ncol), np_.int32))
+                if len(hit) else np_.zeros((0, ncol_out), np_.int32))
 
         # host math, batched into one call per group
         B = self.B
@@ -1132,8 +1170,16 @@ class LdEngine:
         bi = pi[hit][tile_of].astype(np_.int64)
         bj = pj[hit][tile_of].astype(np_.int64)
         meta = _pair_meta_from(self.stacked, bi, bj, k, l)
-        parts = self.sweeps.unpack_payload(rows[:, 1:], table,
+        parts = self.sweeps.unpack_payload(rows[:, 1:ncol], table,
                                            has_missing, self.n_samples)
+        p_bits = None
+        if fish and len(rows):
+            if self.sweeps.fisher_packed(cfg_seg):
+                u = np_.ascontiguousarray(rows[:, 1]).view(np_.uint32)
+                p_bits = (u & np_.uint32(0xFFFF0000)).view(np_.float32)
+            else:
+                p_bits = np_.ascontiguousarray(
+                    rows[:, ncol]).view(np_.float32)
         t0 = _time.perf_counter()
         # the whole survivor -> record pipeline (filters, Fisher,
         # flags, fwd+rev assembly) is ONE native batch call; the numpy
@@ -1142,15 +1188,21 @@ class LdEngine:
             data = self._phased_counts_from_parts(parts, meta)
         else:
             data = self._unphased_table_from_parts(parts, bi, bj, k, l)
+        p_pre = None
+        if p_bits is not None and table == "phased":
+            from ..ops.fisher_dev import host_p_from_bracket
+            p_pre = host_p_from_bracket(data, p_bits, self._lf_host,
+                                        filt.min_p)
         kept_idx = None
         if self._multiproc and self._n_procs > 1:
             # dcn mode: every process holds identical survivor rows
             # (counts are psum-replicated); instead of each deriving
             # the full record stream, split the rows, compute 1/N of
             # the math locally, and allgather the records
-            recs, rev = self._dcn_records(table, data, meta, filt)
+            recs, rev = self._dcn_records(table, data, meta, filt,
+                                          p_pre)
         else:
-            out = ld_records(table, data, meta, filt)
+            out = ld_records(table, data, meta, filt, p_pre=p_pre)
             if out is not None:
                 recs, rev, kept_idx = out[0], out[1], out[2]
             elif table == "phased":
@@ -1196,7 +1248,8 @@ class LdEngine:
                 h[0] += int(surv[i])
                 h[1] += int(kept[i])
 
-    def _dcn_records(self, table, data, meta: PairMeta, filt):
+    def _dcn_records(self, table, data, meta: PairMeta, filt,
+                     p_pre=None):
         """dcn host-math sharding (round-2 weakness 6): each process
         runs the survivor -> record pipeline for its contiguous slice
         of the K rows (host math time ∝ 1/N) and the variable-length
@@ -1218,7 +1271,8 @@ class LdEngine:
             from ..io.two import TWO_DTYPE
             recs = rev = np.empty(0, TWO_DTYPE)
         else:
-            out = ld_records(table, data[sl], meta_sl, filt)
+            out = ld_records(table, data[sl], meta_sl, filt,
+                             p_pre=None if p_pre is None else p_pre[sl])
             if out is not None:
                 recs, rev = out[0], out[1]
             elif table == "phased":
@@ -1469,16 +1523,23 @@ def _ckpt_read(path: str, config_key: str):
 
 
 def _ckpt_write(path: str, config_key: str, units: int, n_pairs: int,
-                n_records: int, load_cum, writer_state: dict):
+                n_records: int, load_cum, writer_state: dict,
+                caps: dict = None):
     """Atomic sidecar write (tmp + fsync + rename): the checkpoint is
     only ever observed complete, and the writer state it carries was
-    fsync'd by checkpoint_state() before this is called."""
+    fsync'd by checkpoint_state() before this is called. `caps`
+    carries the engine's adaptive buffer state (fused cap, outcap) so
+    a resumed run replays the SAME fused-vs-repair extraction paths --
+    with the in-sweep Fisher bracket, path choice decides which f32
+    program computes P, and resuming with reset caps would leave
+    f32-noise differences vs the uninterrupted run."""
     import base64
     import json as _json
     import os as _os
     state = dict(version=1, config=config_key, units=units,
                  n_pairs=n_pairs, n_records=n_records,
                  load_cum=list(load_cum),
+                 caps=caps or {},
                  writer=dict(offset=writer_state["offset"],
                              n_records=writer_state["n_records"],
                              index=base64.b64encode(
@@ -1759,6 +1820,11 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                 engine.ckpt_skip = ck["units"]
                 engine.cand_total = ck["n_pairs"]
                 load_cum = list(ck["load_cum"])
+                caps = ck.get("caps") or {}
+                if caps.get("fused_cap"):
+                    engine._fused_cap = int(caps["fused_cap"])
+                if caps.get("outcap"):
+                    engine._outcap = int(caps["outcap"])
             if settings.checkpoint:
                 import time as _time_ck
                 last_ck = [_time_ck.monotonic()]
@@ -1771,7 +1837,9 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                     _ckpt_write(ck_path, ck_key,
                                 engine.units_done, engine.cand_total,
                                 result.n_records, load_cum,
-                                writer.checkpoint_state())
+                                writer.checkpoint_state(),
+                                caps=dict(fused_cap=engine._fused_cap,
+                                          outcap=engine._outcap))
                 engine.on_segment = _maybe_checkpoint
         if engine is not None and prefetch_on:
             engine.MAX_RESIDENT_BANDS = 3

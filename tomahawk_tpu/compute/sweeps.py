@@ -25,9 +25,13 @@ import jax.numpy as jnp
 
 from ..ops import ld_kernels as K
 
-# device tensors consumed by the sweeps, in pytree order
-DEV_KEYS = ("alt_bits", "miss_bits", "het_bits", "hom_bits", "valid_bits",
-            "pos", "rid", "ac", "an", "n_het", "n_hom", "valid")
+# device tensors consumed by the sweeps, in pytree order. lf_hi/lf_lo
+# are the double-single log-factorial table of the in-sweep Fisher
+# epilogue (ops/fisher_dev.py), not a per-band plane.
+BAND_KEYS = ("alt_bits", "miss_bits", "het_bits", "hom_bits",
+             "valid_bits", "pos", "rid", "ac", "an", "n_het", "n_hom",
+             "valid")
+DEV_KEYS = BAND_KEYS + ("lf_hi", "lf_lo")
 
 # planes whose trailing axis is the packed word axis (shardable over
 # the 'samples' mesh axis); everything else is replicated metadata
@@ -50,6 +54,8 @@ def dev_keys_for(cfg) -> tuple:
         keys += ["pos", "rid"]
     if cfg["cls"] != "all":
         keys.append("an")
+    if cfg.get("fisher"):
+        keys += ["lf_hi", "lf_lo"]
     return tuple(k for k in DEV_KEYS if k in keys)
 
 
@@ -81,6 +87,102 @@ def payload_cols(table: str, has_missing: bool) -> int:
     if table == "phased":
         return 4 if has_missing else 1
     return 9 if has_missing else 4
+
+
+def fisher_on(cfg) -> bool:
+    """Whether the fused sweep appends the in-sweep Fisher bracket
+    column (phased tables; the unphased EM path keeps Fisher on host
+    until the EM root choice itself moves on device)."""
+    return bool(cfg.get("fisher")) and cfg["table"] == "phased"
+
+
+def fisher_packed(cfg) -> bool:
+    """Whether the Fisher bracket rides the UNUSED top 16 bits of the
+    single payload column as bf16 instead of its own f32 column --
+    free transfer in the flagship phased/no-missing shape. Safe only
+    when the device can bound P < 1e-4 (bf16's 0.2% relative error is
+    then < 2e-7 absolute, 50x inside the golden 1e-5); larger-P lanes
+    are flagged for the exact host recompute."""
+    return fisher_on(cfg) and not cfg["has_missing"] and pack16_ok(cfg)
+
+
+def fisher_cols(cfg) -> int:
+    """Extra survivor-buffer columns the Fisher epilogue appends."""
+    return 1 if fisher_on(cfg) and not fisher_packed(cfg) else 0
+
+
+def append_fisher_col(dev, ends, buf, pi, pj, cfg):
+    """Append a bitcast-f32 two-sided Fisher bracket column to the
+    survivor buffer: one vectorized epilogue over the segment's
+    compacted survivors inside the same dispatch as the sweep -- the
+    in-sweep survivor statistic the reference computes inline on its
+    slave threads (reference: lib/ld/ld_engine.cpp:1233-1242). The
+    host combines P = q * bracket in f64 (ops/fisher_dev.py), so the
+    ~1 us/table host Fisher scan leaves the record-dense critical
+    path. Both the fused and the repair sweep run this same epilogue,
+    so a record's P value is identical whichever extraction path its
+    tile took (cap adaptation and resume stay byte-deterministic).
+
+    ends: [T] ascending per-tile END offsets of each tile's survivor
+    rows in `buf` (cumsum of counts for the fused sweep; offset+count
+    for the exact-offset repair sweep)."""
+    from ..ops import fisher_dev as F
+    B = cfg["B"]
+    T = ends.shape[0]
+    R = buf.shape[0]
+    rowid = jnp.arange(R, dtype=jnp.int32)
+    t = jnp.minimum(jnp.searchsorted(ends, rowid, side="right"),
+                    T - 1).astype(jnp.int32)
+    i, j = pi[t], pj[t]
+    idx = buf[:, 0]
+    k = jnp.clip(idx // B, 0, B - 1)
+    ll = jnp.clip(idx % B, 0, B - 1)
+    if cfg["has_missing"]:
+        if pack16_ok(cfg):
+            c0, c1 = buf[:, 1], buf[:, 2]
+            aa = c0 & 0xFFFF
+            alt_val = (c0 >> 16) & 0xFFFF
+            val_alt = c1 & 0xFFFF
+            val_val = (c1 >> 16) & 0xFFFF
+        else:
+            aa, alt_val, val_alt, val_val = (buf[:, 1], buf[:, 2],
+                                             buf[:, 3], buf[:, 4])
+        ar = alt_val - aa           # ALTREF (phased_cells order)
+        ra = val_alt - aa           # REFALT
+        rr = val_val - aa - ar - ra
+    else:
+        # single payload column holds altalt raw (pack16 leaves a
+        # lone value unshifted)
+        aa = buf[:, 1]
+        ac_a = dev["ac"][i, k]
+        ac_b = dev["ac"][j, ll]
+        ar = ac_a - aa
+        ra = ac_b - aa
+        rr = 2 * cfg["n_samples"] - ac_a - ac_b + aa
+    z = jnp.int32(0)
+    # garbage rows (slots past a tile's survivor count) may decode to
+    # inconsistent counts; clamp so the scan stays bounded
+    rr, ra, ar, aa = (jnp.maximum(x, z) for x in (rr, ra, ar, aa))
+    br, logq = F.fisher_bracket(rr, ra, ar, aa, dev["lf_hi"],
+                                dev["lf_lo"])
+    if not fisher_packed(cfg):
+        col = jax.lax.bitcast_convert_type(br, jnp.int32)
+        return jnp.concatenate([buf, col[:, None]], axis=1)
+    # packed variant: bf16 bracket in the top 16 bits of the payload
+    # column. bf16's 0.2% relative error is only safe while P < 1e-4;
+    # flag larger-P lanes (and anything already uncertain) as bf16
+    # NaN so the host recomputes them exactly. log(P) ~ logq +
+    # log(bracket), evaluated crudely in f32 -- the 1e-4 gate carries
+    # a 50x margin over where bf16 error would cross the 1e-5 golden
+    # tolerance, so f32 slack cannot push an unsafe lane past it.
+    p_big = logq + jnp.log(jnp.maximum(br, 1e-30)) > jnp.float32(-9.22)
+    bad = p_big | (br < 0)
+    b16 = br.astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(b16, jnp.uint16).astype(jnp.int32)
+    bits = jnp.where(bad, jnp.int32(0x7FC0), bits)      # bf16 NaN
+    col1 = (buf[:, 1] & 0xFFFF) | (bits << 16)
+    return jnp.concatenate([buf[:, :1], col1[:, None], buf[:, 2:]],
+                           axis=1)
 
 
 def pack16_ok(cfg) -> bool:
@@ -252,14 +354,18 @@ def fused_sweep(dev, pi, pj, dg, live, *, cfg, cap, outcap):
     buf0 = jnp.zeros((outcap, ncol), jnp.int32)
     (buf, _), (n, nc) = jax.lax.scan(body, (buf0, jnp.int32(0)),
                                      (pi, pj, dg, live))
+    if fisher_on(cfg):
+        buf = append_fisher_col(dev, jnp.cumsum(n), buf, pi, pj, cfg)
     return n, nc, buf
 
 
-def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
+def extract_sweep(dev, pi, pj, dg, off, cnt, *, cfg, cap, outcap):
     """Re-sweep hit tiles, writing [idx, raw parts...] survivor rows at
     exact offsets into one [outcap, ncol] buffer. Rows past each tile's
     survivor count are junk that later tiles overwrite; the caller
-    slices the buffer to the exact total."""
+    slices the buffer to the exact total. `cnt` carries each tile's
+    survivor count (0 for padding entries) so the Fisher epilogue can
+    map rows back to tiles; the scan itself does not read it."""
     ncol = buf_cols(cfg)
     BB = cfg["B"] * cfg["B"]
 
@@ -274,17 +380,21 @@ def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
 
     buf0 = jnp.zeros((outcap, ncol), jnp.int32)
     buf, _ = jax.lax.scan(body, buf0, (pi, pj, dg, off))
+    if fisher_on(cfg):
+        buf = append_fisher_col(dev, off + cnt, buf, pi, pj, cfg)
     return buf
 
 
 def make_cfg(table: str, has_missing: bool, cls: str, B: int,
              n_samples: int, window: int, min_r2: float, max_r2: float,
              psum_axis: str = None, backend: str = "xla",
-             min_dprime: float = 0.0, max_dprime: float = 100.0) -> dict:
+             min_dprime: float = 0.0, max_dprime: float = 100.0,
+             fisher: bool = False) -> dict:
     return dict(table=table, has_missing=has_missing, cls=cls, B=B,
                 n_samples=n_samples, window=window, min_r2=min_r2,
                 max_r2=max_r2, psum_axis=psum_axis, backend=backend,
-                min_dprime=min_dprime, max_dprime=max_dprime)
+                min_dprime=min_dprime, max_dprime=max_dprime,
+                fisher=fisher)
 
 
 def jit_count_sweep(cfg):
@@ -357,7 +467,8 @@ def shard_extract_sweep(mesh, cfg, cap, outcap):
     fn = jax.shard_map(
         partial(extract_sweep, cfg=cfg, cap=cap, outcap=outcap), mesh=mesh,
         in_specs=(_dev_specs(P, samples, dev_keys_for(cfg)),
-                  P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+                  P("pairs"), P("pairs"), P("pairs"), P("pairs"),
+                  P("pairs")),
         out_specs=P("pairs"),
         check_vma=False)
     return jax.jit(fn)

@@ -10,6 +10,7 @@
 
 #include <charconv>
 #include <cmath>
+#include <zlib.h>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -1629,10 +1630,13 @@ static void twk_fill_rec(TwkTwoRec* fwd, TwkTwoRec* rev,
 
 // One phased 2x2 table through the filter ladder; c / ic are the
 // (REFREF, REFALT, ALTREF, ALTALT) counts as double / int64.
+// p_hint: a precomputed Fisher P (device bracket x exact f64 q,
+// ops/fisher_dev.py) consumed instead of the exact scan; NaN means
+// compute it here (uncertain tie-band lanes, repair-pass rows).
 static bool twk_phased_row(const double* c, const int64_t* ic,
                            const TwkPairMeta& M, int64_t k,
                            const TwkLdParams& P, TwkTwoRec* fwd,
-                           TwkTwoRec* rev) {
+                           TwkTwoRec* rev, double p_hint = NAN) {
     const double rr = c[0], ra = c[1], ar = c[2], aa = c[3];
     const double t = rr + ra + ar + aa;
     if (!(t >= P.min_alleles)) return false;
@@ -1656,7 +1660,8 @@ static bool twk_phased_row(const double* c, const int64_t* ic,
         : -(g0 * g1 < h0 * h1 ? g0 * g1 : h0 * h1);
     const double Dp = dmax != 0.0 ? D / dmax : 0.0;
     if (!(Dp >= P.min_dprime && Dp <= P.max_dprime)) return false;
-    const double Pv = twk_fisher1(ic[0], ic[1], ic[2], ic[3]);
+    const double Pv = p_hint == p_hint ? p_hint
+        : twk_fisher1(ic[0], ic[1], ic[2], ic[3]);
     if (!(Pv <= P.min_p)) return false;
     const double chisq_f = t * R2;
     // output cnt order is (REFREF, ALTREF, REFALT, ALTALT)
@@ -1716,7 +1721,8 @@ static bool twk_em_records_row(const int64_t* t, const TwkPairMeta& M,
 // fold to phased counts (reference: ld_engine.cpp:1334-1348).
 static bool twk_unphased_row(const int64_t* t, const TwkPairMeta& M,
                              int64_t k, const TwkLdParams& P,
-                             TwkTwoRec* fwd, TwkTwoRec* rev) {
+                             TwkTwoRec* fwd, TwkTwoRec* rev,
+                             double p_hint = NAN) {
     int64_t n = 0;
     for (int i = 0; i < 9; ++i) n += t[i];
     // minimum-sample gate applies before the fold (ld_engine.cpp:1321)
@@ -1729,7 +1735,9 @@ static bool twk_unphased_row(const int64_t* t, const TwkPairMeta& M,
         const double c[4] = {(double)rr, (double)ra,
                              (double)ar, (double)aa};
         const int64_t ic[4] = {rr, ra, ar, aa};
-        return twk_phased_row(c, ic, M, k, P, fwd, rev);
+        // the fold's Fisher runs on the folded phased table, which is
+        // exactly what the device bracket was computed from
+        return twk_phased_row(c, ic, M, k, P, fwd, rev, p_hint);
     }
     return twk_em_records_row(t, M, k, P, fwd, rev);
 }
@@ -1742,6 +1750,7 @@ struct TwkRecJob {
     TwkTwoRec* fwd;
     TwkTwoRec* rev;
     int64_t* idx;
+    const double* p_pre;      // per-row Fisher P hints (NaN = compute)
 };
 
 static void twk_records_range(TwkRecJob J, int64_t lo, int64_t hi,
@@ -1749,15 +1758,16 @@ static void twk_records_range(TwkRecJob J, int64_t lo, int64_t hi,
     int64_t w = lo;   // per-range cursor; ranges compacted afterwards
     for (int64_t k = lo; k < hi; ++k) {
         bool kept;
+        const double ph = J.p_pre ? J.p_pre[k] : NAN;
         if (J.table == 0) {
             const int64_t* ic = J.data + k * 4;
             const double c[4] = {(double)ic[0], (double)ic[1],
                                  (double)ic[2], (double)ic[3]};
             kept = twk_phased_row(c, ic, *J.M, k, *J.P,
-                                  J.fwd + w, J.rev + w);
+                                  J.fwd + w, J.rev + w, ph);
         } else {
             kept = twk_unphased_row(J.data + k * 9, *J.M, k, *J.P,
-                                    J.fwd + w, J.rev + w);
+                                    J.fwd + w, J.rev + w, ph);
         }
         if (kept) {
             J.idx[w] = k;
@@ -1779,14 +1789,15 @@ extern "C" int64_t twk_ld_records(
         const int64_t* ac_a, const int64_t* ac_b,
         const int64_t* an_a, const int64_t* an_b,
         const double* hwe_a, const double* hwe_b,
-        const double* params, uint8_t* out_fwd, uint8_t* out_rev,
+        const double* params, const double* p_pre,
+        uint8_t* out_fwd, uint8_t* out_rev,
         int64_t* out_idx, int32_t n_threads) {
     TwkLdParams P;
     memcpy(&P, params, sizeof P);
     TwkPairMeta M{pos_a, pos_b, rid_a, rid_b, ac_a, ac_b, an_a, an_b,
                   hwe_a, hwe_b};
     TwkRecJob J{table, data, &M, &P, (TwkTwoRec*)out_fwd,
-                (TwkTwoRec*)out_rev, out_idx};
+                (TwkTwoRec*)out_rev, out_idx, p_pre};
     if (n_threads < 1) n_threads = 1;
     if (K < 8192) n_threads = 1;      // spawn cost dominates below this
     if (n_threads == 1) {
@@ -1984,5 +1995,60 @@ int64_t twk_ld_tile(
     return w;
 }
 #pragma GCC pop_options
+
+// ---------------------------------------------------------------------------
+// Streaming gzip/BGZF inflater. BGZF (the BCF/VCF.gz container,
+// reference: htslib BGZF used by lib/vcf_reader.h) is a concatenation
+// of <=64 KB gzip members; CPython's gzip module re-frames every
+// member in Python, which costs more than the inflate itself at
+// population scale. This keeps one z_stream alive across calls and
+// hops member boundaries with inflateReset2 entirely in C.
+
+struct TwkInflate {
+    z_stream zs;
+};
+
+void* twk_inflate_new() {
+    TwkInflate* h = new TwkInflate();
+    memset(&h->zs, 0, sizeof(z_stream));
+    // 15+32: zlib OR gzip header auto-detection
+    if (inflateInit2(&h->zs, 15 + 32) != Z_OK) {
+        delete h;
+        return nullptr;
+    }
+    return h;
+}
+
+void twk_inflate_free(void* hp) {
+    TwkInflate* h = (TwkInflate*)hp;
+    inflateEnd(&h->zs);
+    delete h;
+}
+
+// Inflate as much of src as fits in dst. Returns 0 (ok) or <0
+// (corrupt stream); consumed/produced report progress. Member
+// boundaries (BGZF concatenation) are crossed transparently.
+int32_t twk_inflate_feed(void* hp, const uint8_t* src, int64_t n_src,
+                         uint8_t* dst, int64_t dst_cap,
+                         int64_t* consumed, int64_t* produced) {
+    TwkInflate* h = (TwkInflate*)hp;
+    z_stream* zs = &h->zs;
+    zs->next_in = (Bytef*)src;
+    zs->avail_in = (uInt)n_src;
+    zs->next_out = dst;
+    zs->avail_out = (uInt)dst_cap;
+    while (zs->avail_out > 0 && zs->avail_in > 0) {
+        int r = inflate(zs, Z_NO_FLUSH);
+        if (r == Z_STREAM_END) {
+            if (inflateReset2(zs, 15 + 32) != Z_OK) return -2;
+            continue;
+        }
+        if (r == Z_BUF_ERROR) break;   // progress needs more in/out
+        if (r != Z_OK) return -1;
+    }
+    *consumed = n_src - (int64_t)zs->avail_in;
+    *produced = dst_cap - (int64_t)zs->avail_out;
+    return 0;
+}
 
 }  // extern "C"

@@ -133,14 +133,17 @@ def native_params(filt: LdFilters) -> np.ndarray:
 
 
 def ld_records(table: str, data: np.ndarray, meta: PairMeta,
-               filt: LdFilters, n_threads: int = 0):
+               filt: LdFilters, n_threads: int = 0, p_pre=None):
     """The whole survivor -> record pipeline (filters, Fisher, flags,
     fwd + reverse-orientation assembly) in ONE native batch call.
     `table` is "phased" (data [K, 4] haplotype counts) or "unphased"
-    (data [K, 9] or [K, 3, 3] genotype tables). Returns (fwd, rev,
-    kept_idx) -- views into reusable per-thread scratch, valid until
-    the next call on this thread -- or None when the native library is
-    unavailable (callers fall back to phased_math / unphased_math)."""
+    (data [K, 9] or [K, 3, 3] genotype tables). `p_pre` (f64 [K],
+    optional) carries in-sweep Fisher P values from the device bracket
+    epilogue (ops/fisher_dev.py); NaN rows fall back to the exact
+    native scan. Returns (fwd, rev, kept_idx) -- views into reusable
+    per-thread scratch, valid until the next call on this thread -- or
+    None when the native library is unavailable (callers fall back to
+    phased_math / unphased_math)."""
     from ..native import ld_records as native_ld_records
     K = len(data)
     fwd, rev, idx = _record_scratch(K)
@@ -149,7 +152,8 @@ def ld_records(table: str, data: np.ndarray, meta: PairMeta,
         n_threads = min(os.cpu_count() or 1, 16)
     n = native_ld_records(0 if table == "phased" else 1,
                           np.ascontiguousarray(data, np.int64),
-                          meta, params, fwd, rev, idx, n_threads)
+                          meta, params, fwd, rev, idx, n_threads,
+                          p_pre=p_pre)
     if n is None:
         return None
     return fwd[:n], rev[:n], idx[:n]
