@@ -128,8 +128,14 @@ class BcfReader:
         self.path = path
         with open(path, "rb") as probe:
             magic = probe.read(2)
-        fh = (gzip.open(path, "rb") if magic == b"\x1f\x8b"
-              else open(path, "rb"))
+        if magic == b"\x1f\x8b":
+            # BGZF: prefer the native streaming inflater (C member
+            # hopping; CPython gzip re-frames each <=64 KB member in
+            # Python, which dominates at population scale)
+            from ..native import native_gzip_open
+            fh = native_gzip_open(path) or gzip.open(path, "rb")
+        else:
+            fh = open(path, "rb")
         self._s = _Stream(fh)
         raw_magic = self._s.read(5)
         if raw_magic[:3] != b"BCF":

@@ -547,11 +547,13 @@ def _import_body_chunked(vcf, settings: ImportSettings,
     malformed) are re-fed through the exact single-site path."""
     import gzip
 
-    from ..native import ChunkImporter
+    from ..native import ChunkImporter, native_gzip_open
 
     path = settings.input
-    fh = (gzip.open(path, "rb") if path.endswith((".gz", ".bgz"))
-          else open(path, "rb"))
+    if path.endswith((".gz", ".bgz")):
+        fh = native_gzip_open(path) or gzip.open(path, "rb")
+    else:
+        fh = open(path, "rb")
     for line in fh:
         if line.startswith(b"#CHROM"):
             break

@@ -22,7 +22,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           "-o", _SO, _SRC]
+           "-o", _SO, _SRC, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -146,17 +146,153 @@ def get_lib():
         lib.twk_ld_records.restype = ctypes.c_int64
         lib.twk_ld_records.argtypes = (
             [ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64] +
-            [ctypes.c_void_p] * 14 + [ctypes.c_int32])
+            [ctypes.c_void_p] * 15 + [ctypes.c_int32])
         lib.twk_ld_tile.restype = ctypes.c_int64
         lib.twk_ld_tile.argtypes = (
             [ctypes.c_int32] * 4 + [ctypes.c_int64] * 6 +
             [ctypes.c_void_p] * 26)
+        lib.twk_inflate_new.restype = ctypes.c_void_p
+        lib.twk_inflate_new.argtypes = []
+        lib.twk_inflate_free.restype = None
+        lib.twk_inflate_free.argtypes = [ctypes.c_void_p]
+        lib.twk_inflate_feed.restype = ctypes.c_int32
+        lib.twk_inflate_feed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+class NativeGzipFile:
+    """Read-only file object over a gzip/BGZF stream, inflated by the
+    native streaming inflater (twk_inflate_feed). BGZF files are
+    thousands of <=64 KB gzip members; CPython's gzip module re-frames
+    each member in Python, which dominates BCF import at population
+    scale -- here member hopping stays in C. Use `native_gzip_open`,
+    which returns None when the native library is unavailable."""
+
+    _IN_CHUNK = 1 << 20
+    _OUT_CHUNK = 1 << 22
+
+    def __init__(self, path: str):
+        self._lib = get_lib()
+        self._h = self._lib.twk_inflate_new()
+        if not self._h:
+            raise MemoryError("inflateInit failed")
+        self._fh = open(path, "rb")
+        self._in_buf = b""
+        self._in_off = 0
+        self._out = np.empty(self._OUT_CHUNK, np.uint8)
+        self._chunk = b""
+        self._coff = 0
+        self._eof = False
+        self._path = path
+
+    def _refill(self):
+        """Inflate the next decompressed chunk into self._view."""
+        lib = self._lib
+        produced_total = 0
+        out = self._out
+        while produced_total == 0:
+            if self._in_off >= len(self._in_buf):
+                data = self._fh.read(self._IN_CHUNK)
+                if not data:
+                    self._eof = True
+                    return
+                self._in_buf = data
+                self._in_off = 0
+            consumed = ctypes.c_int64(0)
+            produced = ctypes.c_int64(0)
+            src = np.frombuffer(self._in_buf, np.uint8)
+            r = lib.twk_inflate_feed(
+                self._h,
+                ctypes.c_void_p(src.ctypes.data + self._in_off),
+                len(self._in_buf) - self._in_off,
+                out.ctypes.data_as(ctypes.c_void_p), len(out),
+                ctypes.byref(consumed), ctypes.byref(produced))
+            if r != 0:
+                raise ValueError(f"{self._path}: corrupt gzip stream "
+                                 f"(code {r})")
+            self._in_off += consumed.value
+            produced_total = produced.value
+            if produced_total == 0 and consumed.value == 0:
+                # no progress possible with a full input buffer means
+                # a truncated/corrupt trailing member
+                if self._in_off < len(self._in_buf):
+                    raise ValueError(
+                        f"{self._path}: corrupt gzip stream")
+        self._chunk = out[:produced_total].tobytes()
+        self._coff = 0
+
+    def read(self, n: int = -1) -> bytes:
+        parts = []
+        want = n if n >= 0 else (1 << 62)
+        while want > 0:
+            avail = len(self._chunk) - self._coff
+            if avail == 0:
+                if self._eof:
+                    break
+                self._refill()
+                continue
+            take = min(want, avail)
+            parts.append(self._chunk[self._coff:self._coff + take])
+            self._coff += take
+            want -= take
+        if len(parts) == 1:
+            return parts[0]
+        return b"".join(parts)
+
+    def readline(self) -> bytes:
+        parts = []
+        while True:
+            nl = self._chunk.find(b"\n", self._coff)
+            if nl >= 0:
+                parts.append(self._chunk[self._coff:nl + 1])
+                self._coff = nl + 1
+                break
+            if self._coff < len(self._chunk):
+                parts.append(self._chunk[self._coff:])
+                self._coff = len(self._chunk)
+            if self._eof:
+                break
+            self._refill()
+        if len(parts) == 1:
+            return parts[0]
+        return b"".join(parts)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> bytes:
+        line = self.readline()
+        if not line:
+            raise StopIteration
+        return line
+
+    def close(self):
+        if self._h:
+            self._lib.twk_inflate_free(self._h)
+            self._h = None
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def native_gzip_open(path: str):
+    """NativeGzipFile for `path`, or None when the native library is
+    unavailable (callers fall back to gzip.open)."""
+    if get_lib() is None:
+        return None
+    return NativeGzipFile(path)
 
 
 def parse_gt_line(line: bytes, n_samples: int, gt_col: int = 9):
@@ -293,14 +429,16 @@ def unphased_em(T: np.ndarray):
 
 def ld_records(table: int, data: np.ndarray, meta, params: np.ndarray,
                out_fwd: np.ndarray, out_rev: np.ndarray,
-               out_idx: np.ndarray, n_threads: int = 1):
+               out_idx: np.ndarray, n_threads: int = 1, p_pre=None):
     """Fused survivor -> TWO-record batch (twk_ld_records): filter
     ladder + Fisher + flags + fwd/rev record assembly in one native
     call. `table` 0 = phased counts [K, 4], 1 = unphased tables
     [K, 9]; `meta` is a PairMeta-like object with 10 length-K arrays;
     `out_fwd`/`out_rev` are TWO_DTYPE arrays and `out_idx` int64, all
-    length >= K. Returns the kept-record count, or None if the native
-    library is unavailable."""
+    length >= K. `p_pre` (f64 [K], optional): precomputed Fisher P per
+    row (device bracket path); NaN rows fall back to the exact scan.
+    Returns the kept-record count, or None if the native library is
+    unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -313,12 +451,16 @@ def ld_records(table: int, data: np.ndarray, meta, params: np.ndarray,
     f64s = [np.ascontiguousarray(a, np.float64)
             for a in (meta.hwe_a, meta.hwe_b)]
     params = np.ascontiguousarray(params, np.float64)
+    if p_pre is not None:
+        p_pre = np.ascontiguousarray(p_pre, np.float64)
     vp = ctypes.c_void_p
     return lib.twk_ld_records(
         table, vp(data.ctypes.data), len(data),
         *(vp(a.ctypes.data) for a in ints),
         *(vp(a.ctypes.data) for a in f64s),
-        vp(params.ctypes.data), vp(out_fwd.ctypes.data),
+        vp(params.ctypes.data),
+        vp(p_pre.ctypes.data) if p_pre is not None else vp(None),
+        vp(out_fwd.ctypes.data),
         vp(out_rev.ctypes.data), vp(out_idx.ctypes.data),
         int(n_threads))
 
