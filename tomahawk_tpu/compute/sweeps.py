@@ -25,13 +25,11 @@ import jax.numpy as jnp
 
 from ..ops import ld_kernels as K
 
-# device tensors consumed by the sweeps, in pytree order. lf_hi/lf_lo
-# are the double-single log-factorial table of the in-sweep Fisher
-# epilogue (ops/fisher_dev.py), not a per-band plane.
+# device tensors consumed by the sweeps, in pytree order
 BAND_KEYS = ("alt_bits", "miss_bits", "het_bits", "hom_bits",
              "valid_bits", "pos", "rid", "ac", "an", "n_het", "n_hom",
              "valid")
-DEV_KEYS = BAND_KEYS + ("lf_hi", "lf_lo")
+DEV_KEYS = BAND_KEYS
 
 # planes whose trailing axis is the packed word axis (shardable over
 # the 'samples' mesh axis); everything else is replicated metadata
@@ -54,8 +52,6 @@ def dev_keys_for(cfg) -> tuple:
         keys += ["pos", "rid"]
     if cfg["cls"] != "all":
         keys.append("an")
-    if cfg.get("fisher"):
-        keys += ["lf_hi", "lf_lo"]
     return tuple(k for k in DEV_KEYS if k in keys)
 
 
@@ -111,7 +107,16 @@ def fisher_cols(cfg) -> int:
     return 1 if fisher_on(cfg) and not fisher_packed(cfg) else 0
 
 
-def append_fisher_col(dev, ends, buf, pi, pj, cfg):
+# per-shard survivor floor below which the fused sweep SKIPS the
+# Fisher epilogue: the walk costs ~2 ms per 32k-lane chunk per
+# segment, while the host's exact scan costs ~1 us/row -- sparse
+# segments are cheaper on host. The host mirrors this EXACT rule from
+# its n_pass copy (integer sums, deterministic), so both sides agree
+# on which rows carry a device bracket.
+FISHER_MIN_ROWS = 16384
+
+
+def append_fisher_col(dev, ends, n_tile, buf, pi, pj, cfg):
     """Append a bitcast-f32 two-sided Fisher bracket column to the
     survivor buffer: one vectorized epilogue over the segment's
     compacted survivors inside the same dispatch as the sweep -- the
@@ -125,7 +130,9 @@ def append_fisher_col(dev, ends, buf, pi, pj, cfg):
 
     ends: [T] ascending per-tile END offsets of each tile's survivor
     rows in `buf` (cumsum of counts for the fused sweep; offset+count
-    for the exact-offset repair sweep)."""
+    for the exact-offset repair sweep). n_tile: [T] per-tile survivor
+    counts, delimiting each tile's LIVE rows -- garbage slots must not
+    reach the scans (they set the shared trip count)."""
     from ..ops import fisher_dev as F
     B = cfg["B"]
     T = ends.shape[0]
@@ -133,6 +140,7 @@ def append_fisher_col(dev, ends, buf, pi, pj, cfg):
     rowid = jnp.arange(R, dtype=jnp.int32)
     t = jnp.minimum(jnp.searchsorted(ends, rowid, side="right"),
                     T - 1).astype(jnp.int32)
+    live = (rowid >= ends[t] - n_tile[t]) & (rowid < ends[t])
     i, j = pi[t], pj[t]
     idx = buf[:, 0]
     k = jnp.clip(idx // B, 0, B - 1)
@@ -163,25 +171,60 @@ def append_fisher_col(dev, ends, buf, pi, pj, cfg):
     # garbage rows (slots past a tile's survivor count) may decode to
     # inconsistent counts; clamp so the scan stays bounded
     rr, ra, ar, aa = (jnp.maximum(x, z) for x in (rr, ra, ar, aa))
-    br, logq = F.fisher_bracket(rr, ra, ar, aa, dev["lf_hi"],
-                                dev["lf_lo"])
-    if not fisher_packed(cfg):
-        col = jax.lax.bitcast_convert_type(br, jnp.int32)
+
+    packed = fisher_packed(cfg)
+
+    def chunk_col(ops):
+        """Fisher bracket -> encoded int32 column for one row chunk."""
+        crr, cra, car, caa, clive, cpay = ops
+        br, log2_pb = F.fisher_bracket(crr, cra, car, caa, live=clive)
+        if not packed:
+            return jax.lax.bitcast_convert_type(br, jnp.int32)
+        # packed variant: bf16 bracket in the top 16 bits of the
+        # payload column. bf16's 0.2% relative error is only safe
+        # while P < 1e-4; flag larger-P lanes (and anything already
+        # uncertain) as bf16 NaN so the host recomputes them exactly.
+        # log2_pb is the device-certain upper bound on log2(P); the
+        # 1e-4 gate carries a 50x margin over where bf16 error would
+        # cross the 1e-5 golden tolerance.
+        p_big = log2_pb > F.LOG2_P_GATE
+        bad = p_big | (br < 0)
+        b16 = br.astype(jnp.bfloat16)
+        bits = jax.lax.bitcast_convert_type(
+            b16, jnp.uint16).astype(jnp.int32)
+        bits = jnp.where(bad, jnp.int32(0x7FC0), bits)   # bf16 NaN
+        return (cpay & 0xFFFF) | (bits << 16)
+
+    def skip_col(ops):
+        # a chunk with no live rows: the host never reads its bracket
+        # bits, so any placeholder works (dead payload bits preserved)
+        return ops[5] if packed else jnp.zeros_like(ops[5])
+
+    # chunked cond-skip: the epilogue's cost scales with the BUFFER
+    # size, not the survivor count -- sparse segments would pay for
+    # outcap lanes of garbage. Splitting into chunks that lax.cond
+    # skips at runtime makes the cost proportional to occupied rows
+    # (survivors compact from row 0, so only leading chunks are
+    # live). A scan over the chunk axis keeps ONE copy of the walk in
+    # the program, bounding compile time.
+    pay = buf[:, 1]
+    nch = 8 if R % 8 == 0 and R >= (1 << 16) else 1
+    if nch == 1:
+        col = jax.lax.cond(jnp.any(live), chunk_col, skip_col,
+                           (rr, ra, ar, aa, live, pay))
+    else:
+        xs = tuple(x.reshape(nch, R // nch)
+                   for x in (rr, ra, ar, aa, live, pay))
+
+        def chunk_body(_, ops):
+            return None, jax.lax.cond(jnp.any(ops[4]), chunk_col,
+                                      skip_col, ops)
+
+        _, col = jax.lax.scan(chunk_body, None, xs)
+        col = col.reshape(R)
+    if not packed:
         return jnp.concatenate([buf, col[:, None]], axis=1)
-    # packed variant: bf16 bracket in the top 16 bits of the payload
-    # column. bf16's 0.2% relative error is only safe while P < 1e-4;
-    # flag larger-P lanes (and anything already uncertain) as bf16
-    # NaN so the host recomputes them exactly. log(P) ~ logq +
-    # log(bracket), evaluated crudely in f32 -- the 1e-4 gate carries
-    # a 50x margin over where bf16 error would cross the 1e-5 golden
-    # tolerance, so f32 slack cannot push an unsafe lane past it.
-    p_big = logq + jnp.log(jnp.maximum(br, 1e-30)) > jnp.float32(-9.22)
-    bad = p_big | (br < 0)
-    b16 = br.astype(jnp.bfloat16)
-    bits = jax.lax.bitcast_convert_type(b16, jnp.uint16).astype(jnp.int32)
-    bits = jnp.where(bad, jnp.int32(0x7FC0), bits)      # bf16 NaN
-    col1 = (buf[:, 1] & 0xFFFF) | (bits << 16)
-    return jnp.concatenate([buf[:, :1], col1[:, None], buf[:, 2:]],
+    return jnp.concatenate([buf[:, :1], col[:, None], buf[:, 2:]],
                            axis=1)
 
 
@@ -355,17 +398,36 @@ def fused_sweep(dev, pi, pj, dg, live, *, cfg, cap, outcap):
     (buf, _), (n, nc) = jax.lax.scan(body, (buf0, jnp.int32(0)),
                                      (pi, pj, dg, live))
     if fisher_on(cfg):
-        buf = append_fisher_col(dev, jnp.cumsum(n), buf, pi, pj, cfg)
+        # volume gate: below FISHER_MIN_ROWS survivors (per shard) the
+        # host's exact scan is cheaper than the device epilogue, so
+        # the WHOLE epilogue (row->tile mapping, metadata gathers,
+        # walks, buffer copy) sits behind one runtime cond -- sparse
+        # segments pay only the reduce
+        def _with_fisher(ops):
+            n_, buf_ = ops
+            return append_fisher_col(dev, jnp.cumsum(n_), n_, buf_,
+                                     pi, pj, cfg)
+
+        def _without(ops):
+            _, buf_ = ops
+            if fisher_cols(cfg):
+                z = jnp.zeros((buf_.shape[0], 1), jnp.int32)
+                return jnp.concatenate([buf_, z], axis=1)
+            return buf_
+
+        buf = jax.lax.cond(n.sum() >= FISHER_MIN_ROWS, _with_fisher,
+                           _without, (n, buf))
     return n, nc, buf
 
 
-def extract_sweep(dev, pi, pj, dg, off, cnt, *, cfg, cap, outcap):
+def extract_sweep(dev, pi, pj, dg, off, *, cfg, cap, outcap):
     """Re-sweep hit tiles, writing [idx, raw parts...] survivor rows at
     exact offsets into one [outcap, ncol] buffer. Rows past each tile's
     survivor count are junk that later tiles overwrite; the caller
-    slices the buffer to the exact total. `cnt` carries each tile's
-    survivor count (0 for padding entries) so the Fisher epilogue can
-    map rows back to tiles; the scan itself does not read it."""
+    slices the buffer to the exact total. Repair rows carry NO Fisher
+    bracket -- the host computes their P with the exact native scan
+    (repairs are rare; the P field tolerance across extraction paths
+    is the 1e-5 golden contract)."""
     ncol = buf_cols(cfg)
     BB = cfg["B"] * cfg["B"]
 
@@ -380,8 +442,6 @@ def extract_sweep(dev, pi, pj, dg, off, cnt, *, cfg, cap, outcap):
 
     buf0 = jnp.zeros((outcap, ncol), jnp.int32)
     buf, _ = jax.lax.scan(body, buf0, (pi, pj, dg, off))
-    if fisher_on(cfg):
-        buf = append_fisher_col(dev, off + cnt, buf, pi, pj, cfg)
     return buf
 
 
@@ -467,8 +527,7 @@ def shard_extract_sweep(mesh, cfg, cap, outcap):
     fn = jax.shard_map(
         partial(extract_sweep, cfg=cfg, cap=cap, outcap=outcap), mesh=mesh,
         in_specs=(_dev_specs(P, samples, dev_keys_for(cfg)),
-                  P("pairs"), P("pairs"), P("pairs"), P("pairs"),
-                  P("pairs")),
+                  P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         out_specs=P("pairs"),
         check_vma=False)
     return jax.jit(fn)

@@ -631,21 +631,76 @@ static int32_t twk_bcf_gt_t(const T* v, int32_t n_samples,
     return 0;
 }
 
+// width-1 fast path: one 64K LUT over the little-endian (a, b) byte
+// pair yields code + phase + eov flag in a single indexed load; the
+// genotype histogram folds into the same pass (the BCF bulk importer
+// otherwise re-scans the codes for it).
+struct TwkGtLut {
+    uint8_t code[65536];
+    uint8_t flag[65536];   // bit0 phase, bit1 eov-b
+    TwkGtLut() {
+        for (int b = 0; b < 256; ++b) {
+            for (int a = 0; a < 256; ++a) {
+                const int64_t sa = (int8_t)a, sb = (int8_t)b;
+                const int64_t aa = (sa >> 1) - 1;
+                const int64_t ab = (sb >> 1) - 1;
+                const uint8_t ca = aa < 0 ? 2 : (aa > 1 ? 1 : (uint8_t)aa);
+                const uint8_t cb = ab < 0 ? 2 : (ab > 1 ? 1 : (uint8_t)ab);
+                const uint32_t idx = (uint32_t)a | ((uint32_t)b << 8);
+                code[idx] = (uint8_t)((ca << 2) | cb);
+                flag[idx] = (uint8_t)((sb & 1) | (sb == -127 ? 2 : 0));
+            }
+        }
+    }
+};
+
+static int32_t twk_bcf_gt_w1(const uint8_t* v, int32_t n_samples,
+                             uint8_t* codes, uint8_t* phase,
+                             int64_t* hist) {
+    static const TwkGtLut L;          // C++11 thread-safe init
+    uint8_t bad = 0;
+    for (int64_t s = 0; s < n_samples; ++s) {
+        uint16_t pr;
+        memcpy(&pr, v + 2 * s, 2);
+        const uint8_t c = L.code[pr];
+        const uint8_t f = L.flag[pr];
+        codes[s] = c;
+        phase[s] = (uint8_t)(f & 1);
+        bad |= f;
+        if (hist) ++hist[c & 15u];
+    }
+    return (bad & 2) ? -2 : 0;
+}
+
 extern "C" {
+
+int32_t twk_bcf_gt_hist(const void* vals, int32_t width,
+                        int32_t n_samples, uint8_t* codes,
+                        uint8_t* phase, int64_t* hist) {
+    int32_t r;
+    switch (width) {
+        case 1:
+            return twk_bcf_gt_w1((const uint8_t*)vals, n_samples,
+                                 codes, phase, hist);
+        case 2:
+            r = twk_bcf_gt_t((const int16_t*)vals, n_samples, codes,
+                             phase, -32767);
+            break;
+        default:
+            r = twk_bcf_gt_t((const int32_t*)vals, n_samples, codes,
+                             phase, -2147483647LL);
+            break;
+    }
+    if (r == 0 && hist)
+        for (int32_t s = 0; s < n_samples; ++s)
+            ++hist[codes[s] & 15u];
+    return r;
+}
 
 int32_t twk_bcf_gt(const void* vals, int32_t width, int32_t n_samples,
                    uint8_t* codes, uint8_t* phase) {
-    switch (width) {
-        case 1:
-            return twk_bcf_gt_t((const int8_t*)vals, n_samples, codes,
-                                phase, -127);
-        case 2:
-            return twk_bcf_gt_t((const int16_t*)vals, n_samples, codes,
-                                phase, -32767);
-        default:
-            return twk_bcf_gt_t((const int32_t*)vals, n_samples, codes,
-                                phase, -2147483647LL);
-    }
+    return twk_bcf_gt_hist(vals, width, n_samples, codes, phase,
+                           nullptr);
 }
 
 // Same fusion for already-parsed codes (the BCF reader decodes GT
@@ -1123,8 +1178,9 @@ extern "C" int64_t twk_bcf_import_chunk(
             continue;
         }
         const int32_t vw = (int32_t)scan[6];
-        if (twk_bcf_gt(indiv + scan[5], vw, n_samples, codes,
-                       phase) != 0) {
+        int64_t hist[16] = {0};
+        if (twk_bcf_gt_hist(indiv + scan[5], vw, n_samples, codes,
+                            phase, hist) != 0) {
             // haploid-in-diploid: keep the raw-record form so the
             // caller's exact fallback can classify it
             m[3] = 2;
@@ -1135,8 +1191,6 @@ extern "C" int64_t twk_bcf_import_chunk(
         }
         m[1] = scan[0];
         m[2] = -2 - off;   // <= -2 encodes the record's byte offset
-        int64_t hist[16] = {0};
-        for (int32_t s = 0; s < n_samples; ++s) ++hist[codes[s] & 15u];
         if (twk_finish_site(codes, phase, n_samples, hist,
                             m, runs_out, runs_cap, &runs_off) < 0)
             break;

@@ -1,4 +1,4 @@
-"""Batched two-sided Fisher exact test on device (f32 + double-single).
+"""Batched two-sided Fisher exact test on device (gather-free).
 
 TPU-native replacement for the per-record host Fisher of the record
 pipeline (native/twk_native.cpp twk_fisher1, mirroring the tail
@@ -9,47 +9,50 @@ tables are processed as one vectorized device pass.
 
 Scale split: the device computes the scale-free BRACKET = P / q where
 q = pmf(observed) -- the sum over included cells k of pmf(k)/q. The
-bracket is O(support width) in magnitude, f32-safe for any P; the host
-multiplies by q computed exactly in f64 from its log-factorial table,
-so P keeps f64 dynamic range (P = 1e-300 round-trips).
+bracket is O(support width) in magnitude, f32-safe for any P; the
+host multiplies by q computed exactly in f64 from its log-factorial
+table, so P keeps f64 dynamic range (P = 1e-300 round-trips).
 
-Tail semantics replicated from twk_fisher1 / kt_fisher_exact:
-each side scans outward from the observed cell, skipping cells with
-pmf >= lo = 0.99999999*q, includes the stopping cell iff its
-pmf < hi = 1.00000001*q, then accumulates the strictly-below cells
-until a term falls under 1e-18 of the side's running sum. The
-skipped stretch is located by BINARY SEARCH on the monotone flank
-beyond the distribution mode instead of walking it cell by cell.
+Algorithm = the native kernel's outward walk, vectorized: each side
+scans from the OBSERVED cell (where pmf/q == 1 exactly -- no
+logarithm, no table lookup, nothing to seed) with the hypergeometric
+ratio recurrence, skipping cells with pmf >= lo = 0.99999999*q,
+including the stopping cell iff pmf < hi = 1.00000001*q, then
+accumulating the strictly-below tail until a term falls under 1e-18
+of the side's running sum. TPU gathers of a log-factorial table cost
+~10 ns/lane/lookup, so the earlier binary-search design paid ~100
+lookups per lane; the walk needs ZERO -- pure VPU arithmetic.
 
-Precision: include/exclude decisions ride log-pmf DIFFERENCES
-against the observed cell, computed in double-single arithmetic from
-a (hi, lo) f32 split of the f64 log-factorial table -- the shared
-constant part cancels exactly, leaving ~1e-9 absolute error. The
-reference's 1e-8 tie band is therefore decided correctly except
-within a +-6e-9 guard band, where the lane is flagged UNCERTAIN
-(bracket < 0) and the host recomputes that record with the exact
-native kernel. Tail terms accumulate as f32 ratio chains with
-compensated summation: ~1e-6 relative error on the bracket, i.e.
-<= 1e-6 absolute on P -- 10x inside the 1e-5 golden tolerance
-(TWK_ALLOWED_ROUNDING_ERROR, reference: lib/ld/ld_engine.h:37).
+Precision: the skipped stretch traverses the distribution bulk where
+pmf/q reaches e^+700, so the chain value rides a double-single f32
+mantissa with an explicit power-of-two exponent (frexp
+renormalization). Ratios are formed exactly from integer-valued f32
+products (Dekker two-product + double-single division), giving
+~2^-45 relative drift per step -- after 10^4 steps still ~1e-9,
+enough to decide the reference's 1e-8 tie band exactly outside a
+flagged guard band. Flagged lanes (and lanes whose support exceeds
+the step cap) return bracket < 0 and the host recomputes them with
+the exact native kernel. Tail terms accumulate in f32 with
+compensated summation: <= ~1e-6 absolute error on P, 10x inside the
+1e-5 golden tolerance (TWK_ALLOWED_ROUNDING_ERROR, reference:
+lib/ld/ld_engine.h:37).
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# ln(0.99999999), ln(1.00000001): the reference's tie band around q
-LOG_LO = np.float32(-1.0000000082740371e-08)
-LOG_HI = np.float32(9.999999917e-09)
-# double-single log-pmf differences carry ~1e-9 absolute error; flag
-# lanes whose boundary decisions sit within this band of a threshold
-GUARD = np.float32(6e-9)
+# the reference's tie band around q, expressed on (pmf/q - 1)
+BAND = np.float32(1e-8)
+# ds-chain drift guard: lanes whose boundary decision lands within
+# this of a band edge are handed to the exact host kernel
+GUARD = np.float32(1.2e-9)
+# bf16 packing gate: log2 bound under which P < 1e-4 is certain
+LOG2_P_GATE = np.float32(-13.28)
 
 
 def log_factorial_table(nmax: int) -> np.ndarray:
-    """f64 lgamma(k+1) for k in [0, nmax]."""
+    """f64 lgamma(k+1) for k in [0, nmax] (HOST side: the exact q)."""
     from math import lgamma
     out = np.empty(nmax + 1, np.float64)
     for k in range(nmax + 1):
@@ -64,6 +67,8 @@ def split_ds(v64: np.ndarray):
     return hi, lo
 
 
+# -- double-single f32 primitives (no FMA dependence) -----------------
+
 def _two_sum(a, b):
     s = a + b
     bb = s - a
@@ -71,40 +76,61 @@ def _two_sum(a, b):
     return s, err
 
 
-def _ds_add(xh, xl, yh, yl):
-    s, e = _two_sum(xh, yh)
-    e = e + (xl + yl)
-    hi = s + e
-    lo = e - (hi - s)
+def _split(a):
+    """Dekker split into 12-bit halves."""
+    c = jnp.float32(4097.0) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Exact a*b as a ds pair (Dekker)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _ds_mul(xh, xl, yh, yl):
+    p, e = _two_prod(xh, yh)
+    e = e + (xh * yl + xl * yh)
+    hi = p + e
+    lo = e - (hi - p)
     return hi, lo
 
 
-def _ds_neg(h, l):
-    return -h, -l
+def _ds_div(nh, nl, dh, dl):
+    """(nh+nl)/(dh+dl) as ds; self-correcting, so a ~1-ulp hardware
+    divide is fine as the first guess."""
+    q1 = nh / dh
+    # residual = n - q1*d, in ds
+    p, e = _two_prod(q1, dh)
+    rh, rl = _two_sum(nh, -p)
+    rl = rl + nl - e - q1 * dl
+    q2 = (rh + rl) / dh
+    hi = q1 + q2
+    lo = q2 - (hi - q1)
+    return hi, lo
 
 
-def _gather4_ds(lfh, lfl, i1, i2, i3, i4):
-    """ds sum lf[i1]+lf[i2]+lf[i3]+lf[i4] (indices clamped)."""
-    L = lfh.shape[0]
-    h, l = None, None
-    for i in (i1, i2, i3, i4):
-        ic = jnp.clip(i, 0, L - 1)
-        gh, gl = lfh[ic], lfl[ic]
-        if h is None:
-            h, l = gh, gl
-        else:
-            h, l = _ds_add(h, l, gh, gl)
-    return h, l
-
-
-def fisher_bracket(rr, ra, ar, aa, lfh, lfl, max_iter: int = 0):
+def fisher_bracket(rr, ra, ar, aa, live=None, max_steps: int = 1 << 14):
     """Vectorized bracket = P/q for 2x2 tables
     (REFREF, REFALT, ALTREF, ALTALT) int32 [K].
 
-    Returns f32 [K]: the bracket; exactly -1.0 marks an UNCERTAIN lane
-    (tie-band boundary the ds arithmetic cannot resolve -- the host
-    must recompute that table with the exact f64 kernel); trivial
-    lanes (empty support) return 1.0 and the host overrides P = 1.
+    Returns (bracket f32 [K], log2_pbound f32 [K]):
+    - bracket: the tail sum P/q; exactly -1.0 marks an UNCERTAIN lane
+      (tie-band boundary inside the drift guard, or the walk exceeded
+      max_steps) -- the host must recompute that table exactly;
+      trivial lanes (empty support) return 1.0 and the host overrides
+      P = 1.
+    - log2_pbound: a device-certain upper bound on log2(P) (via
+      P = bracket*q <= bracket / max_k pmf(k)/q), for the bf16
+      packing gate.
+
+    `live` (bool [K], optional) masks garbage lanes (survivor-buffer
+    slots past a tile's count): they are treated as trivial so they
+    cannot stretch the shared trip count.
     """
     a = rr.astype(jnp.int32)
     n1 = a + ra
@@ -114,149 +140,153 @@ def fisher_bracket(rr, ra, ar, aa, lfh, lfl, max_iter: int = 0):
     kmin = jnp.maximum(0, m1 - n2)
     kmax = jnp.minimum(n1, m1)
     trivial = (n <= 0) | (kmax <= kmin)
-
-    # observed-cell ds log-pmf part (the k-dependent 4 gathers; the
-    # constant part cancels in every difference)
-    nn2m1 = n2 - m1
-    oh, ol = _gather4_ds(lfh, lfl, a, n1 - a, m1 - a, nn2m1 + a)
-
-    def diff_ds(k):
-        """ds (log pmf(k) - log pmf(a)) = obs-part - k-part."""
-        kh, kl = _gather4_ds(lfh, lfl, k, n1 - k, m1 - k, nn2m1 + k)
-        return _ds_add(oh, ol, *_ds_neg(kh, kl))
-
-    def diff_f32(k):
-        h, l = diff_ds(k)
-        return h + l
-
-    # distribution mode: f32 product is exact enough to land within
-    # +-2 cells; refine by argmax over a 5-cell neighbourhood so the
-    # flanks beyond `km` are truly monotone
-    km0 = jnp.floor((n1.astype(jnp.float32) + 1.0)
-                    * (m1.astype(jnp.float32) + 1.0)
-                    / (n.astype(jnp.float32) + 2.0)).astype(jnp.int32)
-    km0 = jnp.clip(km0, kmin, kmax)
-    km, best = km0, None
-    for dlt in (-2, -1, 0, 1, 2):
-        kc = jnp.clip(km0 + dlt, kmin, kmax)
-        v = diff_f32(kc)
-        if best is None:
-            km, best = kc, v
-        else:
-            take = v > best
-            km = jnp.where(take, kc, km)
-            best = jnp.where(take, v, best)
+    if live is not None:
+        trivial |= ~live
 
     K = a.shape[0]
+    f32 = jnp.float32
+    n1f = n1.astype(f32)
+    m1f = m1.astype(f32)
+    nm = (n2 - m1).astype(f32)
+
+    acc_total = jnp.zeros(K, f32)
     uncertain = jnp.zeros(K, bool)
-    acc_total = jnp.zeros(K, jnp.float32)
-    if max_iter <= 0:
-        max_iter = 1 << 22   # hard backstop; real stop is the cutoff
+    peak_ex = jnp.zeros(K, jnp.int32)     # max exponent of pmf/q seen
 
     for side in (1, -1):
-        if side > 0:
-            start = jnp.maximum(a, km)
-            end = kmax
-        else:
-            start = jnp.minimum(a, km)
-            end = kmin
-        M = (end - start) * side                     # >= 0
+        end = kmax if side > 0 else kmin
 
-        # binary search: largest m in [0, M] with
-        # diff(start + side*m) >= LOG_LO (pred(0) holds: the start is
-        # the observed cell or the mode, both >= q >= lo*q)
-        lo_m = jnp.zeros(K, jnp.int32)
-        hi_m = M
-        # M <= table support <= len(lf): fixed step count covers it
-        n_steps = max(1, int(np.ceil(np.log2(lfh.shape[0] + 2))))
-
-        def bs_step(c, _):
-            lo_m, hi_m = c
-            mid = (lo_m + hi_m + 1) // 2
-            ok = diff_f32(start + side * mid) >= LOG_LO
-            return (jnp.where(ok, mid, lo_m),
-                    jnp.where(ok, hi_m, mid - 1)), None
-
-        (lo_m, hi_m), _ = jax.lax.scan(bs_step, (lo_m, hi_m), None,
-                                       length=n_steps)
-        kB = start + side * lo_m
-        dB = diff_f32(kB)
-        include_B = dB < LOG_HI
-        nxt = kB + side
-        in_rng = (nxt * side) <= (end * side)
-        d_nxt = diff_f32(jnp.clip(nxt, kmin, kmax))
-        uncertain |= (jnp.abs(dB - LOG_LO) < GUARD) \
-            | (jnp.abs(dB - LOG_HI) < GUARD) \
-            | (in_rng & (jnp.abs(d_nxt - LOG_LO) < GUARD))
-
-        tB = jnp.where(include_B, jnp.exp(jnp.minimum(dB, 1.0)),
-                       jnp.float32(0.0))
-
-        # strict tail: terms beyond kB, all pmf < lo*q on a monotone
-        # flank; f32 ratio chain with compensated (Kahan) accumulation
-        pp0 = jnp.where(in_rng & ~trivial,
-                        jnp.exp(jnp.minimum(d_nxt, 1.0)),
-                        jnp.float32(0.0))
-        n1f = n1.astype(jnp.float32)
-        m1f = m1.astype(jnp.float32)
-        nm = nn2m1.astype(jnp.float32)
-
-        def ratio(kf):
-            """pmf(k+side)/pmf(k) in f32 (k = current cell)."""
+        def ratio_ds(kf):
+            """pmf(k+side)/pmf(k) as ds (k = current cell). All
+            operands are integer-valued f32 (< 2^24: exact), so the
+            two-products are exact and the ds divide is ~2^-45."""
             if side > 0:
-                num = (n1f - kf) * (m1f - kf)
-                den = (kf + 1.0) * (nm + kf + 1.0)
+                nh, nl = _two_prod(n1f - kf, m1f - kf)
+                dh, dl = _two_prod(kf + 1.0, nm + kf + 1.0)
             else:
-                num = kf * (nm + kf)
-                den = (n1f - kf + 1.0) * (m1f - kf + 1.0)
-            return num / jnp.where(den != 0, den, 1.0)
+                nh, nl = _two_prod(kf, nm + kf)
+                dh, dl = _two_prod(n1f - kf + 1.0, m1f - kf + 1.0)
+            dz = dh == 0
+            dh = jnp.where(dz, 1.0, dh)
+            h, l = _ds_div(nh, nl, dh, dl)
+            return jnp.where(dz, 0.0, h), jnp.where(dz, 0.0, l)
 
-        def cond(st):
-            k, pp, acc, comp, active, it = st
-            return jnp.any(active) & (it < max_iter)
+        # chain state: rel = (mh + ml) * 2^ex == pmf(k)/q, with
+        # mh in [0.5, 1) after renormalization
+        mh = jnp.full(K, f32(0.5))
+        ml = jnp.zeros(K, f32)
+        ex = jnp.ones(K, jnp.int32)            # rel(a) = 1 exactly
+        k = a
+        in_skip = ~trivial
+        in_tail = jnp.zeros(K, bool)
+        pp = jnp.zeros(K, f32)
+        acc = jnp.zeros(K, f32)
+        comp = jnp.zeros(K, f32)
+        unc = jnp.zeros(K, bool)
+        pex = jnp.zeros(K, jnp.int32)
 
-        def body(st):
-            k, pp, acc, comp, active, it = st
-            kf = k.astype(jnp.float32)
-            cont = active & (pp > 0) \
-                & (pp > (acc + comp) * jnp.float32(1e-18)) \
+        def band_v(mh, ml, ex):
+            """(pmf/q - 1) when |pmf/q - 1| is small; +-inf-ish
+            otherwise. Exact near 1 via Sterbenz subtraction; the
+            frexp wrap (rel ~ 1 => ex 0 with mh -> 1, or ex 1 with
+            mh -> 0.5) is handled per case."""
+            v0 = (mh - 1.0) + ml                     # ex == 0
+            v1 = (2.0 * mh - 1.0) + 2.0 * ml         # ex == 1
+            big = jnp.where(ex > 1, f32(1.0), f32(-1.0))
+            return jnp.where(ex == 0, v0, jnp.where(ex == 1, v1, big))
+
+        def step(state):
+            (k, mh, ml, ex, in_skip, in_tail, pp, acc, comp, unc,
+             pex) = state
+            kf = k.astype(f32)
+            at_end = k == end
+
+            # ---- skip phase: advance the ds chain one cell ----
+            rh, rl = ratio_ds(kf)
+            nmh, nml = _ds_mul(mh, ml, rh, rl)
+            # renormalize mantissa to [0.5, 1)
+            nmh_n, e2 = jnp.frexp(jnp.where(nmh == 0, 1.0, nmh))
+            nmh_n = jnp.where(nmh == 0, 0.0, nmh_n)
+            nml_n = jnp.where(nmh == 0, 0.0,
+                              jnp.ldexp(nml, -e2))
+            nex = ex + e2
+            v_next = band_v(nmh_n, nml_n, nex)
+            # next cell below lo = 0.99999999 (v < -1e-8)?
+            next_below = (v_next < -BAND) | (nmh == 0)
+            # stop the skip at the boundary cell: next below lo, or
+            # the range end reached
+            stop = in_skip & (next_below | at_end)
+            adv = in_skip & ~stop
+            # boundary handling where we stop
+            v_here = band_v(mh, ml, ex)
+            include_b = v_here < BAND        # pmf(kB) < hi
+            t_b = jnp.where(include_b & stop,
+                            jnp.ldexp(mh + ml, ex), 0.0)
+            near = (jnp.abs(v_here + BAND) < GUARD) \
+                | (jnp.abs(v_here - BAND) < GUARD) \
+                | (jnp.abs(v_next + BAND) < GUARD)
+            unc = unc | (stop & near)
+            # seed the tail where we stopped short of the range end
+            start_tail = stop & ~at_end
+            pp = jnp.where(start_tail,
+                           jnp.ldexp(nmh_n + nml_n, nex), pp)
+            acc = jnp.where(stop, acc + t_b, acc)
+
+            # ---- tail phase: f32 Kahan accumulation ----
+            cont = in_tail & (pp > 0) \
+                & (pp > (acc + comp) * f32(1e-18)) \
                 & ((k * side) <= (end * side))
-            # Kahan add of pp for continuing lanes
             y = jnp.where(cont, pp, 0.0) - comp
             t = acc + y
-            comp = (t - acc) - y
-            acc = t
-            pp = pp * ratio(kf)
-            k = jnp.where(cont, k + side, k)
-            return k, pp, acc, comp, cont, it + 1
+            comp = jnp.where(cont, (t - acc) - y, comp)
+            acc = jnp.where(cont, t, acc)
+            rf = rh + rl
+            pp = jnp.where(cont, pp * rf, pp)
 
-        # the Kahan accumulator is SEEDED with the boundary term, so
-        # acc covers both it and the strict tail (when kB == end the
-        # loop never runs and acc == tB)
-        st = (nxt, pp0, tB, jnp.zeros(K, jnp.float32),
-              in_rng & ~trivial & (pp0 > 0), jnp.int32(0))
-        _, _, acc, _, _, _ = jax.lax.while_loop(cond, body, st)
+            # ---- advance state ----
+            moved = adv | start_tail | cont
+            k = jnp.where(moved, k + side, k)
+            mh = jnp.where(adv, nmh_n, mh)
+            ml = jnp.where(adv, nml_n, ml)
+            ex = jnp.where(adv, nex, ex)
+            pex = jnp.where(adv, jnp.maximum(pex, nex), pex)
+            in_tail = (in_tail & cont) | start_tail
+            in_skip = adv
+            return (k, mh, ml, ex, in_skip, in_tail, pp, acc, comp,
+                    unc, pex)
+
+        def body(st_it):
+            state, it = st_it
+            for _ in range(8):
+                state = step(state)
+            return state, it + 1
+
+        def cond(st_it):
+            state, it = st_it
+            active = state[4] | state[5]
+            return jnp.any(active) & (it < (max_steps // 8 + 2))
+
+        state = (k, mh, ml, ex, in_skip, in_tail, pp, acc, comp, unc,
+                 pex)
+        state, it = jax.lax.while_loop(cond, body,
+                                       (state, jnp.int32(0)))
+        (k, mh, ml, ex, in_skip, in_tail, pp, acc, comp, unc,
+         pex) = state
+        # cap exceeded with lanes still walking: hand them to the host
+        unc = unc | in_skip | in_tail
+        uncertain |= unc
         acc_total = acc_total + acc
+        peak_ex = jnp.maximum(peak_ex, pex)
 
     bracket = acc_total
-    out = jnp.where(trivial, jnp.float32(1.0),
-                    jnp.where(uncertain, jnp.float32(-1.0), bracket))
-    # f32 log q for callers that bound P's magnitude on device (the
-    # bf16 bracket packing, sweeps.append_fisher_col): the constant
-    # lbinom parts that cancel in diffs reassembled once per lane
-    L = lfh.shape[0]
-
-    def lf_ds(i):
-        ic = jnp.clip(i, 0, L - 1)
-        return lfh[ic], lfl[ic]
-
-    ch, cl = lf_ds(n1)
-    for i in (n2, m1, n - m1):
-        ch, cl = _ds_add(ch, cl, *lf_ds(i))
-    nh, nl = lf_ds(n)
-    ch, cl = _ds_add(ch, cl, -nh, -nl)
-    logq = (ch + cl) - (oh + ol)
-    return out, logq
+    # P = bracket * q and q * (pmf_peak/q) = pmf_peak <= 1, so
+    # log2 P <= log2 bracket - peak_ex (peak_ex tracks only the
+    # exponent: conservative by < 1 bit)
+    log2_pb = jnp.log2(jnp.maximum(bracket, f32(1e-30))) \
+        - peak_ex.astype(f32) + 1.0
+    out = jnp.where(trivial, f32(1.0),
+                    jnp.where(uncertain, f32(-1.0), bracket))
+    return out, log2_pb
 
 
 def host_p_from_bracket(counts: np.ndarray, bracket: np.ndarray,
