@@ -110,31 +110,21 @@ def test_calc_window(tmp_path):
 
 
 def test_auto_tile_rows():
-    """tile_rows=0 resolves to 4096 in square mode and to the power of
-    two nearest the expected variants-per-window (>= 512) in window
-    mode."""
+    """tile_rows=0 resolves to 4096 in EVERY mode since round 5: the
+    grouped-scan sweeps make a 4096-row tile ~8.5x faster in raw
+    pairs/s than a 1024-row one, which beats any utilization gain from
+    window-fitted small tiles (measured in tools/bench_window.py)."""
     from types import SimpleNamespace
     from tomahawk_tpu.compute.engine import _auto_tile_rows
 
     def ent(rid, lo, hi, n):
         return SimpleNamespace(rid=rid, minpos=lo, maxpos=hi, n=n)
 
-    # 10,000 variants over 1 Mb = 0.01 variants/bp
     ents = [ent(0, 1, 1_000_001, 10_000)]
-    sq = SimpleNamespace(window=False, l_window=0)
-    assert _auto_tile_rows(ents, [0], sq) == 4096
-    # 250 kb window -> ~2500 expected variants -> 4096 cap
-    w = SimpleNamespace(window=True, l_window=250_000)
-    assert _auto_tile_rows(ents, [0], w) == 4096
-    # 100 kb -> ~1000 -> 1024; 10 kb -> ~100 -> 512 floor
-    assert _auto_tile_rows(
-        ents, [0], SimpleNamespace(window=True, l_window=100_000)) == 1024
-    assert _auto_tile_rows(
-        ents, [0], SimpleNamespace(window=True, l_window=10_000)) == 512
-    # degenerate index -> safe default
-    assert _auto_tile_rows(
-        [ent(0, 1, 1, 0)], [0],
-        SimpleNamespace(window=True, l_window=10_000)) == 4096
+    for st in (SimpleNamespace(window=False, l_window=0),
+               SimpleNamespace(window=True, l_window=250_000),
+               SimpleNamespace(window=True, l_window=10_000)):
+        assert _auto_tile_rows(ents, [0], st) == 4096
 
 
 def test_calc_interval_slicing(tmp_path):

@@ -191,31 +191,19 @@ def _round_up(n: int, q: int) -> int:
 
 
 def _auto_tile_rows(entries, block_ids, settings) -> int:
-    """Resolve tile_rows=0 (auto).  Square mode always wants the
-    largest tile (4096): utilization is 100% regardless.  In window
-    mode a tile pair only computes pairs within l_window bp, so tiles
-    spanning many windows are mostly masked; size the tile near the
-    expected variant count per window (measured on this run's index)
-    instead.  At chr6-like density a 250 kb window holds ~900 variants:
-    B=1024 tiles run 1.55x faster than B=4096 there (59% vs 15% of the
-    candidate grid unmasked), while at 4 Mb the estimate saturates back
-    to 4096."""
-    if not settings.window:
-        return 4096
-    per_rid = {}
-    for b in block_ids:
-        e = entries[b]
-        lo, hi, n = per_rid.get(e.rid, (e.minpos, e.maxpos, 0))
-        per_rid[e.rid] = (min(lo, e.minpos), max(hi, e.maxpos), n + e.n)
-    span = sum(hi - lo for lo, hi, _ in per_rid.values())
-    total = sum(n for _, _, n in per_rid.values())
-    if span <= 0 or total == 0:
-        return 4096
-    want = total / span * settings.l_window
-    tile = 512
-    while tile < want and tile < 4096:
-        tile *= 2
-    return tile
+    """Resolve tile_rows=0 (auto): 4096 rows in every mode.
+
+    Round 3 sized window-mode tiles to the expected variants-per-window
+    (1024 rows at a chr6-density 250 kb window) to keep the candidate
+    grid unmasked; round 5's grouped-scan sweeps (sweeps.tile_group)
+    flipped the economics: a 4096-row tile's MXU dot runs ~8.5x more
+    raw pairs/s than a 1024-row one, which beats any utilization win
+    masking can offer (measured 250 kb chr-scale: 3.27B candidate
+    pairs/s at 4096 rows / 14.8% utilization vs ~1.5-2B at 1024 rows /
+    59% -- tools/bench_window.py). Even at a 10 kb window the raw-rate
+    collapse of small tiles dominates the masking waste. tile_rows
+    remains an explicit override."""
+    return 4096
 
 
 def _super_ranges(entries, block_ids, tile_rows: int):
