@@ -1062,7 +1062,10 @@ class LdEngine:
         # bucket costs at steady survivor volume.
         key = (table, has_missing, cls)
         cur = self._prefix_rows.get(key, self.PREFIX_ROWS0)
-        want = min(_round_up(max(2048, max_end + (max_end >> 2)), 8192),
+        # +1/16 headroom: the transfer is the record-dense ceiling on
+        # tunnel-class links, so over-provisioning is real cost; the
+        # supplementary exact slice covers the occasional overshoot
+        want = min(_round_up(max(2048, max_end + (max_end >> 4)), 8192),
                    1 << 20)
         self._prefix_rows[key] = max(want, cur // 2)
 
