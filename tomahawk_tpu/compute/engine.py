@@ -284,12 +284,17 @@ class LdEngine:
         # the overflowed tiles' full MXU contractions, so chronic
         # overflow nearly doubles device work on hit tiles
         self._fused_cap = self.FUSED_CAP
-        # in-sweep Fisher: the fused sweep appends a bitcast-f32
-        # bracket column per survivor (sweeps.append_fisher_col) and
-        # the host multiplies by the exact f64 q -- phased tables only
+        # in-sweep Fisher: the fused sweep carries a bracket per
+        # survivor (sweeps.append_fisher_col) and the host multiplies
+        # by the exact f64 q -- phased tables only. Above ~32k
+        # haplotypes the outward walk's typical distance (D*2N cells to
+        # the mirror crossing) overruns the device step cap, so most
+        # lanes would flag for the host recompute anyway -- wide
+        # cohorts keep Fisher on host.
         import os as _os
         self._device_fisher = \
-            _os.environ.get("TWK_DEVICE_FISHER", "1") == "1"
+            _os.environ.get("TWK_DEVICE_FISHER", "1") == "1" \
+            and 2 * n_samples <= (1 << 15)
         self._lf_host = None
         # segment pipeline (run_group): a single consumer thread
         # processes dispatched segments in order while the main thread
