@@ -168,3 +168,40 @@ def test_engine_device_fisher_gate(monkeypatch, tmp_path):
     for f in order:
         np.testing.assert_array_equal(sa[f], sb[f], err_msg=f)
     assert np.abs(sa["P"] - sb["P"]).max() <= 1e-5
+
+    # gate open AND a tiny fused cap: overflowing tiles take the
+    # repair sweep, whose rows carry no bracket and must resolve
+    # through the exact host scan (the validity mask) -- mixed
+    # bracket/exact output still within the golden contract
+    monkeypatch.setattr(LdEngine, "FUSED_CAP", 8)
+    c = run(1)
+    monkeypatch.undo()
+    sc = np.sort(c, order=order)
+    assert len(sc) == len(sb)
+    for f in order:
+        np.testing.assert_array_equal(sc[f], sb[f], err_msg=f)
+    assert np.abs(sc["P"] - sb["P"]).max() <= 1e-5
+
+
+def test_walk_step_cap_flags_wide_supports():
+    """Lanes whose crossing lies beyond max_steps must flag uncertain
+    (bracket < 0 -> host recompute), never return a partial sum."""
+    from tomahawk_tpu.native import fisher_exact, get_lib
+    # strong-LD tables at 40k haplotypes: crossing ~ D*2N cells away
+    N = 40000
+    rr, ra, ar, aa = 14000, 1000, 1000, N - 16000
+    C = np.array([[rr, ra, ar, aa]], np.int64)
+    br, _ = fisher_bracket(
+        *(jnp.asarray(C[:, k], jnp.int32) for k in range(4)),
+        max_steps=1024)
+    assert float(np.asarray(br)[0]) == -1.0
+    # and with enough steps the same lane resolves within tolerance
+    br2, _ = fisher_bracket(
+        *(jnp.asarray(C[:, k], jnp.int32) for k in range(4)),
+        max_steps=1 << 17)
+    b2 = float(np.asarray(br2)[0])
+    if b2 >= 0 and get_lib() is not None:
+        lf = log_factorial_table(N + 1)
+        P = host_p_from_bracket(C, np.asarray(br2), lf)
+        Pn = fisher_exact(*(C[:, k] for k in range(4)))
+        assert np.isnan(P[0]) or abs(P[0] - Pn[0]) <= 1e-5
