@@ -60,13 +60,6 @@ def log_factorial_table(nmax: int) -> np.ndarray:
     return out
 
 
-def split_ds(v64: np.ndarray):
-    """f64 -> (hi, lo) f32 double-single split."""
-    hi = v64.astype(np.float32)
-    lo = (v64 - hi.astype(np.float64)).astype(np.float32)
-    return hi, lo
-
-
 # -- double-single f32 primitives (no FMA dependence) -----------------
 
 def _two_sum(a, b):
